@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level function library.
+  *
+  * Everything here is composed from built-in Catalyst expressions
+  * (`org.apache.spark.sql.functions`) — no Scala/Python UDFs — so the
+  * whole library stays inside Tungsten codegen / the vectorized readers
+  * and distributes trivially: a 100 TB scan applies these per-row with
+  * zero serialization boundary.
+  *
+  * Covers the reference's extra scalar-function surface
+  * (reference: sdks/java/extensions/sql/src/main/java/org/apache/beam/sdk/
+  * extensions/sql/impl/udf/BuiltinStringFunctions.java:33,
+  * BuiltinHashFunctions.java, BuiltinTrigonometricFunctions.java) plus the
+  * text-analysis / fingerprinting / vector primitives a training-data
+  * pipeline needs (dedup, quality filtering, ANN).
+  */
+package object functions {
+
+  // ==========================================================================
+  // Beam extra scalar functions that lack a same-name Spark builtin
+  // (most of §2.8 maps 1:1 to Spark builtins; these are the aliases).
+  // ==========================================================================
+
+  /** TO_HEX(bytes/string) — reference BuiltinStringFunctions.java:33. */
+  def toHex(c: Column): Column = hex(c)
+
+  /** FROM_HEX(string) → bytes. */
+  def fromHex(c: Column): Column = unhex(c)
+
+  /** LENGTH_BYTES — byte length of the UTF-8 encoding. */
+  def lengthBytes(c: Column): Column = octet_length(c)
+
+  /** IS_INF / IS_NAN — reference impl/udf/{IsInf,IsNan}.java. */
+  def isInf(c: Column): Column = c === Double.PositiveInfinity || c === Double.NegativeInfinity
+  def isNanCol(c: Column): Column = isnan(c)
+
+  // ==========================================================================
+  // Tokenization / shingling
+  // ==========================================================================
+
+  /** Whitespace tokens, empty-safe: split on runs of whitespace after trim;
+    * an all-whitespace or empty document yields an empty array (Spark's
+    * split("") would yield [""]). */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  /** Token count via the whitespace tokenizer. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + punctuation marks counted
+    * separately (a regex proxy for byte-pair tokenizers: every run of
+    * letters/digits is ~1.3 tokens, every punct char is 1). */
+  def tokenCountBpe(text: Column): Column = {
+    val words = size(filter(split(text, "[^A-Za-z0-9]+"), c => c =!= ""))
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]+", ""))
+    (words.cast("double") * lit(1.3) + punct.cast("double")).cast("long")
+  }
+
+  /** Character n-gram shingles of the normalized text (lowercase, collapsed
+    * whitespace). transform(sequence(...)) keeps this fully declarative —
+    * on a 100 TB corpus the shingling runs inside the scan stage. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    val cnt = greatest(length(norm) - (n - 1), lit(0))
+    when(cnt === 0, array(norm)) // short doc: the doc itself is the shingle
+      .otherwise(array_distinct(transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n)))))
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    val cnt = greatest(size(toks) - (n - 1), lit(0))
+    when(cnt === 0, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(sequence(lit(0), cnt - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  // ==========================================================================
+  // Hashing / fingerprints
+  // ==========================================================================
+
+  /** Deterministic 64-bit content fingerprint: first 16 hex chars of the
+    * md5 of the whitespace-normalized lowercase text. md5 is identical
+    * across engines, which makes this fingerprint portable (and DuckDB-
+    * verifiable), unlike engine-local hash() seeds.
+    * Reference analog: dedup by representative value,
+    * transforms/Distinct.java:84 (withRepresentativeValueFn). */
+  def fingerprint64(text: Column): Column =
+    substring(md5(lower(regexp_replace(trim(text), "\\s+", " "))), 1, 16)
+
+  /** A family of 64-bit hash functions h_i(x) = xxhash64(i, x): xxhash64 is
+    * a strong mixing function and seeding-by-prefix gives independent
+    * functions for MinHash. */
+  def seededHash(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
+
+  /** MinHash signature: array of `numHashes` minima of seeded hashes over
+    * the shingle set. One pass over shingles per hash function, all inside
+    * higher-order builtins (no shuffle; computed in the scan stage).
+    * Reference analog: the HLL/sketching extension family
+    * (sdks/java/extensions/sketching) — same "small mergeable summary"
+    * pattern, here for Jaccard similarity. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shingles, sh => xxhash64(s, sh))))
+
+  /** SimHash-64: per token, hash to 64 bits; sum +1/-1 per bit position over
+    * all tokens; fingerprint bit i is set iff the sum is positive. Returns a
+    * LongType fingerprint. Hamming-near fingerprints ⇔ similar documents. */
+  def simhash64(toks: Column): Column = {
+    val counts = aggregate(
+      toks,
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ==========================================================================
+  // Text quality / language heuristics (training-data pipeline)
+  // ==========================================================================
+
+  private val stopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "for", "on", "with", "that", "this", "it", "as")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val sw = filter(toks, t => t.isin(stopwordsEn: _*))
+    when(size(toks) === 0, lit(0.0)).otherwise(size(sw).cast("double") / size(toks))
+  }
+
+  /** Fraction of non-whitespace characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column = {
+    val nonWs = length(regexp_replace(text, "\\s+", ""))
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]+", ""))
+    when(nonWs === 0, lit(0.0)).otherwise(punct.cast("double") / nonWs)
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: long-enough docs with moderate
+    * punctuation and a natural stopword ratio score high. Deliberately
+    * simple + fully SQL-expressible (DuckDB-verifiable). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val swScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore + punctScore + swScore) / 3.0, 6)
+  }
+
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "it" -> Seq("il", "di", "che", "la", "per"))
+
+  /** Marker-word language ID: picks the language whose marker words cover
+    * the largest fraction of tokens; ties broken by language code order;
+    * "und" (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      (lang, size(filter(toks, t => t.isin(markers: _*))))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  // ==========================================================================
+  // Vector primitives (embeddings / ANN)
+  // ==========================================================================
+
+  /** Dot product of two float/double array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine similarity (0 when either vector is all-zero). */
+  def cosineSim(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Sign bit of the projection onto a fixed pseudo-random hyperplane
+    * (deterministic from `seed`): building block for LSH over cosine
+    * distance. The hyperplane components are derived per-dimension from
+    * xxhash64(seed, dim) mapped to [-1, 1]. */
+  def hyperplaneBit(vec: Column, seed: Int): Column = {
+    val proj = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (v, i) => v * (xxhash64(lit(seed), i).cast("double") / lit(Long.MaxValue.toDouble))),
+      lit(0.0), (a, b) => a + b)
+    when(proj >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** `nBits`-bit signature for cosine LSH bucketing. */
+  def hyperplaneSignature(vec: Column, nBits: Int): Column =
+    (0 until nBits).map(s => shiftleft(hyperplaneBit(vec, s), s))
+      .reduce((a, b) => a.bitwiseOR(b))
+}

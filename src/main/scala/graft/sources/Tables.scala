@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * Plays the role of the reference's SQL table-provider layer
+  * (reference: sdks/java/extensions/sql/.../meta/provider/parquet,
+  * meta/BeamSqlTable.java:33-48 — buildIOReader with filter/project
+  * pushdown): here schema discovery, predicate/column pushdown and
+  * partition pruning are delegated to Spark's native parquet source,
+  * which implements the same capability surface
+  * (SupportsPushDownFilters / SupportsPushDownRequiredColumns).
+  *
+  * At 100 TB these readers are the scan layer: filters and projections
+  * declared on the returned DataFrame reach the parquet footer
+  * (PushedFilters / ReadSchema in `.explain("formatted")`), so a query
+  * over 2 columns of a 16-column table reads only those column chunks.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.parquet declares INT64 TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs
+    * (legacy conf) and convert to microsecond TimestampType explicitly —
+    * the same truncation DuckDB applies (its TIMESTAMP is micros), so
+    * both engines see identical values. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` works against the
+    * same data (the reference's CREATE EXTERNAL TABLE registration path,
+    * parserImpls.ftl:142-236, collapses to this + Ddl.createExternalTable). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
