@@ -30,7 +30,7 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // integer div: ns values exceed double's 2^53 mantissa
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
