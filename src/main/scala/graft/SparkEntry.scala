@@ -11,7 +11,8 @@ import graft.queries._
   * float rounding are aligned between the Spark and DuckDB sides.
   */
 object SparkEntry {
-  private val modules: Seq[QueryModule] = Seq(Relational, Scalar, Analytics, EventTime)
+  private val modules: Seq[QueryModule] =
+    Seq(Relational, Scalar, Analytics, EventTime, TrainingData)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: pushdown filter + hash aggregate with map-side

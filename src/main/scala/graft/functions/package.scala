@@ -59,7 +59,7 @@ package object functions {
   def tokenCountBpe(text: Column): Column = {
     val words = size(filter(split(text, "[^A-Za-z0-9]+"), c => c =!= ""))
     val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]+", ""))
-    (words.cast("double") * lit(1.3) + punct.cast("double")).cast("long")
+    floor(words.cast("double") * lit(1.3) + punct.cast("double")).cast("long")
   }
 
   /** Character n-gram shingles of the normalized text (lowercase, collapsed

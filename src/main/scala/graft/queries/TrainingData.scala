@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+import graft.functions._
+
+/** Training-data pipeline operators over the documents/embeddings tables:
+  * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search
+  * (brute-force + LSH ANN), text analysis (lang-ID, quality, tokens,
+  * fingerprints), and multimodal binary plumbing.
+  *
+  * Oracles: everything hash-portable (md5-based fingerprints, exact
+  * Jaccard, cosine, token statistics) is DuckDB-verified; xxhash64-based
+  * sketches (MinHash candidates pre-verify, SimHash, hyperplane LSH) are
+  * engine-local, so their queries are designed to end in an *exact*
+  * verification step — the LSH part only proposes candidates — which makes
+  * MinHash near-dup output equal to the all-pairs exact answer (miss
+  * probability < 1e-9 at the 0.7 threshold with r=3, b=50).
+  */
+object TrainingData extends QueryModule {
+
+  // Exact dedup via portable md5 fingerprint (hash-groupBy).
+  private def d60(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("fp"), col("kept_id"), col("n_dups"))
+      .orderBy("kept_id")
+
+  private val d60Sql =
+    """SELECT substring(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16) AS fp,
+      |  min(doc_id) AS kept_id, CAST(count(*) AS BIGINT) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY kept_id""".stripMargin
+
+  // Exact n-gram Jaccard against a probe document (doc_id 0) — the exact
+  // kernel the LSH path verifies with, checked end-to-end against DuckDB's
+  // independent list-based construction.
+  private def d61(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), charShingles(col("text"), 3).as("sh"))
+    val probe = docs.filter(col("doc_id") === 0)
+      .select(col("sh").as("probe_sh"))
+    docs.crossJoin(broadcast(probe))
+      .withColumn("j", Dedup.jaccard(col("sh"), col("probe_sh")))
+      .filter(col("j") > 0.4 && col("doc_id") =!= 0)
+      .select(col("doc_id"), round(col("j"), 6).as("j"))
+      .orderBy("doc_id")
+  }
+
+  private val d61Sql =
+    """WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) t
+      |           FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         generate_series(1, greatest(len(t) - 2, 1)), i -> t[i:i+2])) s
+      |       FROM d),
+      |probe AS (SELECT s AS ps FROM sh WHERE doc_id = 0)
+      |SELECT doc_id,
+      |  round(len(list_intersect(s, ps))::DOUBLE
+      |        / len(list_distinct(list_concat(s, ps))), 6) AS j
+      |FROM sh, probe
+      |WHERE doc_id <> 0
+      |  AND len(list_intersect(s, ps))::DOUBLE
+      |      / len(list_distinct(list_concat(s, ps))) > 0.4
+      |ORDER BY doc_id""".stripMargin
+
+  // MinHash + LSH near-dup pairs, exact-verified at threshold 0.7; the
+  // oracle is the brute-force all-pairs answer (LSH recall ≈ 1 by the
+  // banding math — see Dedup.minhashNearDups).
+  private def d62(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+      threshold = 0.7, shingleN = 3, numHashes = 150, bands = 50)
+      .orderBy("id_a", "id_b")
+
+  private val d62Sql =
+    """WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) t
+      |           FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         generate_series(1, greatest(len(t) - 2, 1)), i -> t[i:i+2])) s
+      |       FROM d)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.s, b.s))::DOUBLE
+      |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard_sim
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / len(list_distinct(list_concat(a.s, b.s))) > 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // SimHash near-dups (xxhash64-based — not DuckDB-portable: rows-only).
+  private def d63(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 8)
+      .orderBy("id_a", "id_b")
+
+  // Brute-force cosine top-k over embeddings (exact ANN baseline).
+  private def d64(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  private val d64Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS nn_id,
+      |    round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
+      |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, nn_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rnk
+      |  FROM scored)
+      |SELECT query_id, CAST(rnk AS INT) AS rnk, nn_id, sim
+      |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  // LSH-bucketed ANN (hyperplane signatures — engine-local: rows-only).
+  private def d65(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, nBits = 4, tables = 16)
+      .orderBy("query_id", "rnk")
+  }
+
+  // Text features: token counts, ratios, quality score — full SQL oracle.
+  private def t66(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withTextFeatures(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+        col("punct_ratio"), col("mean_token_len"), col("quality"))
+      .orderBy("doc_id")
+
+  private val t66Sql =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INT) AS n_tokens,
+      |  round(len(list_filter(ltoks, x -> list_contains(
+      |    ['the','a','an','and','or','of','to','in','is','are','was','for',
+      |     'on','with','that','this','it','as'], x)))::DOUBLE / len(ltoks), 6) AS stopword_ratio,
+      |  round(CASE WHEN len(regexp_replace(text, '\s+', '', 'g')) = 0 THEN 0
+      |    ELSE len(regexp_replace(text, '[A-Za-z0-9\s]+', '', 'g'))::DOUBLE
+      |         / len(regexp_replace(text, '\s+', '', 'g')) END, 6) AS punct_ratio,
+      |  round(list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks), 6) AS mean_token_len,
+      |  round((least(len(text)::DOUBLE / 200, 1.0)
+      |    + (1.0 - least((CASE WHEN len(regexp_replace(text, '\s+', '', 'g')) = 0 THEN 0
+      |        ELSE len(regexp_replace(text, '[A-Za-z0-9\s]+', '', 'g'))::DOUBLE
+      |             / len(regexp_replace(text, '\s+', '', 'g')) END) * 4, 1.0))
+      |    + least((len(list_filter(ltoks, x -> list_contains(
+      |        ['the','a','an','and','or','of','to','in','is','are','was','for',
+      |         'on','with','that','this','it','as'], x)))::DOUBLE / len(ltoks)) * 4, 1.0)
+      |    ) / 3, 6) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // Marker-word language ID vs the oracle's identical SQL construction.
+  private def t67(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withTextFeatures(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("lang_pred"), col("lang").as("lang_label"))
+      .orderBy("doc_id")
+
+  private val t67Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang AS lang_label,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |scores AS (
+      |  SELECT doc_id, lang_label,
+      |    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+      |    len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+      |    len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))) AS s_es,
+      |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+      |    len(list_filter(toks, x -> list_contains(['il','di','che','la','per'], x))) AS s_it
+      |  FROM t)
+      |SELECT doc_id,
+      |  CASE
+      |    WHEN s_de > 0 AND s_de = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'de'
+      |    WHEN s_en > 0 AND s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+      |    WHEN s_es > 0 AND s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+      |    WHEN s_fr > 0 AND s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+      |    WHEN s_it > 0 AND s_it = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
+      |    ELSE 'und' END AS lang_pred,
+      |  lang_label
+      |FROM scores ORDER BY doc_id""".stripMargin
+
+  // Portable md5-based document fingerprint (rolling-hash analog).
+  private def t68(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fingerprint64(col("text")).as("fingerprint"),
+        tokenCountBpe(col("text")).as("n_tokens_bpe"))
+      .orderBy("doc_id")
+
+  private val t68Sql =
+    """SELECT doc_id,
+      |  substring(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16) AS fingerprint,
+      |  CAST(floor(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> ''))::DOUBLE * 1.3
+      |       + len(regexp_replace(text, '[A-Za-z0-9\s]+', '', 'g'))::DOUBLE) AS BIGINT) AS n_tokens_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // Multimodal decode plumbing (deterministic stub codec over binary
+  // assets via per-partition mapPartitions).
+  private def m69(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStub(s,
+      Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text"))
+      .orderBy("asset_id")
+
+  private val m69Sql =
+    """SELECT doc_id AS asset_id,
+      |  CAST(strlen(text) AS INT) AS byte_len,
+      |  lower(hex(substring(text, 1, 8))) AS header_hex,
+      |  CAST(strlen(text) % 640 + 1 AS INT) AS fake_width,
+      |  CAST(strlen(text) % 480 + 1 AS INT) AS fake_height,
+      |  CAST(strlen(text) % 3 + 1 AS INT) AS fake_channels
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  // Frame-sampling fan-out shape (1 asset row → N frame rows in-task).
+  private def m70(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFramesStub(s,
+      Multimodal.asAssets(
+        Tables.documents(s, dir).filter(col("doc_id") < 50), "doc_id", "text"),
+      stride = 64)
+      .orderBy("asset_id", "frame_idx")
+
+  private val m70Sql =
+    """SELECT doc_id AS asset_id, CAST(k AS INT) AS frame_idx,
+      |  CAST(k * 64 AS INT) AS byte_offset
+      |FROM documents,
+      |  LATERAL (SELECT unnest(generate_series(0,
+      |    greatest(strlen(text) // 64 - 1, 0))) AS k)
+      |WHERE doc_id < 50 ORDER BY asset_id, frame_idx""".stripMargin
+
+  override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d60_exact_dedup" -> d60,
+    "d61_ngram_jaccard_probe" -> d61,
+    "d62_minhash_lsh_neardups" -> d62,
+    "d63_simhash_neardups" -> d63,
+    "d64_embedding_cosine_topk" -> d64,
+    "d65_embedding_lsh_ann" -> d65,
+    "t66_text_quality_features" -> t66,
+    "t67_language_id" -> t67,
+    "t68_doc_fingerprint" -> t68,
+    "m69_multimodal_decode" -> m69,
+    "m70_frame_sampling" -> m70)
+
+  override val oracles: Map[String, String] = Map(
+    "d60_exact_dedup" -> d60Sql,
+    "d61_ngram_jaccard_probe" -> d61Sql,
+    "d62_minhash_lsh_neardups" -> d62Sql,
+    // d63 simhash: xxhash64-based, rows-only
+    "d64_embedding_cosine_topk" -> d64Sql,
+    // d65 LSH ANN: approximate by construction, rows-only
+    "t66_text_quality_features" -> t66Sql,
+    "t67_language_id" -> t67Sql,
+    "t68_doc_fingerprint" -> t68Sql,
+    "m69_multimodal_decode" -> m69Sql,
+    "m70_frame_sampling" -> m70Sql)
+}
