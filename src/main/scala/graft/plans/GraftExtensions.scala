@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Hex, OctetLength, SessionWindow, TimeWindow, Unhex}
+
+/** SparkSessionExtensions for the SQL front end (SURVEY.md §7.3):
+  *
+  *  - Streaming-SQL windowing syntax: the reference's GROUP BY
+  *    TUMBLE/HOP/SESSION(...) (BeamAggregationRule.java:121,
+  *    BeamTableFunctionScanRel.java:116) becomes the SQL functions
+  *    `tumble(ts, size)`, `hop(ts, slide, size)`, `session(ts, gap)` —
+  *    thin aliases for Catalyst's native TimeWindow/SessionWindow
+  *    expressions, so `GROUP BY tumble(ts, '1 hour')` plans identically
+  *    to the DataFrame `window()` path (streaming-capable, AQE-friendly).
+  *  - Reference extra-UDF names (impl/udf/BuiltinStringFunctions.java):
+  *    TO_HEX / FROM_HEX / LENGTH_BYTES registered as aliases of the
+  *    codegen'd builtin expressions.
+  *
+  * Install via `SparkSession.builder.withExtensions(GraftExtensions)` or
+  * `Graft.install(spark)` on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(tumble)
+    e.injectFunction(hop)
+    e.injectFunction(sessionFn)
+    e.injectFunction(toHex)
+    e.injectFunction(fromHex)
+    e.injectFunction(lengthBytes)
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private val tumble = (FunctionIdentifier("tumble"),
+    info("tumble", "tumble(ts, size) - fixed event-time window struct"),
+    (args: Seq[Expression]) => new TimeWindow(args(0), args(1)))
+
+  private val hop = (FunctionIdentifier("hop"),
+    info("hop", "hop(ts, slide, size) - sliding event-time window struct"),
+    (args: Seq[Expression]) => new TimeWindow(args(0), args(2), args(1)))
+
+  private val sessionFn = (FunctionIdentifier("session"),
+    info("session", "session(ts, gap) - gap-merged session window struct"),
+    (args: Seq[Expression]) => new SessionWindow(args(0), args(1)))
+
+  private val toHex = (FunctionIdentifier("to_hex"),
+    info("to_hex", "to_hex(bytes) - hex encoding"),
+    (args: Seq[Expression]) => Hex(args.head))
+
+  private val fromHex = (FunctionIdentifier("from_hex"),
+    info("from_hex", "from_hex(str) - hex decoding"),
+    (args: Seq[Expression]) => Unhex(args.head))
+
+  private val lengthBytes = (FunctionIdentifier("length_bytes"),
+    info("length_bytes", "length_bytes(str) - byte length of UTF-8 encoding"),
+    (args: Seq[Expression]) => OctetLength(args.head))
+
+  /** Register the same functions on an already-built session (extensions
+    * normally apply at builder time; this covers driver-provided sessions). */
+  def install(spark: SparkSession): Unit =
+    Seq(tumble, hop, sessionFn, toHex, fromHex, lengthBytes).foreach {
+      case (ident, inf, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+    }
+}
+
+/** `CREATE EXTERNAL TABLE name [(…)] TYPE fmt LOCATION 'path'` — the
+  * reference's DDL (extensions/sql parserImpls.ftl:142-236) mapped onto
+  * Spark's catalog. v1: regex-translated to a temp view over the native
+  * reader (schema inferred from the source; declared columns ignored). */
+object Ddl {
+  private val CreateExt =
+    """(?is)\s*CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s*(?:\(.*?\))?\s*TYPE\s+'?(\w+)'?\s+LOCATION\s+'([^']+)'\s*""".r
+
+  def execute(spark: SparkSession, ddl: String): DataFrame = ddl match {
+    case CreateExt(name, fmt, location) =>
+      val reader = fmt.toLowerCase match {
+        case "text" => spark.read.text(location)
+        case other => spark.read.format(other).load(location)
+      }
+      reader.createOrReplaceTempView(name)
+      spark.table(name)
+    case _ =>
+      throw new IllegalArgumentException(
+        s"unsupported DDL (expected CREATE EXTERNAL TABLE … TYPE … LOCATION '…'): $ddl")
+  }
+}

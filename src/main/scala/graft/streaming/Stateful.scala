@@ -1,0 +1,130 @@
+package graft.streaming
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful per-key processing (SURVEY.md §2.9): the reference's state &
+  * timers API (sdk/state — ValueState/BagState/MapState/Timer, DoFn
+  * @StateId/@TimerId) rebuilt on `flatMapGroupsWithState`.
+  *
+  * Design notes:
+  *  - Beam exposes N named state cells per key; Spark exposes ONE state
+  *    object per key. `Cells[S]` models Beam's cells as fields of S —
+  *    same expressiveness, one serialized blob per key.
+  *  - Beam allows N timers per key; Spark allows one timeout. `Timers`
+  *    multiplexes: it keeps a name→deadline map in state and always arms
+  *    the Spark timeout at the EARLIEST deadline; on wake-up, every timer
+  *    whose deadline passed fires (the min-heap trick from the survey).
+  *  - State is per key *and* window in Beam; encode the window in the
+  *    grouping key to get the same scoping.
+  *
+  * At scale: state lives in the executor state store (RocksDB-backed on a
+  * real cluster), partitioned by the grouping key — the same shuffle
+  * placement as the aggregation itself, no extra exchange.
+  */
+object Stateful {
+
+  /** Multiplexed named timers (≙ Beam TimerMap, sdk/state/TimerMap.java):
+    * stored inside the user state; `nextDeadline` is what gets armed on
+    * the single Spark timeout. Timestamps are epoch millis. */
+  final case class Timers(deadlines: Map[String, Long]) {
+    def set(name: String, at: Long): Timers = Timers(deadlines + (name -> at))
+    def clear(name: String): Timers = Timers(deadlines - name)
+    def nextDeadline: Option[Long] =
+      if (deadlines.isEmpty) None else Some(deadlines.values.min)
+    def fired(now: Long): Seq[String] =
+      deadlines.collect { case (n, at) if at <= now => n }.toSeq.sorted
+    def afterFiring(now: Long): Timers =
+      Timers(deadlines.filter { case (_, at) => at > now })
+  }
+  object Timers { val empty: Timers = Timers(Map.empty) }
+
+  /** State cells + timers for one key (≙ a DoFn's @StateId fields plus its
+    * @TimerId map). */
+  final case class Cells[S](value: S, timers: Timers)
+
+  /** Generic stateful ParDo over a keyed stream — the substrate for
+    * GroupIntoBatches, TTL dedup, custom triggers, and NFA/CEP state
+    * machines.
+    *
+    * @param onElements (key, new elements, cells) → (new cells or None to
+    *                   clear, outputs). Runs once per key per micro-batch.
+    * @param onTimer    (key, fired timer names, cells) → (new cells or
+    *                   None, outputs). Runs when the earliest deadline
+    *                   passes (processing-time domain).
+    */
+  def statefulParDo[K, V, S, O](
+      ds: Dataset[(K, V)],
+      zero: S,
+      onElements: (K, Seq[V], Cells[S]) => (Option[Cells[S]], Seq[O]),
+      onTimer: (K, Seq[String], Cells[S]) => (Option[Cells[S]], Seq[O]))(
+      implicit kEnc: Encoder[K], oEnc: Encoder[O],
+      sEnc: Encoder[Cells[S]]): Dataset[O] = {
+
+    def advance(key: K, values: Iterator[(K, V)],
+        state: GroupState[Cells[S]]): Iterator[O] = {
+      val cells = state.getOption.getOrElse(Cells(zero, Timers.empty))
+      val (next, out) =
+        if (state.hasTimedOut) {
+          val now = System.currentTimeMillis()
+          val fired = cells.timers.fired(now)
+          val (c2, o) = onTimer(key, fired,
+            cells.copy(timers = cells.timers.afterFiring(now)))
+          (c2, o)
+        } else onElements(key, values.map(_._2).toSeq, cells)
+      next match {
+        case Some(c) =>
+          state.update(c)
+          // single Spark timeout armed at the earliest multiplexed deadline
+          c.timers.nextDeadline.foreach { at =>
+            state.setTimeoutDuration(math.max(1L, at - System.currentTimeMillis()))
+          }
+        case None => state.remove()
+      }
+      out.iterator
+    }
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout())(advance)
+  }
+
+  /** Keyed streaming Deduplicate with TTL (transforms/Deduplicate.java:68):
+    * first element per key is emitted; repeats within `ttlMs` are dropped;
+    * state self-expires so unbounded key spaces don't accumulate. */
+  def deduplicate[K, V](ds: Dataset[(K, V)], ttlMs: Long)(
+      implicit kEnc: Encoder[K], vEnc: Encoder[V]): Dataset[V] = {
+    implicit val cellsEnc: Encoder[Cells[Boolean]] = Encoders.product[Cells[Boolean]]
+    statefulParDo[K, V, Boolean, V](
+      ds, zero = false,
+      onElements = (_, elems, cells) =>
+        if (cells.value) (Some(cells), Seq.empty) // seen: drop, keep TTL
+        else (Some(Cells(true, Timers.empty.set("ttl", System.currentTimeMillis() + ttlMs))),
+          elems.headOption.toSeq),
+      onTimer = (_, _, _) => (None, Seq.empty)) // TTL expired: clear state
+  }
+
+  /** GroupIntoBatches (transforms/GroupIntoBatches.java:59): per-key
+    * batches of `batchSize`, flushed early after `maxWaitMs` of
+    * inactivity (the flush timer is the reference's buffering timer). */
+  def groupIntoBatches[K, V](ds: Dataset[(K, V)], batchSize: Int, maxWaitMs: Long)(
+      implicit kEnc: Encoder[K], vEnc: Encoder[V],
+      outEnc: Encoder[(K, Seq[V])], vTag: TypeTag[V]): Dataset[(K, Seq[V])] = {
+    implicit val cellsEnc: Encoder[Cells[Seq[V]]] = Encoders.product[Cells[Seq[V]]]
+    statefulParDo[K, V, Seq[V], (K, Seq[V])](
+      ds, zero = Seq.empty,
+      onElements = (key, elems, cells) => {
+        val buf = cells.value ++ elems
+        val full = buf.grouped(batchSize).filter(_.size == batchSize).toSeq
+        val rest = buf.drop(full.size * batchSize)
+        val timers =
+          if (rest.nonEmpty) Timers.empty.set("flush", System.currentTimeMillis() + maxWaitMs)
+          else Timers.empty
+        (Some(Cells(rest, timers)), full.map(key -> _))
+      },
+      onTimer = (key, _, cells) =>
+        (None, if (cells.value.nonEmpty) Seq(key -> cells.value) else Seq.empty))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.plans.{Ddl, GraftExtensions}
+
+class ExtensionsSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("tumble/hop/session SQL functions plan like window()/session_window()") {
+    GraftExtensions.install(spark)
+    Seq(("a", Timestamp.valueOf("2024-01-01 00:10:00")),
+      ("a", Timestamp.valueOf("2024-01-01 00:50:00")),
+      ("a", Timestamp.valueOf("2024-01-01 02:00:00")))
+      .toDF("k", "ts").createOrReplaceTempView("ext_events")
+
+    val tumbled = spark.sql(
+      "SELECT count(*) AS n FROM ext_events GROUP BY tumble(ts, '1 hour') ORDER BY n DESC")
+    assert(tumbled.as[Long].collect().toSeq == Seq(2L, 1L))
+
+    val hopped = spark.sql(
+      "SELECT count(*) AS n FROM ext_events GROUP BY hop(ts, '1 hour', '2 hours')")
+    // 2-hour windows sliding hourly: each element in 2 windows
+    assert(hopped.as[Long].collect().sum == 6L)
+
+    val sessions = spark.sql(
+      "SELECT count(*) AS n FROM ext_events GROUP BY session(ts, '45 minutes'), k")
+    assert(sessions.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("reference extra-UDF aliases: to_hex / from_hex / length_bytes") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT lower(to_hex('abc')) AS h, CAST(from_hex('616263') AS STRING) AS s, length_bytes('abc') AS b")
+      .as[(String, String, Int)].head()
+    assert(r == (("616263", "abc", 3)))
+  }
+
+  test("CREATE EXTERNAL TABLE DDL registers a readable view") {
+    val df = Ddl.execute(spark,
+      "CREATE EXTERNAL TABLE ext_nation TYPE parquet LOCATION '/root/testdata/sf0.001/nation.parquet'")
+    assert(df.count() == 25)
+    assert(spark.table("ext_nation").columns.contains("n_name"))
+  }
+}

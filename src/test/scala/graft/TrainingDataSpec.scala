@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+class TrainingDataSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (1L, "the quick brown fox jumps over the lazy dog and runs away quickly"), // near-dup of 0
+    (2L, "completely different content about database query optimization engines"),
+    (3L, "the quick brown fox jumps over the lazy dog and runs away fast"), // exact dup of 0
+    (4L, "der hund und die katze sind das beste team und der freund")) // German markers
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized docs") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val dupGroup = out.filter(col("n_dups") === 2).select("kept_id").as[Long].collect()
+    assert(dupGroup.toSeq == Seq(0L)) // 0 and 3 collapse, min id kept
+    assert(out.count() == 4)
+  }
+
+  test("minhash LSH finds the planted near-dup pair") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5,
+      numHashes = 60, bands = 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L))) // exact dups are trivially near-dups
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L }) // the outlier pairs with nothing
+  }
+
+  test("simhash puts exact dups at hamming 0") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((0L, 3L)) == 0L)
+  }
+
+  test("brute-force cosine topk ranks the closest vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2)
+      .select("rnk", "nn_id").as[(Int, Long)].collect().toMap
+    assert(top(1) == 1L && top(2) == 2L)
+  }
+
+  test("text features: language markers and fingerprint invariance") {
+    val feats = TextAnalysis.withTextFeatures(docs, "text")
+      .select("doc_id", "lang_pred", "fingerprint", "n_tokens")
+      .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(feats(0L)._2 == "en")
+    assert(feats(4L)._2 == "de")
+    assert(feats(0L)._3 == feats(3L)._3) // identical docs share fingerprints
+    assert(feats(0L)._4 == 13L)
+    // whitespace-insensitive fingerprint
+    val messy = Seq((9L, "  the   quick brown fox jumps over the lazy dog and runs away fast ")).toDF("doc_id", "text")
+    val fp = TextAnalysis.withTextFeatures(messy, "text").select("fingerprint").as[String].head()
+    assert(fp == feats(0L)._3)
+  }
+
+  test("multimodal decode stub preserves ids and byte lengths") {
+    val decoded = Multimodal.decodeStub(spark, Multimodal.asAssets(docs, "doc_id", "text"))
+    val row = decoded.filter(col("asset_id") === 0).head()
+    assert(row.getAs[Int]("byte_len") == 62)
+    assert(row.getAs[String]("header_hex") == "7468652071756963") // "the quic"
+    val frames = Multimodal.sampleFramesStub(spark,
+      Multimodal.asAssets(docs, "doc_id", "text"), stride = 16)
+    assert(frames.filter(col("asset_id") === 0).count() == 3) // floor(62/16)=3
+  }
+}
