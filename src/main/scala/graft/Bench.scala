@@ -3,16 +3,36 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warmup: pay JIT/codegen/parquet-footer costs outside the timed loop
+    try {
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      graft.sources.Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => }
+    // iteration aids: SPARK_GRAFT_ONLY=substr runs a subset,
+    // SPARK_GRAFT_EXPLAIN=1 dumps formatted plans
+    val queries = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(o => SparkEntry.queries.filter(_._1.contains(o)))
+      .getOrElse(SparkEntry.queries)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      queries.foreach { case (name, fn) =>
+        System.err.println(s"==== $name ====")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => System.err.println(s"explain failed: $e") }
+      }
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: forces full evaluation of every operator (count() would
+      // let Catalyst drop projections/sorts above the aggregate)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

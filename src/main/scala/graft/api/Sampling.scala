@@ -1,0 +1,42 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling operators (reference transforms/Sample.java: any /
+  * fixedSizeGlobally / fixedSizePerKey — reservoir-based CombineFns).
+  *
+  * Two families:
+  *  - `bernoulli`: Spark's native `df.sample` — cheap, size only
+  *    approximate, seed-reproducible per partitioning.
+  *  - hash-ranked fixed-size: rank rows by a *content* hash and take the
+  *    top n. Same uniform-without-replacement contract as the reference's
+  *    reservoir, but fully deterministic (independent of partitioning,
+  *    re-runnable, engine-portable) — which is what a 100 TB training-data
+  *    pipeline actually wants from a sample. Global top-n compiles to
+  *    TakeOrderedAndProject (per-partition heaps + driver merge of n·P
+  *    rows, no full sort); per-key uses a window row_number over the
+  *    key-partitioned shuffle.
+  */
+object Sampling {
+
+  /** Sample.any-ish: approximate fraction, seeded. */
+  def bernoulli(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** Deterministic rank for a row: md5 of the key rendered as text.
+    * md5 (not xxhash64) keeps the sample reproducible across engines. */
+  private def hashRank(key: Column): Column = md5(key.cast("string"))
+
+  /** Sample.fixedSizeGlobally(n), deterministic. */
+  def fixedSizeGlobally(df: DataFrame, n: Int, key: Column): DataFrame =
+    df.orderBy(hashRank(key)).limit(n)
+
+  /** Sample.fixedSizePerKey(n), deterministic. */
+  def fixedSizePerKey(df: DataFrame, n: Int, keyCol: Column, idCol: Column): DataFrame =
+    df.withColumn("__rank",
+        row_number().over(Window.partitionBy(keyCol).orderBy(hashRank(idCol))))
+      .filter(col("__rank") <= n)
+      .drop("__rank")
+}

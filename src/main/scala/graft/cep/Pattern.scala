@@ -1,0 +1,100 @@
+package graft.cep
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** Row-pattern matching — the reference's MATCH_RECOGNIZE support
+  * (extensions/sql impl/rel/BeamMatchRel.java:67, NFA engine
+  * impl/nfa/NFA.java:261, pattern ops impl/cep/) re-expressed for Spark.
+  *
+  * Pattern grammar (the linear subset the reference's CEP tests exercise):
+  * a sequence of symbols, each with a row predicate and a greedy
+  * quantifier — PATTERN (A B+ C?[…]) — with AFTER MATCH SKIP PAST LAST
+  * ROW semantics. Matching runs per partition key over events sorted by
+  * the ORDER BY key, exactly the MATCH_RECOGNIZE contract.
+  *
+  * Execution model: `groupByKey.flatMapGroups`; each key's events are
+  * sorted in-task and scanned once by a backtracking matcher. At 100 TB
+  * the shuffle is one hash exchange on the partition key, and the memory
+  * bound is max-events-per-key per task — the same bound every
+  * MATCH_RECOGNIZE implementation (including the reference NFA, which
+  * buffers candidate matches per key) carries. Streaming: the same
+  * matcher runs inside graft.streaming.Stateful with the event buffer as
+  * state, flushed on watermark.
+  */
+object Pattern {
+
+  /** Greedy quantifiers: A, A+, A*, A? . */
+  sealed trait Quant
+  case object One extends Quant
+  case object Plus extends Quant
+  case object Star extends Quant
+  case object Opt extends Quant
+
+  /** One pattern symbol: name, row predicate, quantifier. */
+  final case class Sym[E](name: String, pred: E => Boolean, quant: Quant = One)
+
+  /** A complete match: the consumed events tagged with their symbol name,
+    * in order. */
+  final case class Match[E](bindings: IndexedSeq[(String, E)]) {
+    def events: IndexedSeq[E] = bindings.map(_._2)
+    def measures(name: String): IndexedSeq[E] =
+      bindings.collect { case (n, e) if n == name => e }
+  }
+
+  /** Match one key's ordered event sequence against the pattern.
+    * Greedy with backtracking; non-overlapping (skip past last row). */
+  def matchAll[E](events: IndexedSeq[E], pattern: IndexedSeq[Sym[E]]): Seq[Match[E]] = {
+    val n = events.length
+
+    // Try to match the full pattern starting at event index `start`;
+    // returns (endExclusive, bindings) for the greedy-leftmost match.
+    def tryFrom(start: Int): Option[(Int, Vector[(String, E)])] = {
+      def go(pi: Int, ei: Int, acc: Vector[(String, E)]): Option[(Int, Vector[(String, E)])] =
+        if (pi == pattern.length) Some((ei, acc))
+        else {
+          val sym = pattern(pi)
+          def consume(k: Int) = // bind events [ei, ei+k) to this symbol
+            (0 until k).foldLeft(acc)((a, j) => a :+ (sym.name -> events(ei + j)))
+          val (minRep, maxRep) = sym.quant match {
+            case One  => (1, 1)
+            case Opt  => (0, 1)
+            case Plus => (1, n - ei)
+            case Star => (0, n - ei)
+          }
+          // longest run of consecutive events satisfying the predicate
+          var run = 0
+          while (run < maxRep && ei + run < n && sym.pred(events(ei + run))) run += 1
+          // greedy: prefer the longest repetition, backtrack on failure
+          var len = math.min(run, maxRep)
+          var res: Option[(Int, Vector[(String, E)])] = None
+          while (res.isEmpty && len >= minRep) {
+            res = go(pi + 1, ei + len, consume(len))
+            len -= 1
+          }
+          res
+        }
+      go(0, start, Vector.empty)
+    }
+
+    val out = Seq.newBuilder[Match[E]]
+    var i = 0
+    while (i < n) {
+      tryFrom(i) match {
+        case Some((end, binds)) if end > i => // non-empty match: skip past it
+          out += Match(binds.toIndexedSeq); i = end
+        case _ => i += 1 // no match (or zero-width): advance one event
+      }
+    }
+    out.result()
+  }
+
+  /** Distributed MATCH_RECOGNIZE: partition by `key`, order by `order`,
+    * emit one output row per match via `emit`. */
+  def matchPattern[E, K: Encoder, S: Ordering, O: Encoder](
+      ds: Dataset[E], key: E => K, order: E => S,
+      pattern: Seq[Sym[E]])(emit: (K, Match[E]) => O): Dataset[O] =
+    ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
+      val evs = it.toIndexedSeq.sortBy(order)
+      matchAll(evs, pattern.toIndexedSeq).iterator.map(m => emit(k, m))
+    }
+}

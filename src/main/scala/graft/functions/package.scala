@@ -72,6 +72,31 @@ package object functions {
       .otherwise(array_distinct(transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n)))))
   }
 
+  /** Distinct xxhash64 values of the character n-gram shingles of the
+    * normalized text — the scale path for MinHash/Jaccard dedup. Same
+    * normalization as [[charShingles]]; hashing inside a single native
+    * codegen'd expression (graft.plans.CharNgramHashes) instead of one
+    * interpreted lambda per character. Jaccard over these hash sets equals
+    * Jaccard over the string shingle sets (64-bit collisions ≈ never). */
+  def charShingleHashes(text: Column, n: Int): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.CharNgramHashes(
+        org.apache.spark.sql.graftbridge.expression(norm), n))
+  }
+
+  /** Densified one-permutation MinHash signature (k longs) of the
+    * normalized text, computed by one native codegen'd expression in the
+    * scan stage — the scale path for LSH banding (see
+    * graft.plans.MinHashSignature for the algorithm and why densification
+    * is required on short documents). */
+  def minhashSignatureNative(text: Column, n: Int, k: Int): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.MinHashSignature(
+        org.apache.spark.sql.graftbridge.expression(norm), n, k))
+  }
+
   /** Word n-gram shingles. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(lower(text))
@@ -106,8 +131,17 @@ package object functions {
     * (sdks/java/extensions/sketching) — same "small mergeable summary"
     * pattern, here for Jaccard similarity. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingles, sh => xxhash64(s, sh))))
+    minhashSignatureFromHashes(transform(shingles, sh => xxhash64(sh)), numHashes)
+
+  /** MinHash signature over PRE-HASHED shingles (a long array column).
+    * Separating the string hashing (once per shingle — materialize the
+    * hashed array as its own column) from the k seeded re-hashes makes the
+    * signature O(|sh|) string traversals + O(k·|sh|) 8-byte hashes instead
+    * of O(k·|sh|) string traversals — the difference between minutes and
+    * seconds per million documents. */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(s =>
+      aggregate(hashes, lit(Long.MaxValue), (m, h) => least(m, xxhash64(lit(s), h)))): _*)
 
   /** SimHash-64: per token, hash to 64 bits; sum +1/-1 per bit position over
     * all tokens; fingerprint bit i is set iff the sum is positive. Returns a

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Hex, OctetLength, SessionWindow, TimeWindow, Unhex}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Hex, Literal, OctetLength, SessionWindow, TimeWindow, Unhex}
 
 /** SparkSessionExtensions for the SQL front end (SURVEY.md §7.3):
   *
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(toHex)
     e.injectFunction(fromHex)
     e.injectFunction(lengthBytes)
+    e.injectFunction(charNgramHashes)
   }
 }
 
@@ -61,10 +62,19 @@ object GraftExtensions {
     info("length_bytes", "length_bytes(str) - byte length of UTF-8 encoding"),
     (args: Seq[Expression]) => OctetLength(args.head))
 
+  private val charNgramHashes = (FunctionIdentifier("char_ngram_hashes"),
+    info("char_ngram_hashes",
+      "char_ngram_hashes(str, n) - distinct xxhash64 values of the char n-grams"),
+    (args: Seq[Expression]) => CharNgramHashes(args(0), args(1) match {
+      case Literal(i: Int, _) => i
+      case other => throw new IllegalArgumentException(
+        s"char_ngram_hashes: n must be an integer literal, got $other")
+    }))
+
   /** Register the same functions on an already-built session (extensions
     * normally apply at builder time; this covers driver-provided sessions). */
   def install(spark: SparkSession): Unit =
-    Seq(tumble, hop, sessionFn, toHex, fromHex, lengthBytes).foreach {
+    Seq(tumble, hop, sessionFn, toHex, fromHex, lengthBytes, charNgramHashes).foreach {
       case (ident, inf, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }

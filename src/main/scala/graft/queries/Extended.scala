@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.{Combine, Sampling}
+import graft.cep.Pattern
+import graft.plans.GraftExtensions
+import graft.sources.Tables
+
+/** Wave-2 operator coverage: deterministic sampling (Sample.java),
+  * user-defined CombineFn aggregation (Combine.java:398 / UdafImpl),
+  * ORDER BY OFFSET/FETCH (BeamSortRel.java:98), the SQL front end
+  * (SqlTransform → spark.sql, incl. the tumble() windowing extension), and
+  * MATCH_RECOGNIZE row-pattern matching (BeamMatchRel.java:67).
+  */
+object Extended extends QueryModule {
+
+  // Sample.fixedSizeGlobally (transforms/Sample.java) — deterministic
+  // hash-ranked variant; TakeOrderedAndProject, no full sort at scale.
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    Sampling.fixedSizeGlobally(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+      n = 500, key = col("o_orderkey"))
+      .orderBy("o_orderkey")
+
+  private val q44Sql =
+    """SELECT o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  ORDER BY md5(o_orderkey::VARCHAR) LIMIT 500) t
+      |ORDER BY o_orderkey""".stripMargin
+
+  // User-defined CombineFn (createAccumulator/addInput/merge/extract)
+  // registered as a SQL aggregate: geometric mean of extended price.
+  // Catalyst lifts it to partial+final — only (sumLog, n) pairs shuffle.
+  private val geomean = Combine.combineFn[Double, (Double, Long), Double](
+    createAccumulator = () => (0.0, 0L),
+    addInput = (a, x) => (a._1 + math.log(x), a._2 + 1),
+    mergeAccumulators = (a, b) => (a._1 + b._1, a._2 + b._2),
+    extractOutput = a => if (a._2 == 0) 0.0 else math.exp(a._1 / a._2))(
+    Encoders.product[(Double, Long)], Encoders.scalaDouble)
+
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    Combine.register(s, "geomean", geomean)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("geomean(l_extendedprice)"), 2).as("geo_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q45Sql =
+    """SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 2) AS geo_price,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // Sample.fixedSizePerKey — per-key deterministic reservoir analog.
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    Sampling.fixedSizePerKey(
+      Tables.orders(s, dir).select(col("o_orderpriority"), col("o_orderkey")),
+      n = 5, keyCol = col("o_orderpriority"), idCol = col("o_orderkey"))
+      .orderBy("o_orderpriority", "o_orderkey")
+
+  private val q46Sql =
+    """SELECT o_orderpriority, o_orderkey FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY md5(o_orderkey::VARCHAR)) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 5 ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  // ORDER BY ... OFFSET/FETCH (BeamSortRel.java:98: LIMIT/OFFSET/FETCH).
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(10).limit(20)
+
+  private val q47Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""".stripMargin
+
+  // SQL front end + streaming-SQL windowing syntax: GROUP BY tumble(...)
+  // through our SparkSessionExtensions function (≙ the reference's
+  // GROUP BY TUMBLE(...) rewrite, BeamAggregationRule.java:121).
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    GraftExtensions.install(s)
+    s.sql(
+      """SELECT w.start AS win_start, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM (SELECT tumble(ts, '1 day') AS w, value FROM events)
+        |GROUP BY w ORDER BY win_start""".stripMargin)
+  }
+
+  private val q56Sql =
+    """SELECT make_timestamp((CAST(epoch(ts) AS BIGINT) // 86400) * 86400 * 1000000) AS win_start,
+      |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin
+
+  // SQL front end parity: the SAME SQL text runs on spark.sql and DuckDB
+  // (SqlTransform.query ≙ spark.sql; Calcite's planning job is Catalyst's).
+  private val q57Text =
+    """SELECT n_name,
+      |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS urgent_rev,
+      |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q57Text)
+  }
+
+  // MATCH_RECOGNIZE: PATTERN (click+ purchase) per user ordered by event
+  // time — emit each purchase reached through an uninterrupted click run,
+  // with the run length. Oracle: gaps-and-islands window SQL.
+  // not private: encoder codegen (SpecificSafeProjection) needs public access
+  final case class Ev(event_id: Long, user_id: Long, event_type: String, ts_us: Long)
+  final case class CepHit(user_id: Long, purchase_event_id: Long, n_clicks: Long)
+
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    implicit val evEnc = Encoders.product[Ev]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[CepHit]
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[Ev]
+    val pat = Seq(
+      Pattern.Sym[Ev]("c", _.event_type == "click", Pattern.Plus),
+      Pattern.Sym[Ev]("p", _.event_type == "purchase"))
+    Pattern.matchPattern(evs, (e: Ev) => e.user_id, (e: Ev) => (e.ts_us, e.event_id), pat) {
+      (user, m) =>
+        CepHit(user, m.measures("p").head.event_id, m.measures("c").length.toLong)
+    }.toDF().orderBy("user_id", "purchase_event_id")
+  }
+
+  private val q58Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |runs AS (
+      |  SELECT *, rn - 1 - coalesce(max(CASE WHEN event_type <> 'click' THEN rn END)
+      |    OVER (PARTITION BY user_id ORDER BY rn
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_clicks
+      |  FROM e)
+      |SELECT user_id, event_id AS purchase_event_id, CAST(n_clicks AS BIGINT) AS n_clicks
+      |FROM runs WHERE event_type = 'purchase' AND n_clicks >= 1
+      |ORDER BY user_id, purchase_event_id""".stripMargin
+
+  override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_sample_fixed_global" -> q44,
+    "q45_udaf_combinefn" -> q45,
+    "q46_sample_per_key" -> q46,
+    "q47_offset_fetch" -> q47,
+    "q56_sql_tumble" -> q56,
+    "q57_sql_frontend" -> q57,
+    "q58_cep_match_recognize" -> q58)
+
+  override val oracles: Map[String, String] = Map(
+    "q44_sample_fixed_global" -> q44Sql,
+    "q45_udaf_combinefn" -> q45Sql,
+    "q46_sample_per_key" -> q46Sql,
+    "q47_offset_fetch" -> q47Sql,
+    "q56_sql_tumble" -> q56Sql,
+    "q57_sql_frontend" -> q57Text,
+    "q58_cep_match_recognize" -> q58Sql)
+}

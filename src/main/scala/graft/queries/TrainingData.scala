@@ -40,10 +40,12 @@ object TrainingData extends QueryModule {
   // independent list-based construction.
   private def d61(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), charShingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), charShingleHashes(col("text"), 3).as("sh"))
     val probe = docs.filter(col("doc_id") === 0)
       .select(col("sh").as("probe_sh"))
     docs.crossJoin(broadcast(probe))
+      // size prefilter is implied by j > 0.4, so it only prunes work
+      .filter(Dedup.sizeCompatible(col("sh"), col("probe_sh"), 0.4))
       .withColumn("j", Dedup.jaccard(col("sh"), col("probe_sh")))
       .filter(col("j") > 0.4 && col("doc_id") =!= 0)
       .select(col("doc_id"), round(col("j"), 6).as("j"))
@@ -66,19 +68,20 @@ object TrainingData extends QueryModule {
       |      / len(list_distinct(list_concat(s, ps))) > 0.4
       |ORDER BY doc_id""".stripMargin
 
-  // MinHash + LSH near-dup pairs, exact-verified at threshold 0.7; the
-  // oracle is the brute-force all-pairs answer (LSH recall ≈ 1 by the
-  // banding math — see Dedup.minhashNearDups).
+  // MinHash + LSH near-dup pairs (5-gram shingles, densified
+  // one-permutation signatures, ≥2-band agreement), exact-verified at
+  // threshold 0.7; the oracle is the brute-force all-pairs answer (LSH
+  // recall ≈ 1 by the banding math — see Dedup.minhashNearDups).
   private def d62(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-      threshold = 0.7, shingleN = 3, numHashes = 150, bands = 50)
+      threshold = 0.7, shingleN = 5, numHashes = 200, bands = 50)
       .orderBy("id_a", "id_b")
 
   private val d62Sql =
     """WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) t
       |           FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(
-      |         generate_series(1, greatest(len(t) - 2, 1)), i -> t[i:i+2])) s
+      |         generate_series(1, greatest(len(t) - 4, 1)), i -> t[i:i+4])) s
       |       FROM d)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  round(len(list_intersect(a.s, b.s))::DOUBLE

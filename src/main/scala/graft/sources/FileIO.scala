@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+
+/** File IO (reference io/TextIO.java:185, io/FileIO.java, io/AvroIO.java,
+  * sdks/java/io/parquet ParquetIO.java, io/WriteFiles.java:122,
+  * io/CompressedSource.java) on Spark's native sources.
+  *
+  * The reference's file machinery — match/matchAll globs, compressed
+  * sources, temp-file-then-rename commit, sharded writes, dynamic
+  * destinations — all exists natively in Spark's FileFormat layer:
+  * glob paths on read, codec inference from extension, the
+  * FileOutputCommitter rename protocol, `repartition(n)` for shard
+  * control, `partitionBy` for dynamic destinations. These helpers pin
+  * that 1:1 mapping as API and document the scale contract.
+  */
+object FileIO {
+
+  // ---- readers (glob paths supported, ≙ FileIO.match/readMatches) ----
+
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path) // gz/bz2/zstd decompressed by extension (≙ CompressedSource)
+
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true,
+      inferSchema: Boolean = true): DataFrame =
+    spark.read.option("header", header).option("inferSchema", inferSchema).csv(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path) // JsonToRow with schema inference
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Streaming file watch (≙ TextIO.watchForNewFiles / Watch.growthOf):
+    * Spark's file stream source natively polls for new files. */
+  def watchText(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir)
+
+  // ---- writers ----
+
+  /** WriteFiles with explicit sharding (io/WriteFiles.java:229
+    * withNumShards): one output file per shard, temp-file-then-rename
+    * commit via the file output committer. */
+  def writeSharded(df: DataFrame, path: String, format: String, shards: Int): Unit =
+    df.repartition(shards).write.format(format).mode("overwrite").save(path)
+
+  /** FileIO.writeDynamic (dynamic destinations by partition column):
+    * `partitionBy` routes rows to per-value directories; at scale add the
+    * partition columns to a `repartition` first so each task writes few
+    * files (small-files control). */
+  def writeDynamic(df: DataFrame, path: String, format: String,
+      partitionCols: Seq[String], maxRecordsPerFile: Long = 0L): Unit = {
+    val w: DataFrameWriter[Row] = df.write.format(format)
+      .partitionBy(partitionCols: _*).mode("overwrite")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).save(path)
+  }
+}
