@@ -139,7 +139,7 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val fp = df.select(col(idCol).as("id"),
-      simhash64(tokens(lower(col(textCol)))).as("fp"))
+      simhash64(lower(col(textCol))).as("fp"))
     val banded = fp.select(col("id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL))))
@@ -162,7 +162,7 @@ object Dedup {
       threshold: Double = 0.95, nBits: Int = 16): DataFrame = {
     val sig = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("sig", hyperplaneSignature(col("v"), nBits))
+      .withColumn("sig", element_at(hyperplaneSignatures(col("v"), nBits, 1), 1))
     val a = sig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val b = sig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, "sig")

@@ -143,23 +143,14 @@ package object functions {
     array((0 until numHashes).map(s =>
       aggregate(hashes, lit(Long.MaxValue), (m, h) => least(m, xxhash64(lit(s), h)))): _*)
 
-  /** SimHash-64: per token, hash to 64 bits; sum +1/-1 per bit position over
-    * all tokens; fingerprint bit i is set iff the sum is positive. Returns a
-    * LongType fingerprint. Hamming-near fingerprints ⇔ similar documents. */
-  def simhash64(toks: Column): Column = {
-    val counts = aggregate(
-      toks,
-      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L)))
-      })
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (a, b) => a.bitwiseOR(b))
-  }
+  /** SimHash-64: per whitespace token, hash to 64 bits; sum +1/-1 per bit
+    * position over all tokens; fingerprint bit i is set iff the sum is
+    * positive. Hamming-near fingerprints ⇔ similar documents. Native
+    * codegen'd kernel (graft.plans.SimHash64) — tokenization and voting in
+    * one pass over the string's bytes. */
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.SimHash64(org.apache.spark.sql.graftbridge.expression(text)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -241,20 +232,13 @@ package object functions {
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
-  /** Sign bit of the projection onto a fixed pseudo-random hyperplane
-    * (deterministic from `seed`): building block for LSH over cosine
-    * distance. The hyperplane components are derived per-dimension from
-    * xxhash64(seed, dim) mapped to [-1, 1]. */
-  def hyperplaneBit(vec: Column, seed: Int): Column = {
-    val proj = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (v, i) => v * (xxhash64(lit(seed), i).cast("double") / lit(Long.MaxValue.toDouble))),
-      lit(0.0), (a, b) => a + b)
-    when(proj >= 0, lit(1L)).otherwise(lit(0L))
-  }
-
-  /** `nBits`-bit signature for cosine LSH bucketing. */
-  def hyperplaneSignature(vec: Column, nBits: Int): Column =
-    (0 until nBits).map(s => shiftleft(hyperplaneBit(vec, s), s))
-      .reduce((a, b) => a.bitwiseOR(b))
+  /** Multi-table random-hyperplane LSH signatures for cosine distance:
+    * array of `tables` signatures, each `nBits` sign bits of projections
+    * onto deterministic pseudo-random hyperplanes. Native codegen'd kernel
+    * (graft.plans.HyperplaneSignatures): one pass per plane, no per-bit
+    * interpreted array traversals. */
+  def hyperplaneSignatures(vec: Column, nBits: Int, tables: Int): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.HyperplaneSignatures(
+        org.apache.spark.sql.graftbridge.expression(vec), nBits, tables))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: distinct xxhash64 values of all character
@@ -123,6 +123,136 @@ object MinHashSignature {
       j += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** Native SimHash-64 over whitespace tokens: hash each token to 64 bits,
+  * vote +1/−1 per bit position, fingerprint bit i set iff the vote is
+  * positive (Charikar STOC'02). One codegen'd call per row — the
+  * declarative formulation (aggregate + zip_with over 64 positions per
+  * token) costs 64 interpreted lambda evaluations per token. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  private final val Seed = 42L
+
+  def compute(s: UTF8String): Long = {
+    val bytes = s.numBytes()
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < bytes) {
+      // skip whitespace runs (space/tab/newline/CR)
+      while (i < bytes && isWs(s.getByte(i))) i += 1
+      val start = i
+      while (i < bytes && !isWs(s.getByte(i))) i += 1
+      if (i > start) {
+        val h = XXH64.hashUnsafeBytes(base, offset + start, i - start, Seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r'
+}
+
+/** Native multi-table random-hyperplane LSH signatures for cosine ANN:
+  * returns `tables` signatures, each `nBits` sign bits of projections onto
+  * pseudo-random hyperplanes (Charikar STOC'02). Weights are derived
+  * per (plane, dimension) from xxhash64 — deterministic, no stored model.
+  * One pass over the vector per plane inside codegen; the declarative
+  * per-bit aggregate formulation pays tables×nBits interpreted array
+  * traversals per row. */
+case class HyperplaneSignatures(child: Expression, nBits: Int, tables: Int)
+    extends UnaryExpression {
+
+  require(nBits > 0 && nBits <= 63 && tables > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == DoubleType || t == FloatType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_signatures requires array<double|float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_signatures"
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneSignatures.compute(input.asInstanceOf[ArrayData], nBits, tables, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.HyperplaneSignatures.compute($c, $nBits, $tables, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatures =
+    copy(child = newChild)
+}
+
+object HyperplaneSignatures {
+  def compute(vec: ArrayData, nBits: Int, tables: Int, isFloat: Boolean): ArrayData = {
+    val d = vec.numElements()
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    val sigs = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < nBits) {
+        val plane = t * nBits + b
+        var proj = 0.0
+        var j = 0
+        while (j < d) {
+          // deterministic weight in [-1, 1] from (plane, dim)
+          val w = XXH64.hashLong(j.toLong, plane.toLong).toDouble / Long.MaxValue.toDouble
+          proj += v(j) * w
+          j += 1
+        }
+        if (proj >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new GenericArrayData(sigs)
   }
 }
 

@@ -79,6 +79,45 @@ object Extended extends QueryModule {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""".stripMargin
 
+  // Re-aggregatable HLL sketches (HllCount.Init/MergePartial/Extract,
+  // extensions/zetasketch HllCount.java:87): per-chunk sketches built
+  // independently, merged with hll_union_agg, then estimated — the
+  // mergeability contract that lets 1000 executors sketch shards and
+  // combine. At verify scale the DataSketches HLL is in exact (sparse)
+  // mode, so the estimate equals exact COUNT DISTINCT.
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .withColumn("chunk", pmod(col("s_suppkey"), lit(4)))
+      .groupBy(col("s_nationkey"), col("chunk"))
+      .agg(hll_sketch_agg(col("s_suppkey")).as("sk"))
+      .groupBy(col("s_nationkey"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_distinct"))
+      .orderBy("s_nationkey")
+
+  private val q48Sql =
+    """SELECT s_nationkey, CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_distinct
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  // Count-min frequency sketch (extensions/sketching SketchFrequencies):
+  // one pass builds the sketch; point queries read it. Width 1/eps is
+  // far above the key cardinality here, so estimates are collision-free
+  // and match exact counts.
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sk = ev.agg(count_min_sketch(col("event_type"), lit(0.0001), lit(0.99), lit(42)).as("sk"))
+    val estimate = udf((bytes: Array[Byte], key: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(key))
+    ev.select(col("event_type")).distinct()
+      .crossJoin(sk)
+      .select(col("event_type"), estimate(col("sk"), col("event_type")).as("est_count"))
+      .orderBy("event_type")
+  }
+
+  private val q49Sql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS est_count
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // SQL front end + streaming-SQL windowing syntax: GROUP BY tumble(...)
   // through our SparkSessionExtensions function (≙ the reference's
   // GROUP BY TUMBLE(...) rewrite, BeamAggregationRule.java:121).
@@ -159,6 +198,8 @@ object Extended extends QueryModule {
     "q45_udaf_combinefn" -> q45,
     "q46_sample_per_key" -> q46,
     "q47_offset_fetch" -> q47,
+    "q48_hll_mergeable_sketch" -> q48,
+    "q49_count_min_sketch" -> q49,
     "q56_sql_tumble" -> q56,
     "q57_sql_frontend" -> q57,
     "q58_cep_match_recognize" -> q58)
@@ -168,6 +209,8 @@ object Extended extends QueryModule {
     "q45_udaf_combinefn" -> q45Sql,
     "q46_sample_per_key" -> q46Sql,
     "q47_offset_fetch" -> q47Sql,
+    "q48_hll_mergeable_sketch" -> q48Sql,
+    "q49_count_min_sketch" -> q49Sql,
     "q56_sql_tumble" -> q56Sql,
     "q57_sql_frontend" -> q57Text,
     "q58_cep_match_recognize" -> q58Sql)

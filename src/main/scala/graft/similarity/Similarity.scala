@@ -41,17 +41,14 @@ object Similarity {
 
   /** Multi-table hyperplane signatures: one row per (table, vector) with
     * the table's `nBits`-bit signature; table t uses hyperplanes seeded
-    * from t*nBits onward, so tables are independent. */
+    * from t*nBits onward, so tables are independent. All tables' bits are
+    * computed in ONE native codegen'd pass over the vector
+    * (graft.plans.HyperplaneSignatures). */
   private def signatures(df: DataFrame, idName: String, vecName: String,
-      nBits: Int, tables: Int): DataFrame = {
-    val sigCols = (0 until tables).map { t =>
-      (0 until nBits).map(b => shiftleft(hyperplaneBit(col(vecName), t * nBits + b), b))
-        .reduce((a, b) => a.bitwiseOR(b))
-    }
+      nBits: Int, tables: Int): DataFrame =
     df.select(col(idName), col(vecName),
-      posexplode(array(sigCols: _*)))
+      posexplode(hyperplaneSignatures(col(vecName), nBits, tables)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
-  }
 
   /** Approximate top-k via standard multi-table LSH: `tables` independent
     * `nBits`-bit signature tables; a corpus vector is a candidate if it

@@ -106,6 +106,81 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches a stream against a dimension (side-input join)") {
+    // reference: BeamSideInputJoinRel.java:69 — unbounded main input joined
+    // against a bounded side; Spark broadcasts the static side per batch
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val joined = input.toDF().toDF("uid", "amount")
+      .join(dim, Seq("uid"), "left_outer")
+      .select(col("uid"), col("amount"), coalesce(col("tier"), lit("none")).as("tier"))
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (3L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").as[(Long, Double, String)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, 10.0, "gold"), (3L, 5.0, "none")))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join with watermarks") {
+    // reference: CoGroupByKey on two unbounded inputs within a window —
+    // Spark's watermarked stream-stream join bounds both buffers
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("uid", "click_time").withWatermark("click_time", "1 minute")
+    val v = views.toDF().toDF("vuid", "view_time").withWatermark("view_time", "1 minute")
+    val joined = c.join(v,
+      col("uid") === col("vuid") &&
+        col("click_time") >= col("view_time") &&
+        col("click_time") <= col("view_time") + expr("INTERVAL 2 MINUTES"))
+      .select(col("uid"), col("click_time"), col("view_time"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      views.addData((7L, ts("2024-01-01 00:01:00")))
+      clicks.addData((7L, ts("2024-01-01 00:02:00"))) // within 2 min after view
+      clicks.addData((7L, ts("2024-01-01 00:09:00"))) // outside the interval
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").as[(Long, Timestamp, Timestamp)].collect()
+      assert(rows.toSeq == Seq((7L, ts("2024-01-01 00:02:00"), ts("2024-01-01 00:01:00"))))
+    } finally q.stop()
+  }
+
+  test("rate source ticks (GenerateSequence/PeriodicImpulse analog)") {
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+      .writeStream.format("memory").queryName("ticks").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("ticks").isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(!spark.table("ticks").isEmpty, "rate source produced no rows")
+      assert(spark.table("ticks").columns.toSet == Set("timestamp", "value"))
+    } finally q.stop()
+  }
+
+  test("file watch source streams new files into a file sink (TextIO.watchForNewFiles → WriteFiles)") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft-watch-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-watch-out").resolve("out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-watch-ckpt").toString
+    val q = graft.sources.FileIO.watchText(spark, inDir)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, "a.txt"), "alpha\nbeta\n")
+      q.processAllAvailable()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, "b.txt"), "gamma\n") // a NEW file is picked up
+      q.processAllAvailable()
+      val vals = spark.read.parquet(outDir).as[String].collect().toSet
+      assert(vals == Set("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("windows DSL assigns identical structs on batch frames") {
     val df = Seq(ts("2024-01-01 00:00:30")).toDF("event_time")
     val fixed = Windows.windowed(df, Windows.Fixed("1 minute"), col("event_time"))
