@@ -38,7 +38,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Nexmark SMOKE analog: 100k generated events (BASELINE.md's config),
+    // reported as events/sec per query for direct baseline comparison
+    val nexmarkEvents = sys.env.getOrElse("SPARK_GRAFT_NEXMARK_EVENTS", "100000").toLong
+    val nexmark = graft.queries.Nexmark.all.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(spark, nexmarkEvents).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] nexmark $name: $e") }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> math.round(nexmarkEvents / sec).toDouble
+    }
+    val nx = nexmark.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"nexmark_events_per_sec":$nx,"nexmark_num_events":$nexmarkEvents,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
