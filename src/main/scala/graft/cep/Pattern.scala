@@ -21,7 +21,7 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * matcher runs inside graft.streaming.Stateful with the event buffer as
   * state, flushed on watermark.
   */
-object Pattern {
+object Pattern extends Serializable {
 
   /** Greedy quantifiers: A, A+, A*, A? . */
   sealed trait Quant
@@ -43,7 +43,14 @@ object Pattern {
 
   /** Match one key's ordered event sequence against the pattern.
     * Greedy with backtracking; non-overlapping (skip past last row). */
-  def matchAll[E](events: IndexedSeq[E], pattern: IndexedSeq[Sym[E]]): Seq[Match[E]] = {
+  def matchAll[E](events: IndexedSeq[E], pattern: IndexedSeq[Sym[E]]): Seq[Match[E]] =
+    matchScan(events, pattern)._1
+
+  /** As matchAll, additionally returning the indices of events NOT
+    * consumed by any match (needed by the streaming matcher to retain
+    * events that may yet participate when later input arrives). */
+  def matchScan[E](events: IndexedSeq[E],
+      pattern: IndexedSeq[Sym[E]]): (Seq[Match[E]], Seq[Int]) = {
     val n = events.length
 
     // Try to match the full pattern starting at event index `start`;
@@ -77,15 +84,16 @@ object Pattern {
     }
 
     val out = Seq.newBuilder[Match[E]]
+    val unconsumed = Seq.newBuilder[Int]
     var i = 0
     while (i < n) {
       tryFrom(i) match {
         case Some((end, binds)) if end > i => // non-empty match: skip past it
           out += Match(binds.toIndexedSeq); i = end
-        case _ => i += 1 // no match (or zero-width): advance one event
+        case _ => unconsumed += i; i += 1 // no match (or zero-width): advance
       }
     }
-    out.result()
+    (out.result(), unconsumed.result())
   }
 
   /** Distributed MATCH_RECOGNIZE: partition by `key`, order by `order`,
@@ -97,4 +105,51 @@ object Pattern {
       val evs = it.toIndexedSeq.sortBy(order)
       matchAll(evs, pattern.toIndexedSeq).iterator.map(m => emit(k, m))
     }
+
+  /** STREAMING MATCH_RECOGNIZE: per-key pattern matching on an unbounded
+    * stream (the reference's BeamMatchRel on unbounded input, NFA state
+    * kept per key — here the event buffer lives in `GroupState` and
+    * matching is gated on the event-time watermark).
+    *
+    * Semantics: events buffer per key; whenever the watermark advances,
+    * the pattern is matched over the time-ordered prefix of buffered
+    * events at or before the watermark (the "mature" prefix — late
+    * arrivals below the watermark are already impossible, so matches over
+    * it are final). Consumed events leave the buffer (skip past last
+    * row); unconsumed mature events are retained — they may yet start a
+    * match together with future input. A trailing greedy repetition
+    * finalizes at the watermark rather than waiting unboundedly
+    * (documented divergence from an offline scan).
+    *
+    * The input must carry a watermark (withWatermark upstream). At scale:
+    * state per key = pending events only; the shuffle is the same hash
+    * exchange as any keyed stateful op.
+    */
+  def matchStream[E, K, O](
+      ds: Dataset[E], key: E => K, tsMillis: E => Long,
+      pattern: Seq[Sym[E]])(emit: (K, Match[E]) => O)(
+      implicit kEnc: Encoder[K], oEnc: Encoder[O],
+      bufEnc: Encoder[Seq[E]]): Dataset[O] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val pat = pattern.toIndexedSeq
+    def advance(k: K, it: Iterator[E], state: GroupState[Seq[E]]): Iterator[O] = {
+      val buf = state.getOption.getOrElse(Seq.empty) ++ it
+      val wm = state.getCurrentWatermarkMs()
+      val (mature, immature) = buf.partition(e => tsMillis(e) <= wm)
+      val sorted = mature.sortBy(tsMillis).toIndexedSeq
+      val (matches, unconsumedIdx) = matchScan(sorted, pat)
+      val retained = unconsumedIdx.map(sorted) ++ immature
+      if (retained.isEmpty) state.remove()
+      else {
+        state.update(retained)
+        // wake when the watermark passes the earliest pending event
+        val next = retained.map(tsMillis).min
+        state.setTimeoutTimestamp(math.max(next, wm + 1))
+      }
+      matches.iterator.map(m => emit(k, m))
+    }
+    ds.groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(advance)
+  }
 }

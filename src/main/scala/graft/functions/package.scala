@@ -53,13 +53,21 @@ package object functions {
   /** Token count via the whitespace tokenizer. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** One-pass native text statistics struct (graft.plans.TextStats):
+    * token/stopword/punctuation/marker counts for the feature extractors
+    * below — one code-point walk per document instead of a chain of
+    * interpreted split/filter/aggregate lambdas. */
+  def textStats(text: Column): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.TextStats(org.apache.spark.sql.graftbridge.expression(text)))
+
   /** BPE-ish subword count estimate: words + punctuation marks counted
     * separately (a regex proxy for byte-pair tokenizers: every run of
     * letters/digits is ~1.3 tokens, every punct char is 1). */
   def tokenCountBpe(text: Column): Column = {
-    val words = size(filter(split(text, "[^A-Za-z0-9]+"), c => c =!= ""))
-    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]+", ""))
-    floor(words.cast("double") * lit(1.3) + punct.cast("double")).cast("long")
+    val st = textStats(text)
+    floor(st("n_alnum_runs").cast("double") * lit(1.3) +
+      st("n_punct").cast("double")).cast("long")
   }
 
   /** Character n-gram shingles of the normalized text (lowercase, collapsed

@@ -193,6 +193,39 @@ object Extended extends QueryModule {
       |FROM runs WHERE event_type = 'purchase' AND n_clicks >= 1
       |ORDER BY user_id, purchase_event_id""".stripMargin
 
+  // Arbitrary merging windows (WindowFn.mergeWindows): each event claims
+  // [ts, ts+30min); overlapping/touching claims merge per user into
+  // maximal windows — the oracle rebuilds the islands independently.
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+    graft.streaming.Windows.mergeIntervals(ev, Seq("user_id"), "w_start", "w_end")
+      .groupBy(col("user_id"), col("merged_start"), col("merged_end"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id", "merged_start")
+  }
+
+  private val q59Sql =
+    """WITH iv AS (
+      |  SELECT user_id, ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end
+      |  FROM events),
+      |marked AS (
+      |  SELECT *, CASE WHEN max(w_end) OVER (PARTITION BY user_id ORDER BY w_start, w_end
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |    OR w_start > max(w_end) OVER (PARTITION BY user_id ORDER BY w_start, w_end
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM iv),
+      |islands AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY w_start, w_end
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS window_id
+      |  FROM marked)
+      |SELECT user_id, min(w_start) AS merged_start, max(w_end) AS merged_end,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM islands GROUP BY user_id, window_id
+      |ORDER BY user_id, merged_start""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_sample_fixed_global" -> q44,
     "q45_udaf_combinefn" -> q45,
@@ -202,7 +235,8 @@ object Extended extends QueryModule {
     "q49_count_min_sketch" -> q49,
     "q56_sql_tumble" -> q56,
     "q57_sql_frontend" -> q57,
-    "q58_cep_match_recognize" -> q58)
+    "q58_cep_match_recognize" -> q58,
+    "q59_merging_windows" -> q59)
 
   override val oracles: Map[String, String] = Map(
     "q44_sample_fixed_global" -> q44Sql,
@@ -213,5 +247,6 @@ object Extended extends QueryModule {
     "q49_count_min_sketch" -> q49Sql,
     "q56_sql_tumble" -> q56Sql,
     "q57_sql_frontend" -> q57Text,
-    "q58_cep_match_recognize" -> q58Sql)
+    "q58_cep_match_recognize" -> q58Sql,
+    "q59_merging_windows" -> q59Sql)
 }

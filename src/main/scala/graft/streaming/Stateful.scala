@@ -106,6 +106,34 @@ object Stateful {
       onTimer = (_, _, _) => (None, Seq.empty)) // TTL expired: clear state
   }
 
+  /** Count-based early firing (trigger subset: AfterPane.elementCountAtLeast
+    * composed under Repeatedly, ACCUMULATING mode — transforms/windowing/
+    * AfterPane.java): emits a pane with the RUNNING aggregate every
+    * `every` elements per key, labeled with a pane index (≙ PaneInfo's
+    * pane index for speculative EARLY panes). Downstream consumers read
+    * the latest pane per key; the final on-watermark pane is the ordinary
+    * windowed aggregation this runs alongside. */
+  def countTriggered[K, V, A](ds: Dataset[(K, V)], zero: A, add: (A, V) => A,
+      every: Int)(implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
+      sEnc: Encoder[Cells[(A, Int, Long)]]): Dataset[(K, A, Long)] =
+    statefulParDo[K, V, (A, Int, Long), (K, A, Long)](
+      ds, zero = (zero, 0, 0L),
+      onElements = (k, elems, cells) => {
+        var (acc, sinceEmit, pane) = cells.value
+        val out = Seq.newBuilder[(K, A, Long)]
+        elems.foreach { v =>
+          acc = add(acc, v)
+          sinceEmit += 1
+          if (sinceEmit >= every) {
+            out += ((k, acc, pane))
+            pane += 1
+            sinceEmit = 0
+          }
+        }
+        (Some(Cells((acc, sinceEmit, pane), Timers.empty)), out.result())
+      },
+      onTimer = (_, _, _) => (None, Seq.empty))
+
   /** GroupIntoBatches (transforms/GroupIntoBatches.java:59): per-key
     * batches of `batchSize`, flushed early after `maxWaitMs` of
     * inactivity (the flush timer is the reference's buffering timer). */

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing strategy (SURVEY.md §2.9): the reference's
@@ -75,4 +76,30 @@ object Windows {
   /** AccumulationMode → output mode (values/WindowingStrategy.java:57). */
   def outputModeFor(accumulating: Boolean): String =
     if (accumulating) "update" else "append"
+
+  /** Arbitrary MERGING windows (the general WindowFn.mergeWindows
+    * contract — windowing/WindowFn.java, MergeOverlappingIntervalWindows
+    * .java): given per-row [start, end) intervals, merge overlapping or
+    * touching intervals per key into maximal windows. Sessions is the
+    * special case interval = [ts, ts+gap); any custom merging WindowFn
+    * reduces to this after its per-element assignment.
+    *
+    * Distributed as gaps-and-islands: one shuffle on the key, a running
+    * max of interval-end detects island starts, a running sum numbers
+    * them. Adds `merged_start`/`merged_end`/`window_id` columns. */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    val byKey = W.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val prevMaxEnd = max(col(endCol))
+      .over(byKey.rowsBetween(W.unboundedPreceding, -1))
+    val isNew = when(prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1).otherwise(0)
+    val withId = df
+      .withColumn("window_id",
+        sum(isNew).over(byKey.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val bounds = W.partitionBy((keyCols.map(col) :+ col("window_id")): _*)
+    withId
+      .withColumn("merged_start", min(col(startCol)).over(bounds))
+      .withColumn("merged_end", max(col(endCol)).over(bounds))
+  }
 }

@@ -10,17 +10,40 @@ import graft.functions._
   * computed in the scan stage of a 100 TB read with zero shuffles. */
 object TextAnalysis {
 
-  /** Append the standard text-feature columns to `df`. */
+  /** Append the standard text-feature columns to `df`. All ratio/score/
+    * language features derive from ONE native text-statistics pass
+    * (graft.plans.TextStats) — the struct column is computed once per row
+    * and every feature is arithmetic over its fields. Formulas match the
+    * declarative versions in graft.functions exactly (DuckDB-oracle-
+    * checked). */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
-      .withColumn("n_tokens_bpe", tokenCountBpe(t))
-      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
-      .withColumn("punct_ratio", round(punctRatio(t), 6))
-      .withColumn("mean_token_len", round(meanTokenLen(t), 6))
-      .withColumn("quality", qualityScore(t))
-      .withColumn("lang_pred", langId(t))
-      .withColumn("fingerprint", fingerprint64(t))
+    val d = df.withColumn("__ts", textStats(col(textCol)))
+    val nTok = col("__ts.n_tokens")
+    val swRaw = when(nTok === 0, 0.0)
+      .otherwise(col("__ts.n_stopwords").cast("double") / nTok)
+    val punctRaw = when(col("__ts.n_nonws") === 0, 0.0)
+      .otherwise(col("__ts.n_punct").cast("double") / col("__ts.n_nonws"))
+    val meanLen = when(nTok === 0, 0.0)
+      .otherwise(col("__ts.sum_token_len").cast("double") / nTok)
+    val lenScore = least(col("__ts.text_len").cast("double") / 200.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRaw * 4.0, lit(1.0))
+    val swScore = least(swRaw * 4.0, lit(1.0))
+    val scored = Seq("de", "en", "es", "fr", "it").map(l => l -> col(s"__ts.m_$l"))
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val lang = scored.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s > 0 && s === best, lit(l)).otherwise(els)
+    }
+    d.withColumn("n_tokens", nTok)
+      .withColumn("n_tokens_bpe",
+        floor(col("__ts.n_alnum_runs").cast("double") * 1.3 +
+          col("__ts.n_punct").cast("double")).cast("long"))
+      .withColumn("stopword_ratio", round(swRaw, 6))
+      .withColumn("punct_ratio", round(punctRaw, 6))
+      .withColumn("mean_token_len", round(meanLen, 6))
+      .withColumn("quality", round((lenScore + punctScore + swScore) / 3.0, 6))
+      .withColumn("lang_pred", lang)
+      .withColumn("fingerprint", fingerprint64(col(textCol)))
+      .drop("__ts")
   }
 
   /** Quality filter: the keep/drop decision a curation pipeline applies

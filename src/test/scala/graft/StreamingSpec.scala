@@ -181,6 +181,54 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming MATCH_RECOGNIZE finalizes matches at the watermark") {
+    implicit val ctx = spark.sqlContext
+    import graft.cep.Pattern
+    val input = MemoryStream[(String, Timestamp, String)]
+    val evs = input.toDS().toDF("k", "event_time", "sym")
+      .withWatermark("event_time", "5 seconds")
+      .as[(String, Timestamp, String)]
+    val pat = Seq(
+      Pattern.Sym[(String, Timestamp, String)]("a", _._3 == "a"),
+      Pattern.Sym[(String, Timestamp, String)]("b", _._3 == "b"))
+    val out = Pattern.matchStream(evs,
+      (e: (String, Timestamp, String)) => e._1,
+      (e: (String, Timestamp, String)) => e._2.getTime, pat) { (k, m) =>
+      (k, m.events.head._2.getTime)
+    }
+    val q = out.writeStream.format("memory").queryName("cepstream")
+      .outputMode("append").start()
+    try {
+      input.addData(("u", ts("2024-01-01 00:00:01"), "a"),
+        ("u", ts("2024-01-01 00:00:02"), "b"),
+        ("u", ts("2024-01-01 00:00:03"), "c"))
+      q.processAllAvailable() // watermark still behind: nothing final yet
+      input.addData(("u", ts("2024-01-01 00:01:00"), "x")) // advance watermark
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("cepstream").as[(String, Long)].collect()
+      assert(rows.toSeq == Seq(("u", ts("2024-01-01 00:00:01").getTime)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("count-triggered early firing emits running panes every N elements") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val panes = Stateful.countTriggered[String, Int, Long](
+      input.toDS(), zero = 0L, add = (a, v) => a + v, every = 2)
+    val q = panes.toDF("k", "running_sum", "pane")
+      .writeStream.format("memory").queryName("panes")
+      .outputMode("append").trigger(Trigger.ProcessingTime(200)).start()
+    try {
+      input.addData(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5))
+      awaitRows("panes", 2)
+      val rows = spark.table("panes").as[(String, Long, Long)].collect().sortBy(_._3)
+      // accumulating panes: pane 0 after 2 elements (sum 3), pane 1 after 4 (sum 10)
+      assert(rows.toSeq == Seq(("a", 3L, 0L), ("a", 10L, 1L)))
+    } finally q.stop()
+  }
+
   test("windows DSL assigns identical structs on batch frames") {
     val df = Seq(ts("2024-01-01 00:00:30")).toDF("event_time")
     val fixed = Windows.windowed(df, Windows.Fixed("1 minute"), col("event_time"))
