@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.api.Scale
+import graft.queries.{Relational, TrainingData}
+
+/** Physical-plan contracts for the 100 TB design claims: filters reach
+  * the parquet scan, projections prune the read schema, dimension joins
+  * broadcast, bucketed joins need no exchange, and the hot paths stay in
+  * whole-stage codegen. A plan regression here is a scale regression the
+  * row-level oracles cannot see. */
+class PlanSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val plan = physicalPlan(Relational.entries("q01_agg_pushdown")(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("q01: read schema is pruned to the referenced columns") {
+    val df = Relational.entries("q01_agg_pushdown")(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString()
+    // 6 referenced columns of lineitem's 16 — the scan must not read more
+    assert(scan.contains("ReadSchema"), scan)
+    val readSchema = scan.split("ReadSchema:")(1)
+    assert(!readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q04: dimension join is a broadcast hash join (no fact shuffle)") {
+    val plan = physicalPlan(Relational.entries("q04_broadcast_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q01: aggregation is partial+final (combiner lifting)") {
+    val plan = physicalPlan(Relational.entries("q01_agg_pushdown")(spark, sf))
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("q34-style global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .orderBy(col("o_totalprice").desc).limit(10)
+    val plan = physicalPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("scan-heavy query stays inside whole-stage codegen") {
+    val df = Relational.entries("q02_filter_global_agg")(spark, sf)
+    df.collect() // materialize the AQE final plan
+    val plan = physicalPlan(df) // "*(n)" marks whole-stage codegen stages
+    assert(plan.contains("*("), plan)
+  }
+
+  test("minhash banding plan has no per-document shuffle before banding") {
+    // the signature is computed in the scan stage: the first exchange in
+    // the plan must be the (band, band_hash) aggregate, not a per-doc one
+    val df = TrainingData.entries("d62_minhash_lsh_neardups")(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("minhash_signature") || plan.contains("MinHashSignature"),
+      "native signature expression missing from plan:\n" + plan.take(2000))
+  }
+
+  test("bucketed tables join without any exchange") {
+    val a = spark.range(1000).select(col("id"), (col("id") * 2).as("va"))
+    val b = spark.range(1000).select(col("id"), (col("id") * 3).as("vb"))
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the planner must choose SMJ — at real scale
+      // both sides are too big to broadcast, which is bucketing's use case
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Scale.writeBucketed(a, "bk_a", "id", 4)
+      Scale.writeBucketed(b, "bk_b", "id", 4)
+      val joined = spark.table("bk_a").join(spark.table("bk_b"), "id")
+      val plan = physicalPlan(joined)
+      assert(!plan.contains("Exchange"), s"bucketed join should be exchange-free:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_a")
+      spark.sql("DROP TABLE IF EXISTS bk_b")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val df = spark.range(10000)
+      .select((col("id") % 3).as("k"), col("id").as("v"))
+    val direct = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    val salted = Scale.saltedAgg(df, Seq("k"), fanout = 8,
+      partials = Seq("s" -> sum(col("v")), "n" -> count(lit(1))),
+      combines = Seq("s" -> sum(col("s")), "n" -> sum(col("n"))))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("salted join equals plain join on a skewed fact") {
+    val fact = spark.range(5000).select(
+      when(col("id") % 10 < 9, 1L).otherwise(col("id") % 3).as("k"), // 90% key 1
+      col("id").as("v"))
+    val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("dk", "label")
+    val plain = fact.join(dim, fact("k") === dim("dk"))
+      .groupBy("label").count().as[(String, Long)].collect().toSet
+    val salted = Scale.saltedJoin(fact, dim, "k", "dk", fanout = 4)
+      .groupBy("label").count().as[(String, Long)].collect().toSet
+    assert(salted == plain)
+  }
+}
