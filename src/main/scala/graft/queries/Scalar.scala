@@ -299,7 +299,33 @@ object Scalar extends QueryModule {
       |      FROM documents WHERE doc_id < 50) t
       |GROUP BY tok ORDER BY tok""".stripMargin
 
+  // INITCAP / OVERLAY / TRANSLATE / REPEAT / interval arithmetic /
+  // FLOOR-to-quarter (BeamSqlDslSqlStdOperatorsTest :701-710, :1089;
+  // DuckDB lacks initcap/overlay, so the oracle emulates them).
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"),
+        initcap(translate(lower(col("o_orderpriority")), "-", " ")).as("pri_initcap"),
+        overlay(col("o_orderpriority"), lit("XX"), lit(2), lit(3)).as("pri_overlay"),
+        repeat(substring(col("o_orderstatus"), 1, 1), 3).as("status_rep"),
+        (col("o_orderdate") + expr("INTERVAL 2 MONTHS")).as("plus_2m"),
+        date_trunc("quarter", col("o_orderdate")).as("qtr_start"))
+      .orderBy("o_orderkey")
+
+  private val q19Sql =
+    """SELECT o_orderkey,
+      |  array_to_string(list_transform(
+      |    string_split(replace(lower(o_orderpriority), '-', ' '), ' '),
+      |    w -> CASE WHEN len(w) = 0 THEN w
+      |         ELSE upper(w[1:1]) || lower(w[2:]) END), ' ') AS pri_initcap,
+      |  substr(o_orderpriority, 1, 1) || 'XX' || substr(o_orderpriority, 5) AS pri_overlay,
+      |  repeat(substr(o_orderstatus, 1, 1), 3) AS status_rep,
+      |  o_orderdate + INTERVAL 2 MONTH AS plus_2m,
+      |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr_start
+      |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_string_edit_funcs" -> q19,
     "q20_string_funcs" -> q20,
     "q21_hash_hex_funcs" -> q21,
     "q22_math_funcs" -> q22,
@@ -312,6 +338,7 @@ object Scalar extends QueryModule {
     "q29_unnest_explode" -> q29)
 
   override val oracles: Map[String, String] = Map(
+    "q19_string_edit_funcs" -> q19Sql,
     "q20_string_funcs" -> q20Sql,
     "q21_hash_hex_funcs" -> q21Sql,
     "q22_math_funcs" -> q22Sql,

@@ -229,6 +229,26 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink sequences per-batch side effects (Wait.on / custom sinks)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Int]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Int], id: Long) =>
+        seen.add((id, batch.count())) // runs exactly once per micro-batch, in order
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      input.addData(1, 2, 3)
+      q.processAllAvailable()
+      input.addData(4)
+      q.processAllAvailable()
+      val batches = seen.toArray(Array.empty[(Long, Long)]).toSeq
+      assert(batches == Seq((0L, 3L), (1L, 1L)), batches.toString)
+    } finally q.stop()
+  }
+
   test("windows DSL assigns identical structs on batch frames") {
     val df = Seq(ts("2024-01-01 00:00:30")).toDF("event_time")
     val fixed = Windows.windowed(df, Windows.Fixed("1 minute"), col("event_time"))
