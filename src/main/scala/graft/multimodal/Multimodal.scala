@@ -69,4 +69,38 @@ object Multimodal {
         greatest(floor(octet_length(col("content")) / lit(stride)).cast("int") - 1, lit(0)))))
       .select(col("asset_id"), col("pos").as("frame_idx"),
         (col("col") * stride).as("byte_offset"))
+
+  /** Resize stub: emits the (target_w, target_h) metadata and a payload
+    * "resized" by truncation to w*h bytes — the real operation is a
+    * per-row codec call with the SAME shape: binary in, binary + metadata
+    * out, executed inside the scan stage (no shuffle, no driver). */
+  def resizeStub(assets: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    assets.select(col("asset_id"),
+      lit(targetW).as("target_w"), lit(targetH).as("target_h"),
+      substring(col("content"), 1, targetW * targetH).as("content"))
+
+  /** Feature-extraction stub: binary payload → fixed-size float embedding
+    * (deterministic: seeded hashes of the payload bytes per dimension,
+    * normalized). Real models slot in behind the same per-partition
+    * batch contract (load the model once per partition, stream rows
+    * through it — the mapPartitions shape of decodeStub); the output
+    * column is exactly what graft.similarity consumes for ANN. */
+  def featureExtractStub(spark: SparkSession, assets: DataFrame, dim: Int): DataFrame = {
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition setup: a real embedding model loads here, once
+        rows.map { case (id, bytes) =>
+          val raw = Array.tabulate(dim) { d =>
+            var h = 1125899906842597L * (d + 1)
+            var i = 0
+            while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+            ((h % 1000L) / 1000.0f)
+          }
+          val norm = math.sqrt(raw.map(x => x * x.toDouble).sum).toFloat max 1e-9f
+          (id, raw.map(_ / norm))
+        }
+      }
+      .toDF("asset_id", "embedding")
+  }
 }

@@ -226,7 +226,37 @@ object Extended extends QueryModule {
       |FROM islands GROUP BY user_id, window_id
       |ORDER BY user_id, merged_start""".stripMargin
 
+  // Correlated scalar subquery (Calcite decorrelates these before the
+  // reference's rules run — BeamSqlDslExistsTest; Catalyst's
+  // RewriteCorrelatedScalarSubquery turns it into an aggregate + join).
+  // Identical SQL text runs on both engines.
+  private val q71Text =
+    """SELECT s1.s_suppkey, s1.s_name FROM supplier s1
+      |WHERE s1.s_acctbal >= (SELECT avg(s2.s_acctbal) FROM supplier s2
+      |                      WHERE s2.s_nationkey = s1.s_nationkey)
+      |ORDER BY s1.s_suppkey""".stripMargin
+
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q71Text)
+  }
+
+  // IN subquery with HAVING (aggregate predicate pushdown + semi-join
+  // rewrite); count-based threshold keeps it non-empty at every SF.
+  private val q72Text =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders
+      |                    GROUP BY o_custkey HAVING count(*) >= 5)
+      |ORDER BY c_custkey""".stripMargin
+
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q72Text)
+  }
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_correlated_scalar_subquery" -> q71,
+    "q72_having_in_subquery" -> q72,
     "q44_sample_fixed_global" -> q44,
     "q45_udaf_combinefn" -> q45,
     "q46_sample_per_key" -> q46,
@@ -239,6 +269,8 @@ object Extended extends QueryModule {
     "q59_merging_windows" -> q59)
 
   override val oracles: Map[String, String] = Map(
+    "q71_correlated_scalar_subquery" -> q71Text,
+    "q72_having_in_subquery" -> q72Text,
     "q44_sample_fixed_global" -> q44Sql,
     "q45_udaf_combinefn" -> q45Sql,
     "q46_sample_per_key" -> q46Sql,

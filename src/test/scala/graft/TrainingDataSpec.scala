@@ -65,6 +65,26 @@ class TrainingDataSpec extends GraftSpec {
     assert(fp == feats(0L)._3)
   }
 
+  test("multimodal resize + feature-extract stubs keep the pipeline shape") {
+    import spark.implicits._
+    val assets = graft.multimodal.Multimodal.asAssets(
+      Seq((1L, "hello world this is a payload"), (2L, "x")).toDF("id", "payload"),
+      "id", "payload")
+    val resized = graft.multimodal.Multimodal.resizeStub(assets, 4, 2)
+    val lens = resized.select(col("asset_id"), octet_length(col("content")))
+      .as[(Long, Int)].collect().toMap
+    assert(lens(1L) == 8 && lens(2L) == 1) // truncated to w*h, short stays short
+    val emb = graft.multimodal.Multimodal.featureExtractStub(spark, assets, dim = 16)
+    val vecs = emb.as[(Long, Array[Float])].collect().toMap
+    assert(vecs(1L).length == 16)
+    val n = math.sqrt(vecs(1L).map(x => x * x.toDouble).sum)
+    assert(math.abs(n - 1.0) < 1e-3) // normalized
+    // deterministic: same payload → same embedding
+    val again = graft.multimodal.Multimodal.featureExtractStub(spark, assets, 16)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(vecs(1L).toSeq == again(1L).toSeq)
+  }
+
   test("multimodal decode stub preserves ids and byte lengths") {
     val decoded = Multimodal.decodeStub(spark, Multimodal.asAssets(docs, "doc_id", "text"))
     val row = decoded.filter(col("asset_id") === 0).head()
