@@ -126,6 +126,15 @@ object TrainingData extends QueryModule {
       .orderBy("query_id", "rnk")
   }
 
+  // IVF (k-means inverted file) ANN — the learned-quantizer scale path
+  // next to d65's LSH; approximate by construction: rows-only.
+  private def d73(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
+      .orderBy("query_id", "rnk")
+  }
+
   // Text features: token counts, ratios, quality score — full SQL oracle.
   private def t66(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withTextFeatures(Tables.documents(s, dir), "text")
@@ -241,6 +250,7 @@ object TrainingData extends QueryModule {
     "d63_simhash_neardups" -> d63,
     "d64_embedding_cosine_topk" -> d64,
     "d65_embedding_lsh_ann" -> d65,
+    "d73_embedding_ivf_ann" -> d73,
     "t66_text_quality_features" -> t66,
     "t67_language_id" -> t67,
     "t68_doc_fingerprint" -> t68,

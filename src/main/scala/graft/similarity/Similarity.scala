@@ -50,6 +50,48 @@ object Similarity {
       posexplode(hyperplaneSignatures(col(vecName), nBits, tables)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
 
+  /** IVF (inverted-file) ANN: k-means coarse quantization. A small
+    * centroid codebook is learned from the corpus (driver-held, a few KB);
+    * each corpus vector is assigned to its nearest cell (one distributed
+    * pass); a query probes its `nprobe` nearest cells and scores only
+    * those candidates — the standard sub-linear scale path when LSH's
+    * data-independent buckets underperform on clustered data. With
+    * nprobe = nlist this is exactly brute force (recall 1), which is the
+    * contract the spec pins.
+    *
+    * At 100 TB: training samples the corpus; assignment is a scan-stage
+    * map; the (cell → vectors) layout would be persisted bucketed by cell
+    * so queries touch only their probed buckets' files. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, seed: Long = 42L, maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .fit(c.select(array_to_vector(col("cv")).as("features")))
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val assigned = model.transform(c.withColumn("features", array_to_vector(col("cv"))))
+      .withColumn("cell", col("prediction").cast("int"))
+      .select("nn_id", "cv", "cell")
+    val probeCells = udf { (v: Seq[Double]) =>
+      centers.zipWithIndex.map { case (ctr, i) =>
+        var s = 0.0; var j = 0
+        while (j < ctr.length) { val d = ctr(j) - v(j); s += d * d; j += 1 }
+        (s, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv"))))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nn_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nn_id"), col("sim"))
+  }
+
   /** Approximate top-k via standard multi-table LSH: `tables` independent
     * `nBits`-bit signature tables; a corpus vector is a candidate if it
     * collides with the query in ANY table. Recall rises with `tables`,

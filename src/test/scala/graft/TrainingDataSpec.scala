@@ -65,6 +65,36 @@ class TrainingDataSpec extends GraftSpec {
     assert(fp == feats(0L)._3)
   }
 
+  test("IVF ANN with full probing equals brute force; partial probing is a subset") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = graft.similarity.Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val full = graft.similarity.Similarity
+      .ivfTopK(emb, queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == brute) // probing every cell IS brute force
+    val partial = graft.similarity.Similarity
+      .ivfTopK(emb, queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(partial.nonEmpty && partial.length <= brute.size)
+  }
+
+  test("embedding near-dup finds planted high-cosine pairs") {
+    import spark.implicits._
+    val base = Array.tabulate(16)(i => math.sin(i + 1))
+    val near = base.map(_ * 1.01 + 0.001) // cosine ≈ 1
+    val far = Array.tabulate(16)(i => math.cos(3 * i + 2))
+    val df = Seq((0L, base), (1L, near), (2L, far))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.dedup.Dedup
+      .embeddingNearDups(df, "vec_id", "embedding", threshold = 0.95, nBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("multimodal resize + feature-extract stubs keep the pipeline shape") {
     import spark.implicits._
     val assets = graft.multimodal.Multimodal.asAssets(
