@@ -28,6 +28,30 @@ class ExtensionsSpec extends GraftSpec {
     assert(sessions.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("tumble() SQL runs on a STREAM with watermark semantics (streaming SQL windowing)") {
+    // the same GROUP BY tumble(...) text works on an unbounded input —
+    // the reference's core design point (boundedness is a source property)
+    GraftExtensions.install(spark)
+    implicit val ctx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Timestamp)]
+    input.toDF().toDF("k", "ts").withWatermark("ts", "10 seconds")
+      .createOrReplaceTempView("stream_events")
+    val agg = spark.sql(
+      "SELECT count(*) AS n FROM stream_events GROUP BY tumble(ts, '1 minute')")
+    assert(agg.isStreaming)
+    val q = agg.writeStream.format("memory").queryName("sqltumble")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", Timestamp.valueOf("2024-01-01 00:00:10")),
+        ("a", Timestamp.valueOf("2024-01-01 00:00:40")))
+      q.processAllAvailable()
+      input.addData(("a", Timestamp.valueOf("2024-01-01 00:05:00"))) // close window 0
+      q.processAllAvailable()
+      val ns = spark.table("sqltumble").as[Long].collect().toSeq
+      assert(ns == Seq(2L), ns.toString)
+    } finally q.stop()
+  }
+
   test("reference extra-UDF aliases: to_hex / from_hex / length_bytes") {
     GraftExtensions.install(spark)
     val r = spark.sql(
