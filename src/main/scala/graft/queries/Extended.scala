@@ -254,9 +254,47 @@ object Extended extends QueryModule {
     s.sql(q72Text)
   }
 
+  // N-ary CoGroup (schemas/transforms/CoGroup.java:80 with
+  // withOptionalParticipation ≙ outer): three keyed collections —
+  // customers, their orders, their nation's suppliers — cogrouped on
+  // nationkey into per-key summaries via co-partitioned aggregates +
+  // chained full-outer joins (the distributed form; no per-key iterators).
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nk1"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sup = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nk2"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    val o = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk3"))
+      .agg(round(sum("o_totalprice"), 2).as("order_total"))
+    c.join(sup, col("nk1") === col("nk2"), "full_outer")
+      .join(o, coalesce(col("nk1"), col("nk2")) === col("nk3"), "full_outer")
+      .select(
+        coalesce(col("nk1"), col("nk2"), col("nk3")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("order_total"), lit(0.0)).as("order_total"))
+      .orderBy("nationkey")
+  }
+
+  private val q74Sql =
+    """WITH c AS (SELECT c_nationkey nk, count(*) n_customers FROM customer GROUP BY 1),
+      |s AS (SELECT s_nationkey nk, count(*) n_suppliers FROM supplier GROUP BY 1),
+      |o AS (SELECT c_nationkey nk, round(sum(o_totalprice), 2) order_total
+      |      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+      |SELECT coalesce(c.nk, s.nk, o.nk) AS nationkey,
+      |  CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+      |  CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers,
+      |  coalesce(order_total, 0.0) AS order_total
+      |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      |FULL OUTER JOIN o ON coalesce(c.nk, s.nk) = o.nk
+      |ORDER BY nationkey""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_correlated_scalar_subquery" -> q71,
     "q72_having_in_subquery" -> q72,
+    "q74_cogroup_3way" -> q74,
     "q44_sample_fixed_global" -> q44,
     "q45_udaf_combinefn" -> q45,
     "q46_sample_per_key" -> q46,
@@ -271,6 +309,7 @@ object Extended extends QueryModule {
   override val oracles: Map[String, String] = Map(
     "q71_correlated_scalar_subquery" -> q71Text,
     "q72_having_in_subquery" -> q72Text,
+    "q74_cogroup_3way" -> q74Sql,
     "q44_sample_fixed_global" -> q44Sql,
     "q45_udaf_combinefn" -> q45Sql,
     "q46_sample_per_key" -> q46Sql,

@@ -150,8 +150,36 @@ object Nexmark {
       .distinct()
   }
 
+  /** Q9: winning bid per auction (highest price before expiry; ties to
+    * the earliest bid). */
+  def q9(spark: SparkSession, n: Long): DataFrame = {
+    val b = bids(spark, n).withColumnRenamed("ts", "b_ts")
+    val joined = b.join(auctions(spark, n),
+      col("auction") === col("a_id") && col("b_ts") <= col("expires"))
+    val w = Window.partitionBy("a_id").orderBy(col("price").desc, col("b_ts"))
+    joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("a_id"), col("category"), col("bidder"), col("price"), col("b_ts"))
+  }
+
+  /** Q11: bids per bidder per session (10s gap session windows). */
+  def q11(spark: SparkSession, n: Long): DataFrame =
+    bids(spark, n)
+      .groupBy(session_window(col("ts"), "10 seconds"), col("bidder"))
+      .agg(count(lit(1)).as("n_bids"))
+      .select(col("session_window.start").as("sess_start"), col("bidder"), col("n_bids"))
+
+  /** Q12: bid count per bidder per processing-time window — on a bounded
+    * replay, processing time is the ingestion tick, so the event-time
+    * column stands in (the reference's q12 measures the same shape). */
+  def q12(spark: SparkSession, n: Long): DataFrame =
+    bids(spark, n)
+      .groupBy(window(col("ts"), "10 seconds"), col("bidder"))
+      .agg(count(lit(1)).as("n_bids"))
+      .select(col("window.start").as("win_start"), col("bidder"), col("n_bids"))
+
   /** All queries keyed like the baseline table. */
   def all: Map[String, (SparkSession, Long) => DataFrame] = Map(
     "q0" -> q0, "q1" -> q1, "q2" -> q2, "q3" -> q3, "q4" -> q4,
-    "q5" -> q5, "q6" -> q6, "q7" -> q7, "q8" -> q8)
+    "q5" -> q5, "q6" -> q6, "q7" -> q7, "q8" -> q8, "q9" -> q9,
+    "q11" -> q11, "q12" -> q12)
 }

@@ -229,6 +229,32 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("windowed writes: file sink partitioned by window start (WriteFiles windowed writes)") {
+    implicit val ctx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-winwrite").resolve("out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-winwrite-ckpt").toString
+    val input = MemoryStream[(String, Timestamp)]
+    val agg = input.toDF().toDF("k", "event_time")
+      .withWatermark("event_time", "5 seconds")
+      .groupBy(window(col("event_time"), "1 minute"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "HH-mm").as("win"), col("k"), col("n"))
+    val q = agg.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .partitionBy("win").outputMode("append").start()
+    try {
+      input.addData(("a", ts("2024-01-01 00:00:10")), ("a", ts("2024-01-01 00:01:10")))
+      q.processAllAvailable()
+      input.addData(("a", ts("2024-01-01 00:10:00"))) // advance watermark, close both
+      q.processAllAvailable()
+      val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filterNot(_.startsWith("_")).toSet
+      assert(dirs == Set("win=00-00", "win=00-01"), dirs.toString) // one dir per window
+      val back = spark.read.parquet(outDir)
+      assert(back.count() == 2)
+    } finally q.stop()
+  }
+
   test("foreachBatch sink sequences per-batch side effects (Wait.on / custom sinks)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Int]
