@@ -254,6 +254,29 @@ object Extended extends QueryModule {
     s.sql(q72Text)
   }
 
+  // TPC-H Q21 shape: EXISTS + NOT EXISTS both correlated to the same
+  // outer row — the hardest decorrelation case (two semi/anti joins with
+  // non-equi conjuncts). Same SQL text on both engines.
+  private val q75Text =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q75Text)
+  }
+
   // N-ary CoGroup (schemas/transforms/CoGroup.java:80 with
   // withOptionalParticipation ≙ outer): three keyed collections —
   // customers, their orders, their nation's suppliers — cogrouped on
@@ -295,6 +318,7 @@ object Extended extends QueryModule {
     "q71_correlated_scalar_subquery" -> q71,
     "q72_having_in_subquery" -> q72,
     "q74_cogroup_3way" -> q74,
+    "q75_multi_exists_decorrelation" -> q75,
     "q44_sample_fixed_global" -> q44,
     "q45_udaf_combinefn" -> q45,
     "q46_sample_per_key" -> q46,
@@ -310,6 +334,7 @@ object Extended extends QueryModule {
     "q71_correlated_scalar_subquery" -> q71Text,
     "q72_having_in_subquery" -> q72Text,
     "q74_cogroup_3way" -> q74Sql,
+    "q75_multi_exists_decorrelation" -> q75Text,
     "q44_sample_fixed_global" -> q44Sql,
     "q45_udaf_combinefn" -> q45Sql,
     "q46_sample_per_key" -> q46Sql,
