@@ -102,9 +102,18 @@ object Dedup {
   }
 
   /** Exact Jaccard similarity of two (distinct-element) shingle arrays.
-    * One set construction: |A∩B| = |A| + |B| − |A∪B|, so only the union is
-    * materialized (array_intersect would build a second hash set). */
-  def jaccard(a: Column, b: Column): Column = {
+    * For the sorted long-hash arrays charShingleHashes emits, this is a
+    * native linear merge walk (graft.plans.SortedJaccard) — no per-row
+    * hash-set builds; generic arrays fall back to the set formulation
+    * |A∩B| = |A| + |B| − |A∪B| (one union, not union+intersect). */
+  def jaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.SortedJaccard(
+        org.apache.spark.sql.graftbridge.expression(a),
+        org.apache.spark.sql.graftbridge.expression(b)))
+
+  /** Jaccard for arbitrary (unsorted / non-long) distinct arrays. */
+  def jaccardGeneric(a: Column, b: Column): Column = {
     val u = size(array_union(a, b)).cast("double")
     (size(a) + size(b) - u) / u
   }
