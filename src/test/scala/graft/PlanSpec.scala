@@ -88,6 +88,18 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("partition-pruned read of dynamic-destination output") {
+    val path = java.nio.file.Files.createTempDirectory("graft-prune").resolve("out").toString
+    val df = Seq((1L, "en"), (2L, "de"), (3L, "en"), (4L, "fr"))
+      .toDF("id", "lang")
+    graft.sources.FileIO.writeDynamic(df, path, "parquet", Seq("lang"))
+    val read = spark.read.parquet(path).filter(col("lang") === "en")
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString()
+    // the predicate must be a PartitionFilter (directory pruning), not a data filter
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+    assert(read.count() == 2)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = spark.range(10000)
       .select((col("id") % 3).as("k"), col("id").as("v"))
