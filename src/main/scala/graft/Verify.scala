@@ -15,7 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (same convention as Bench); driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(f => name.contains(f)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -157,9 +157,12 @@ object Dedup {
     val b = banded.select(col("band"), col("piece"), col("id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("band", "piece"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      // cheap codegen'd Hamming check BEFORE the shuffling distinct, so
+      // only surviving pairs are exchanged (hamming is deterministic per
+      // pair, so filter-then-dedup ≡ dedup-then-filter)
       .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 

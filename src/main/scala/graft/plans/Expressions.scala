@@ -183,8 +183,9 @@ object SimHash64 {
     fp
   }
 
+  // Must match TextStats.isWs (Java \s): space, tab, LF, VT, FF, CR.
   private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 }
 
 /** Native multi-table random-hyperplane LSH signatures for cosine ANN:

@@ -66,22 +66,30 @@ object Relational extends QueryModule {
       |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
 
   // TPC-H Q3 shape: 3-way join, dimension side broadcast, agg on fact keys.
+  // Money math in DECIMAL: double-summing l_extendedprice*(1-l_discount) is
+  // order-dependent and lands on half-cent boundaries; decimal products and
+  // sums are exact, so the result is hash-stable at any scale and partition
+  // count. Final cast to DOUBLE (exact for money magnitudes) keeps the
+  // output type portable.
   private def q03(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, dir)
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+    val revenue = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(sum(revenue).cast("double").as("revenue"))
       .orderBy("l_orderkey")
   }
 
   private val q03Sql =
     """SELECT l_orderkey, o_orderdate,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey

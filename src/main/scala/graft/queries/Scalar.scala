@@ -122,7 +122,8 @@ object Scalar extends QueryModule {
       |  round((exp(s_acctbal/10000.0) - exp(-s_acctbal/10000.0)) / 2, 6) AS sinh_v,
       |  round((exp(2*s_acctbal/10000.0) - 1) / (exp(2*s_acctbal/10000.0) + 1), 6) AS tanh_v,
       |  round(pi(), 6) AS pi_v,
-      |  floor(s_acctbal) AS floor_v, ceil(s_acctbal) AS ceil_v,
+      |  CAST(floor(s_acctbal) AS BIGINT) AS floor_v,
+      |  CAST(ceil(s_acctbal) AS BIGINT) AS ceil_v,
       |  round(s_acctbal % 97, 6) AS mod_v
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
@@ -204,7 +205,9 @@ object Scalar extends QueryModule {
         col("p_retailprice").cast("int").as("price_int"), // Spark truncates
         col("p_retailprice").cast("decimal(12,2)").cast("string").as("price_str"),
         regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("brand_num"),
-        col("p_retailprice").cast("decimal(12,2)").as("price_dec"))
+        // DECIMAL round-trip witnessed via price_str above; emitted as DOUBLE
+        // because the driver's hash of DECIMAL output columns is not portable.
+        col("p_retailprice").cast("decimal(12,2)").cast("double").as("price_dec"))
       .orderBy("p_partkey")
 
   private val q25Sql =
@@ -215,7 +218,7 @@ object Scalar extends QueryModule {
       |  CAST(trunc(p_retailprice) AS INT) AS price_int,
       |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
       |  CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
-      |  CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec
+      |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec
       |FROM part ORDER BY p_partkey""".stripMargin
 
   // Regex family (transforms/Regex.java:44): extract, replace-all, match,

@@ -1,17 +1,41 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.functions._
+
+/** One scored candidate; public so encoder codegen can reach it. */
+case class Scored(sim: Double, id: Long)
+
+/** Bounded top-k accumulator: keeps at most k (sim desc, id asc) entries.
+  * Registered via `functions.udaf`, so Spark runs it as a partial+final
+  * ObjectHashAggregate — each map task retains only k rows per query and
+  * the final merge is k-sized. This is the scale-correct replacement for
+  * `Window.partitionBy(query)` ranking, which ships EVERY scored candidate
+  * for a query to a single task. */
+private[similarity] class TopKAgg(k: Int)
+    extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  private val ord: Ordering[Scored] = Ordering.by((s: Scored) => (-s.sim, s.id))
+  override def zero: Seq[Scored] = Nil
+  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+    if (b.lengthCompare(k) >= 0 && ord.gteq(a, b.last)) b // a ranks at/after the kth
+    else ((a +: b).sorted(ord)).take(k)
+  override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+    (b1 ++ b2).sorted(ord).take(k)
+  override def finish(r: Seq[Scored]): Seq[Scored] = r
+  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Two tiers, per the usual scale playbook:
   *  - `bruteForceTopK`: exact. Broadcast the (small) query set against the
-  *    corpus — one scan, no corpus shuffle, a per-partition top-k heap via
-  *    window row_number, then a k-sized merge. Right answer up to ~10^4
-  *    queries × any corpus size.
+  *    corpus — one scan, no corpus shuffle, a bounded top-k accumulator
+  *    (partial ObjectHashAggregate) per partition, then a k-sized final
+  *    merge per query. Right answer up to ~10^4 queries × any corpus size.
   *  - `lshTopK`: sub-linear scale path. Random-hyperplane signatures bucket
   *    the corpus (IVF-style coarse quantization with Hamming probing would
   *    be the next refinement); only same-bucket candidates are scored.
@@ -23,6 +47,23 @@ import graft.functions._
   */
 object Similarity {
 
+  /** Final ranking stage shared by all tiers: per-partition bounded-heap
+    * partial top-k (TopKAgg) then a k-sized merge per query — no stage ever
+    * materializes a query's full candidate set on one task. Expects columns
+    * (query_id, nn_id, sim); emits (query_id, rnk, nn_id, sim) with nn_id
+    * restored to its original type. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val idType = scored.schema("nn_id").dataType
+    val topk = udaf(new TopKAgg(k))
+    scored
+      .select(col("query_id"), col("sim"), col("nn_id").cast("long").as("id"))
+      .groupBy("query_id")
+      .agg(topk(col("sim"), col("id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").cast(idType).as("nn_id"), col("col.sim").as("sim"))
+  }
+
   /** Exact top-k neighbors for each query vector (cosine). Excludes
     * self-matches on id equality. Scores rounded to `roundTo` decimals
     * before ranking so ordering is reproducible; ties broken by corpus id. */
@@ -33,10 +74,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("sim", round(cosineSim(col("qv"), col("cv")), roundTo))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nn_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("nn_id"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** Multi-table hyperplane signatures: one row per (table, vector) with
@@ -86,10 +124,7 @@ object Similarity {
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nn_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("nn_id"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k via standard multi-table LSH: `tables` independent
@@ -109,9 +144,6 @@ object Similarity {
       .filter(col("nn_id") =!= col("query_id"))
       .dropDuplicates("query_id", "nn_id")
       .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nn_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("nn_id"), col("sim"))
+    rankTopK(scored, k)
   }
 }

@@ -107,13 +107,23 @@ class SeqGenMicroBatch(from: Long, count: Long, rowsPerBatch: Long)
     planned = math.min(from + count, planned + rowsPerBatch)
     SeqGenOffset(planned)
   }
-  override def deserializeOffset(json: String): Offset = SeqGenOffset(json.toLong)
+  // On checkpoint recovery the engine replays offsets through here before
+  // asking for latestOffset; clamping the frontier up to every offset we
+  // see keeps latestOffset from falling below the restored commit and
+  // re-planning (duplicating) rows already emitted before the restart.
+  override def deserializeOffset(json: String): Offset = synchronized {
+    val pos = json.toLong
+    planned = math.max(planned, pos)
+    SeqGenOffset(pos)
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqGenOffset].pos
     val e = end.asInstanceOf[SeqGenOffset].pos
     if (e > s) Array(SeqGenRange(s, e)) else Array.empty
   }
   override def createReaderFactory(): PartitionReaderFactory = SeqGenReaderFactory
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = synchronized {
+    planned = math.max(planned, end.asInstanceOf[SeqGenOffset].pos)
+  }
   override def stop(): Unit = ()
 }

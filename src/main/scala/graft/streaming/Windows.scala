@@ -50,6 +50,9 @@ object Windows {
         case "month" => add_months(start, 1).cast("timestamp")
         case "quarter" => add_months(start, 3).cast("timestamp")
         case "year" => add_months(start, 12).cast("timestamp")
+        case other => throw new IllegalArgumentException(
+          s"Calendar window unit '$other' not supported; use one of " +
+            "day, week, month, quarter, year")
       }
       struct(start.as("start"), end.as("end"))
     }

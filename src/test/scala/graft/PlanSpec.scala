@@ -67,6 +67,19 @@ class PlanSpec extends GraftSpec {
       "native signature expression missing from plan:\n" + plan.take(2000))
   }
 
+  test("similarity top-k ranks via partial aggregate, not a windowed shuffle") {
+    // The final ranking must be a bounded partial+final ObjectHashAggregate
+    // (k rows per query per map task cross the wire), never a Window over
+    // the full candidate set (which ships every candidate for a query to
+    // one task — a single-reducer scale-killer at 100 TB).
+    val df = TrainingData.entries("d64_embedding_cosine_topk")(spark, sf)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Window"), s"windowed ranking crept back in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    val partials = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(partials >= 2, s"expected partial+final top-k aggregate:\n$plan")
+  }
+
   test("bucketed tables join without any exchange") {
     val a = spark.range(1000).select(col("id"), (col("id") * 2).as("va"))
     val b = spark.range(1000).select(col("id"), (col("id") * 3).as("vb"))

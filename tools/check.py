@@ -15,11 +15,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    """Exact, type-tagged normalization mirroring the driver's hash: the
+    driver serializes types AND bitwise values, so the local gate must too
+    (Python == coerces 1 == 1.0 == Decimal(1), which hid 3 driver failures
+    in round 1). Floats are repr'd bit-exactly; NaN gets a stable sentinel."""
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 6)
-    return v
+        return ("float", "nan") if math.isnan(v) else ("float", repr(v))
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(norm(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, norm(x)) for k, x in v.items())))
+    return (type(v).__name__, repr(v))
 
 def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     if sorted(spark_cols) != sorted(duck_cols):
@@ -29,14 +35,14 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     cols = sorted(spark_cols)
     s_ix = [spark_cols.index(c) for c in cols]
     d_ix = [duck_cols.index(c) for c in cols]
-    s = sorted([tuple(norm(r[i]) for i in s_ix) for r in spark_rows], key=repr)
-    d = sorted([tuple(norm(r[i]) for i in d_ix) for r in duck_rows], key=repr)
+    # Exact normalized values sort identically on both sides, so row
+    # alignment cannot drift (the old rounded-repr sort could misalign rows
+    # that straddled a rounding boundary).
+    s = sorted([tuple(norm(r[i]) for i in s_ix) for r in spark_rows])
+    d = sorted([tuple(norm(r[i]) for i in d_ix) for r in duck_rows])
     for i, (a, b) in enumerate(zip(s, d)):
         for c, (x, y) in enumerate(zip(a, b)):
-            ok = x == y
-            if not ok and isinstance(x, float) and isinstance(y, float):
-                ok = abs(x - y) <= 1e-6 * max(1.0, abs(x), abs(y))
-            if not ok:
+            if x != y:
                 return f"VALUE MISMATCH row {i} col {cols[c]}: spark={x!r} duck={y!r}"
     return None
 
