@@ -34,6 +34,13 @@ object FileIO {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** AvroIO.read (io/AvroIO.java:186): splittable container-file reads via
+    * the graft-avro DSv2 source; pass `readerSchemaJson` for schema
+    * evolution (Avro resolution rules against each file's writer schema). */
+  def readAvro(spark: SparkSession, path: String,
+      readerSchemaJson: Option[String] = None): DataFrame =
+    graft.sources.avro.AvroIO.read(spark, path, readerSchemaJson)
+
   /** Streaming file watch (≙ TextIO.watchForNewFiles / Watch.growthOf):
     * Spark's file stream source natively polls for new files. */
   def watchText(spark: SparkSession, dir: String): DataFrame =
@@ -58,4 +65,10 @@ object FileIO {
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).save(path)
   }
+
+  /** AvroIO.write (io/AvroIO.java:1135): sharded container files, one per
+    * partition, temp-then-rename committed. `repartition(n)` upstream for
+    * explicit shard control (withNumShards). */
+  def writeAvro(df: DataFrame, path: String, codec: String = "snappy"): Unit =
+    graft.sources.avro.AvroIO.write(df, path, codec)
 }
