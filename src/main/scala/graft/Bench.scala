@@ -50,7 +50,15 @@ object Bench {
     }
     val nx = nexmark.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"nexmark_events_per_sec":$nx,"nexmark_num_events":$nexmarkEvents,"sf":"$sfDir"}""")
+    // Structured Streaming micro-batch runs (Trigger.AvailableNow over the
+    // graft-seqgen source); q4/q6/q9 are batch-only (see NexmarkStreaming).
+    val streamEvents = sys.env.getOrElse("SPARK_GRAFT_NEXMARK_STREAM_EVENTS",
+      nexmarkEvents.toString).toLong
+    val nxStream = graft.queries.NexmarkStreaming.queryNames.flatMap { name =>
+      graft.queries.NexmarkStreaming.run(spark, name, streamEvents)
+        .map(eps => s"\"" + name + "\":" + math.round(eps).toDouble)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"nexmark_events_per_sec":$nx,"nexmark_num_events":$nexmarkEvents,"nexmark_streaming_events_per_sec":$nxStream,"nexmark_streaming_num_events":$streamEvents,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

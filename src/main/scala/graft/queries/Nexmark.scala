@@ -31,21 +31,27 @@ object Nexmark {
   private val cities = Seq("Portland", "Boise", "LosAngeles", "Seattle",
     "Reno", "Phoenix", "Santa Fe", "Provo")
 
-  /** One row per event id with its kind (0=person, 1=auction, 2=bid),
-    * mirroring the interleaved generator. */
-  private def events(spark: SparkSession, n: Long): DataFrame =
-    spark.range(n)
+  /** Tag an (id, ts) frame — batch range or streaming source — with its
+    * event kind (0=person, 1=auction, 2=bid), mirroring the interleaved
+    * generator. The streaming path feeds the graft-seqgen source here,
+    * whose (value, ts) columns share the same epoch and 10 ms tick. */
+  def eventsFrom(idTs: DataFrame): DataFrame =
+    idTs
       .withColumn("slot", (col("id") % Total).cast("int"))
       .withColumn("kind",
         when(col("slot") < PersonProp, 0)
           .when(col("slot") < PersonProp + AuctionProp, 1)
           .otherwise(2))
-      // virtual event time: 100 events/s starting 2024-01-01
-      .withColumn("ts", timestamp_millis(lit(1704067200000L) + col("id") * 10))
+
+  /** One row per event id with its kind, batch flavor.
+    * Virtual event time: 100 events/s starting 2024-01-01. */
+  private def events(spark: SparkSession, n: Long): DataFrame =
+    eventsFrom(spark.range(n)
+      .withColumn("ts", timestamp_millis(lit(1704067200000L) + col("id") * 10)))
 
   /** Persons: ~1/50 of events. */
-  def persons(spark: SparkSession, n: Long): DataFrame =
-    events(spark, n).filter(col("kind") === 0)
+  def personsFrom(ev: DataFrame): DataFrame =
+    ev.filter(col("kind") === 0)
       .select(
         col("id").as("p_id"),
         concat(lit("person-"), col("id")).as("name"),
@@ -53,9 +59,12 @@ object Nexmark {
         element_at(array(cities.map(lit): _*), (col("id") % 7 + 1).cast("int")).as("city"),
         col("ts"))
 
+  def persons(spark: SparkSession, n: Long): DataFrame =
+    personsFrom(events(spark, n))
+
   /** Auctions: ~3/50 of events; seller is a prior person id. */
-  def auctions(spark: SparkSession, n: Long): DataFrame =
-    events(spark, n).filter(col("kind") === 1)
+  def auctionsFrom(ev: DataFrame): DataFrame =
+    ev.filter(col("kind") === 1)
       .select(
         col("id").as("a_id"),
         (floor(col("id") / Total) * Total).as("seller"), // the period's person
@@ -64,15 +73,21 @@ object Nexmark {
         col("ts"),
         (col("ts") + expr("INTERVAL 10 SECONDS")).as("expires"))
 
+  def auctions(spark: SparkSession, n: Long): DataFrame =
+    auctionsFrom(events(spark, n))
+
   /** Bids: ~46/50 of events; auction/bidder reference recent ids. */
-  def bids(spark: SparkSession, n: Long): DataFrame =
-    events(spark, n).filter(col("kind") === 2)
+  def bidsFrom(ev: DataFrame): DataFrame =
+    ev.filter(col("kind") === 2)
       .select(
         // bid on one of the ~3 auctions from the same 50-event period
         (floor(col("id") / Total) * Total + 1 + (col("id") % AuctionProp)).as("auction"),
         (floor(col("id") / Total) * Total).as("bidder"),
         (xxhash64(col("id")) % 10000 + 10000).as("price"), // deterministic pseudo-random
         col("ts"))
+
+  def bids(spark: SparkSession, n: Long): DataFrame =
+    bidsFrom(events(spark, n))
 
   /** Q0: passthrough (measures raw event plumbing). */
   def q0(spark: SparkSession, n: Long): DataFrame = bids(spark, n)
@@ -161,6 +176,26 @@ object Nexmark {
       .select(col("a_id"), col("category"), col("bidder"), col("price"), col("b_ts"))
   }
 
+  /** Q10: log all events to sharded files, one directory per window
+    * (the reference writes windowed bid logs to sharded files with
+    * day/hour dynamic destinations). Rows route to per-window directories
+    * via partitionBy after a repartition on the partition columns, so each
+    * window is written by one task (small-files control at scale); the
+    * returned frame is the read-back of the committed output, making the
+    * benched path write + commit + scan. */
+  def q10(spark: SparkSession, n: Long): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-nexmark-q10").resolve("logs").toString
+    val out = bids(spark, n)
+      .withColumn("win", window(col("ts"), "10 seconds"))
+      .select(col("auction"), col("bidder"), col("price"), col("ts"),
+        date_format(col("win.start"), "yyyy-MM-dd").as("day"),
+        date_format(col("win.start"), "HH-mm").as("hhmm"))
+      .repartition(col("day"), col("hhmm"))
+    graft.sources.FileIO.writeDynamic(out, path, "parquet", Seq("day", "hhmm"))
+    spark.read.parquet(path)
+  }
+
   /** Q11: bids per bidder per session (10s gap session windows). */
   def q11(spark: SparkSession, n: Long): DataFrame =
     bids(spark, n)
@@ -181,5 +216,5 @@ object Nexmark {
   def all: Map[String, (SparkSession, Long) => DataFrame] = Map(
     "q0" -> q0, "q1" -> q1, "q2" -> q2, "q3" -> q3, "q4" -> q4,
     "q5" -> q5, "q6" -> q6, "q7" -> q7, "q8" -> q8, "q9" -> q9,
-    "q11" -> q11, "q12" -> q12)
+    "q10" -> q10, "q11" -> q11, "q12" -> q12)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -100,10 +100,20 @@ case class SeqGenOffset(pos: Long) extends Offset {
   * until `from + count` (a bounded unbounded-source, handy for tests;
   * set count = Long.MaxValue/TickMicros for an endless tick stream). */
 class SeqGenMicroBatch(from: Long, count: Long, rowsPerBatch: Long)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private var planned = from
   override def initialOffset(): Offset = SeqGenOffset(from)
   override def latestOffset(): Offset = synchronized {
+    planned = math.min(from + count, planned + rowsPerBatch)
+    SeqGenOffset(planned)
+  }
+  // Trigger.AvailableNow (SupportsAdmissionControl): drain
+  // [start, from+count) in rowsPerBatch micro-batches, then let the
+  // query stop once the end offset reported below is reached.
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def reportLatestOffset(): Offset = SeqGenOffset(from + count)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    planned = math.max(planned, start.asInstanceOf[SeqGenOffset].pos)
     planned = math.min(from + count, planned + rowsPerBatch)
     SeqGenOffset(planned)
   }

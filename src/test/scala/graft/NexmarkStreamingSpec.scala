@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import graft.queries.{Nexmark, NexmarkStreaming}
+
+/** Micro-batch Nexmark: the same plans produce the same answers whether
+  * the bounded event stream is replayed as a batch or drained through the
+  * graft-seqgen MICRO_BATCH_READ source under Trigger.AvailableNow.
+  * Append mode withholds windows still above the final watermark, so
+  * stateful-query outputs are checked as a non-empty subset of batch. */
+class NexmarkStreamingSpec extends GraftSpec {
+
+  private val N = 20000L
+
+  private def runToMemory(name: String): Seq[String] = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"nxs-$name").toString
+    val ev = NexmarkStreaming.stream(spark, N, rowsPerBatch = N / 5)
+    val q = NexmarkStreaming.plans(ev)(name)
+      .writeStream.format("memory").queryName(s"nxs_$name")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), s"$name did not finish")
+    spark.table(s"nxs_$name").collect().map(_.toString).toSeq
+  }
+
+  test("q0 streaming emits exactly the batch bid stream") {
+    val streamed = runToMemory("q0")
+    val batch = Nexmark.bids(spark, N).collect().map(_.toString).toSeq
+    assert(streamed.sorted == batch.sorted)
+  }
+
+  test("q11 session windows: streaming output is a non-empty subset of batch") {
+    val streamed = runToMemory("q11")
+    val batch = Nexmark.q11(spark, N).collect().map(_.toString).toSet
+    assert(streamed.nonEmpty)
+    val missing = streamed.filterNot(batch)
+    assert(missing.isEmpty, s"rows not in batch answer: ${missing.take(5)}")
+  }
+
+  test("q5 hot items: streaming argmax rows agree with the batch answer") {
+    val streamed = runToMemory("q5")
+    val batch = Nexmark.q5(spark, N).collect().map(_.toString).toSet
+    assert(streamed.nonEmpty)
+    val missing = streamed.filterNot(batch)
+    assert(missing.isEmpty, s"rows not in batch answer: ${missing.take(5)}")
+  }
+}
