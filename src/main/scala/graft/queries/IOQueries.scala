@@ -38,9 +38,34 @@ object IOQueries extends QueryModule {
       |  max(o_orderkey) AS max_key
       |FROM orders GROUP BY 1 ORDER BY y""".stripMargin
 
+  // Seekable lookup join (BeamSideInputLookupJoinRel.java:61): customer
+  // becomes the seekable side as a bucketed table; a bounded orders probe
+  // seeks it via bucket pruning (only probed buckets scan — PlanSpec
+  // asserts SelectedBucketsCount). Oracle: the equivalent plain join.
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    graft.api.Scale.writeBucketed(
+      Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey"),
+      "graft_lookup_customer", "c_custkey", 16)
+    val probe = Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    graft.api.Lookup.lookupJoin(s, probe, "graft_lookup_customer",
+      "o_custkey", "c_custkey")
+      .select(col("o_orderkey"), col("c_name"), col("c_nationkey"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q77Sql =
+    """SELECT o_orderkey, c_name, c_nationkey, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q76_avro_roundtrip" -> q76)
+    "q76_avro_roundtrip" -> q76,
+    "q77_seekable_lookup_join" -> q77)
 
   override val oracles: Map[String, String] = Map(
-    "q76_avro_roundtrip" -> q76Sql)
+    "q76_avro_roundtrip" -> q76Sql,
+    "q77_seekable_lookup_join" -> q77Sql)
 }

@@ -80,6 +80,27 @@ class PlanSpec extends GraftSpec {
     assert(partials >= 2, s"expected partial+final top-k aggregate:\n$plan")
   }
 
+  test("lookup join reads only the probed bucket files") {
+    val df = spark.range(10000).select(col("id"), (col("id") * 7).as("v"))
+    try {
+      graft.api.Scale.writeBucketed(df, "bk_lookup", "id", 16)
+      val totalFiles = spark.table("bk_lookup").inputFiles.length
+      val probe = spark.range(3).select(col("id").as("k"))
+      val joined = graft.api.Lookup.lookupJoin(spark, probe, "bk_lookup", "k", "id")
+      // runtime proof: the join touched at most one file per probed key
+      val touched = joined.select(input_file_name().as("f")).distinct().count()
+      assert(touched <= 3, s"seek touched $touched files")
+      assert(totalFiles >= 16, s"expected >= 16 bucket files, got $totalFiles")
+      assert(joined.count() == 3)
+      // correctness vs the plain join
+      val plain = probe.join(spark.table("bk_lookup"), col("k") === col("id"))
+        .select("k", "v").collect().map(_.toString).toSet
+      val seek = graft.api.Lookup.lookupJoin(spark, probe, "bk_lookup", "k", "id")
+        .select("k", "v").collect().map(_.toString).toSet
+      assert(seek == plain)
+    } finally spark.sql("DROP TABLE IF EXISTS bk_lookup")
+  }
+
   test("bucketed tables join without any exchange") {
     val a = spark.range(1000).select(col("id"), (col("id") * 2).as("va"))
     val b = spark.range(1000).select(col("id"), (col("id") * 3).as("vb"))
