@@ -43,6 +43,18 @@ object IOQueries extends QueryModule {
   // seeks it via bucket pruning (only probed buckets scan — PlanSpec
   // asserts SelectedBucketsCount). Oracle: the equivalent plain join.
   private def q77(s: SparkSession, dir: String): DataFrame = {
+    // a fresh session may inherit a stale managed-table location from a
+    // previous run: drop the catalog entry AND the leftover directory
+    s.sql("DROP TABLE IF EXISTS graft_lookup_customer")
+    val warehouse = new java.io.File(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath,
+      "graft_lookup_customer")
+    if (warehouse.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(warehouse)
+    }
     graft.api.Scale.writeBucketed(
       Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey"),
       "graft_lookup_customer", "c_custkey", 16)
