@@ -134,6 +134,37 @@ object Stateful {
       },
       onTimer = (_, _, _) => (None, Seq.empty))
 
+  /** Processing-time early firing (AfterProcessingTime.pastFirstElementInPane
+    * ().plusDelayOf(delay) under Repeatedly, ACCUMULATING mode —
+    * transforms/windowing/AfterProcessingTime.java): the first element of
+    * a pane arms a processing-time timer `delayMs` out; when it fires, the
+    * RUNNING aggregate is emitted as a speculative pane (with pane index)
+    * and the next element starts a new pane. Elements arriving while the
+    * timer is armed just accumulate — exactly the reference's
+    * pastFirstElementInPane semantics. Runs alongside the ordinary
+    * on-watermark windowed aggregation, which stays the final pane. */
+  def processingTimeTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
+      add: (A, V) => A, delayMs: Long)(
+      implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
+      sEnc: Encoder[Cells[(A, Long, Boolean)]]): Dataset[(K, A, Long)] =
+    statefulParDo[K, V, (A, Long, Boolean), (K, A, Long)](
+      ds, zero = (zero, 0L, false),
+      onElements = (k, elems, cells) => {
+        val (acc0, pane, _) = cells.value
+        val acc = elems.foldLeft(acc0)(add)
+        // first element of this pane arms the timer; later ones accumulate
+        val timers =
+          if (cells.timers.deadlines.contains("pane")) cells.timers
+          else cells.timers.set("pane", System.currentTimeMillis() + delayMs)
+        (Some(Cells((acc, pane, true), timers)), Seq.empty)
+      },
+      onTimer = (k, _, cells) => {
+        val (acc, pane, dirty) = cells.value
+        if (dirty) // emit the speculative pane, start the next one
+          (Some(Cells((acc, pane + 1, false), cells.timers)), Seq((k, acc, pane)))
+        else (Some(cells), Seq.empty)
+      })
+
   /** GroupIntoBatches (transforms/GroupIntoBatches.java:59): per-key
     * batches of `batchSize`, flushed early after `maxWaitMs` of
     * inactivity (the flush timer is the reference's buffering timer). */

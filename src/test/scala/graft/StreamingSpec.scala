@@ -229,6 +229,24 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("processing-time early firing emits a running pane after the delay") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val panes = Stateful.processingTimeTriggered[String, Int, Long](
+      input.toDS(), zero = 0L, add = (a, v) => a + v, delayMs = 500)
+    val q = panes.toDF("k", "running_sum", "pane")
+      .writeStream.format("memory").queryName("pt_panes")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      input.addData(("a", 1), ("a", 2))
+      awaitRows("pt_panes", 1) // pane 0 fires ~500ms after the first element
+      input.addData(("a", 4))
+      awaitRows("pt_panes", 2) // new element re-arms; pane 1 is accumulating
+      val rows = spark.table("pt_panes").as[(String, Long, Long)].collect().sortBy(_._3)
+      assert(rows.toSeq == Seq(("a", 3L, 0L), ("a", 7L, 1L)))
+    } finally q.stop()
+  }
+
   test("windowed writes: file sink partitioned by window start (WriteFiles windowed writes)") {
     implicit val ctx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("graft-winwrite").resolve("out").toString
