@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.TpcDs
+
+/** Ten queries from the reference's TPC-DS corpus
+  * (sdks/java/testing/tpcds/src/main/resources/queries/query{3,42,52,55,
+  * 65,73,79,88,96,98}.sql), run over the deterministic store-channel
+  * tables of [[graft.sources.TpcDs]]. The SQL body is SHARED between the
+  * Spark run and the DuckDB oracle (which reads the same parquet through
+  * WITH-views), so the gate compares the two engines on identical bytes.
+  *
+  * Minimal, documented adaptations from the reference text — the query
+  * shapes (join graphs, grouping, windows, subquery structure) are
+  * untouched:
+  *  - aggregate outputs are aliased and DECIMAL sums cast to DOUBLE
+  *    (exact decimal aggregation inside, portable hashing outside — the
+  *    q03 rule);
+  *  - q65's `revenue <= 0.1 * avg(revenue)` is rewritten to the exact
+  *    integer-free form `revenue * 10 * cnt <= total` (DuckDB computes
+  *    decimal AVG in floating point, which flips boundary rows);
+  *  - q79 adds ss_ticket_number to ORDER BY (its reference sort key is
+  *    not total, and LIMIT under a non-total order is undefined);
+  *  - q96/q88's zetasql alias workaround from the reference is kept.
+  */
+object TpcDsQueries extends QueryModule {
+
+  private val q3Body =
+    """select dt.d_year
+      |      ,item.i_brand_id brand_id
+      |      ,item.i_brand brand
+      |      ,cast(sum(ss_ext_sales_price) as double) sum_agg
+      |from  date_dim dt
+      |     ,store_sales
+      |     ,item
+      |where dt.d_date_sk = store_sales.ss_sold_date_sk
+      |  and store_sales.ss_item_sk = item.i_item_sk
+      |  and item.i_manufact_id = 436
+      |  and dt.d_moy=12
+      |group by dt.d_year
+      |     ,item.i_brand
+      |     ,item.i_brand_id
+      |order by dt.d_year
+      |        ,sum_agg desc
+      |        ,brand_id
+      |limit 100""".stripMargin
+
+  private val q42Body =
+    """select dt.d_year
+      |      ,item.i_category_id
+      |      ,item.i_category
+      |      ,cast(sum(ss_ext_sales_price) as double) sum_sales
+      |from  date_dim dt
+      |     ,store_sales
+      |     ,item
+      |where dt.d_date_sk = store_sales.ss_sold_date_sk
+      |  and store_sales.ss_item_sk = item.i_item_sk
+      |  and item.i_manager_id = 1
+      |  and dt.d_moy=12
+      |  and dt.d_year=1998
+      |group by dt.d_year
+      |        ,item.i_category_id
+      |        ,item.i_category
+      |order by sum_sales desc, dt.d_year
+      |        ,item.i_category_id
+      |        ,item.i_category
+      |limit 100""".stripMargin
+
+  private val q52Body =
+    """select dt.d_year
+      |      ,item.i_brand_id brand_id
+      |      ,item.i_brand brand
+      |      ,cast(sum(ss_ext_sales_price) as double) ext_price
+      |from date_dim dt
+      |    ,store_sales
+      |    ,item
+      |where dt.d_date_sk = store_sales.ss_sold_date_sk
+      |   and store_sales.ss_item_sk = item.i_item_sk
+      |   and item.i_manager_id = 1
+      |   and dt.d_moy=12
+      |   and dt.d_year=1998
+      |group by dt.d_year
+      |        ,item.i_brand
+      |        ,item.i_brand_id
+      |order by dt.d_year
+      |        ,ext_price desc
+      |        ,brand_id
+      |limit 100""".stripMargin
+
+  private val q55Body =
+    """select i_brand_id brand_id, i_brand brand,
+      |       cast(sum(ss_ext_sales_price) as double) ext_price
+      |from date_dim, store_sales, item
+      |where d_date_sk = ss_sold_date_sk
+      |  and ss_item_sk = i_item_sk
+      |  and i_manager_id=36
+      |  and d_moy=12
+      |  and d_year=2001
+      |group by i_brand, i_brand_id
+      |order by ext_price desc, i_brand_id
+      |limit 100""".stripMargin
+
+  private val q65Body =
+    """select s_store_name,
+      |       i_item_desc,
+      |       cast(sc.revenue as double) as revenue,
+      |       cast(i_current_price as double) as i_current_price,
+      |       cast(i_wholesale_cost as double) as i_wholesale_cost,
+      |       i_brand
+      |from store, item,
+      |    (select ss_store_sk, sum(revenue) as tot, count(*) as cnt
+      |       from
+      |           (select ss_store_sk, ss_item_sk,
+      |                   sum(ss_sales_price) as revenue
+      |              from store_sales, date_dim
+      |             where ss_sold_date_sk = d_date_sk and d_month_seq between 1212 and 1212+11
+      |             group by ss_store_sk, ss_item_sk) sa
+      |      group by ss_store_sk) sb,
+      |    (select ss_store_sk, ss_item_sk, sum(ss_sales_price) as revenue
+      |       from store_sales, date_dim
+      |      where ss_sold_date_sk = d_date_sk and d_month_seq between 1212 and 1212+11
+      |      group by ss_store_sk, ss_item_sk) sc
+      |where sb.ss_store_sk = sc.ss_store_sk and
+      |      sc.revenue * 10 * sb.cnt <= sb.tot and
+      |      s_store_sk = sc.ss_store_sk and
+      |      i_item_sk = sc.ss_item_sk
+      |order by s_store_name, i_item_desc
+      |limit 100""".stripMargin
+
+  private val q73Body =
+    """select c_last_name
+      |      ,c_first_name
+      |      ,c_salutation
+      |      ,c_preferred_cust_flag
+      |      ,ss_ticket_number
+      |      ,cnt from
+      |  (select ss_ticket_number
+      |         ,ss_customer_sk
+      |         ,count(*) cnt
+      |   from store_sales,date_dim,store,household_demographics
+      |   where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |   and store_sales.ss_store_sk = store.s_store_sk
+      |   and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+      |   and date_dim.d_dom between 1 and 2
+      |   and (household_demographics.hd_buy_potential = '>10000' or
+      |        household_demographics.hd_buy_potential = 'Unknown')
+      |   and household_demographics.hd_vehicle_count > 0
+      |   and case when household_demographics.hd_vehicle_count > 0 then
+      |            household_demographics.hd_dep_count/ household_demographics.hd_vehicle_count else null end > 1
+      |   and date_dim.d_year in (1998,1998+1,1998+2)
+      |   and store.s_county in ('Williamson County','Williamson County','Williamson County','Williamson County')
+      |   group by ss_ticket_number,ss_customer_sk) dj,customer
+      |   where ss_customer_sk = c_customer_sk
+      |     and cnt between 1 and 5
+      |   order by cnt desc, c_last_name asc""".stripMargin
+
+  private val q79Body =
+    """select
+      |  c_last_name,c_first_name,substring(s_city,1,30) as s_city_30,ss_ticket_number,
+      |  cast(amt as double) as amt, cast(profit as double) as profit
+      |  from
+      |   (select ss_ticket_number
+      |          ,ss_customer_sk
+      |          ,store.s_city
+      |          ,sum(ss_coupon_amt) amt
+      |          ,sum(ss_net_profit) profit
+      |    from store_sales,date_dim,store,household_demographics
+      |    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |    and store_sales.ss_store_sk = store.s_store_sk
+      |    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+      |    and (household_demographics.hd_dep_count = 8 or household_demographics.hd_vehicle_count > 0)
+      |    and date_dim.d_dow = 1
+      |    and date_dim.d_year in (1998,1998+1,1998+2)
+      |    and store.s_number_employees between 200 and 295
+      |    group by ss_ticket_number,ss_customer_sk,ss_addr_sk,store.s_city) ms,customer
+      |    where ss_customer_sk = c_customer_sk
+      | order by c_last_name,c_first_name,s_city_30, profit, ss_ticket_number
+      |limit 100""".stripMargin
+
+  private def q88Block(alias: String, hour: Int, half: String): String = {
+    val minuteCond = if (half == "first") "t_minute < 30" else "t_minute >= 30"
+    s"""(select count(*) $alias
+       | from store_sales, household_demographics , time_dim, store
+       | where ss_sold_time_sk = time_dim.t_time_sk
+       |     and ss_hdemo_sk = household_demographics.hd_demo_sk
+       |     and ss_store_sk = s_store_sk
+       |     and time_dim.t_hour = $hour
+       |     and time_dim.$minuteCond
+       |     and ((household_demographics.hd_dep_count = 3 and household_demographics.hd_vehicle_count<=3+2) or
+       |          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2) or
+       |          (household_demographics.hd_dep_count = 1 and household_demographics.hd_vehicle_count<=1+2))
+       |     and store.s_store_name = 'ese')""".stripMargin
+  }
+
+  private val q88Body =
+    s"""select *
+       |from
+       | ${q88Block("h8_30_to_9", 8, "second")} s1,
+       | ${q88Block("h9_to_9_30", 9, "first")} s2,
+       | ${q88Block("h9_30_to_10", 9, "second")} s3,
+       | ${q88Block("h10_to_10_30", 10, "first")} s4,
+       | ${q88Block("h10_30_to_11", 10, "second")} s5,
+       | ${q88Block("h11_to_11_30", 11, "first")} s6,
+       | ${q88Block("h11_30_to_12", 11, "second")} s7,
+       | ${q88Block("h12_to_12_30", 12, "first")} s8""".stripMargin
+
+  private val q96Body =
+    """select count(*) as cnt
+      |from store_sales
+      |    ,household_demographics
+      |    ,time_dim, store
+      |where ss_sold_time_sk = time_dim.t_time_sk
+      |    and ss_hdemo_sk = household_demographics.hd_demo_sk
+      |    and ss_store_sk = s_store_sk
+      |    and time_dim.t_hour = 8
+      |    and time_dim.t_minute >= 30
+      |    and household_demographics.hd_dep_count = 5
+      |    and store.s_store_name = 'ese'
+      |order by cnt
+      |limit 100""".stripMargin
+
+  private val q98Body =
+    """select i_item_desc
+      |      ,i_category
+      |      ,i_class
+      |      ,cast(i_current_price as double) as i_current_price
+      |      ,cast(sum(ss_ext_sales_price) as double) as itemrevenue
+      |      ,cast(sum(ss_ext_sales_price) as double)*100/
+      |         cast(sum(sum(ss_ext_sales_price)) over (partition by i_class) as double) as revenueratio
+      |from
+      |	store_sales
+      |    	,item
+      |    	,date_dim
+      |where
+      |	ss_item_sk = i_item_sk
+      |  	and i_category in ('Jewelry', 'Sports', 'Books')
+      |  	and ss_sold_date_sk = d_date_sk
+      |	and d_date between cast('2001-01-12' as date)
+      |				and (cast('2001-01-12' as date) + interval '30' day)
+      |group by
+      |	i_item_id
+      |        ,i_item_desc
+      |        ,i_category
+      |        ,i_class
+      |        ,i_current_price
+      |order by
+      |	i_category
+      |        ,i_class
+      |        ,i_item_id
+      |        ,i_item_desc
+      |        ,revenueratio""".stripMargin
+
+  private val bodies: Map[String, String] = Map(
+    "ds03_tpcds_brand_year" -> q3Body,
+    "ds42_tpcds_category_month" -> q42Body,
+    "ds52_tpcds_brand_month" -> q52Body,
+    "ds55_tpcds_brand_manager" -> q55Body,
+    "ds65_tpcds_underperf_items" -> q65Body,
+    "ds73_tpcds_ticket_counts" -> q73Body,
+    "ds79_tpcds_city_profit" -> q79Body,
+    "ds88_tpcds_timeband_counts" -> q88Body,
+    "ds96_tpcds_rush_hour" -> q96Body,
+    "ds98_tpcds_class_ratio" -> q98Body)
+
+  private def run(body: String)(s: SparkSession, dir: String): DataFrame = {
+    TpcDs.ensure(s)
+    s.sql(body)
+  }
+
+  override val entries: Map[String, (SparkSession, String) => DataFrame] =
+    bodies.map { case (name, body) => name -> (run(body) _) }
+
+  override val oracles: Map[String, String] =
+    bodies.map { case (name, body) => name -> (TpcDs.oraclePrefix + body) }
+}

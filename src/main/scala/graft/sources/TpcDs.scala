@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic TPC-DS store-channel corpus (reference
+  * sdks/java/testing/tpcds — schema from the TPC-DS spec the reference
+  * ships queries for). No dsdgen exists in this environment, so the
+  * tables are generated once from `spark.range` + xxhash64-derived
+  * attributes and persisted under target/tpcds/v1; BOTH the Spark queries
+  * and the DuckDB oracles read the SAME parquet files, so correctness
+  * compares engine behavior on identical bytes, not generator parity.
+  *
+  * Value domains are chosen so every ported query's literal filters
+  * (i_manufact_id=436, i_manager_id in {1,36}, d_moy=12, d_dow=1,
+  * s_store_name='ese', hd_dep_count in {0,1,3,8}, t_hour in 8..12,
+  * s_number_employees in 200..295, category Jewelry/Sports/Books,
+  * d_month_seq 1212..1223) select non-empty, <LIMIT-sized answers.
+  * Money columns are DECIMAL(7,2) end to end: decimal sums are exact and
+  * order-independent, so query results are hash-stable (final sums cast
+  * to DOUBLE for the driver, same as q03).
+  */
+object TpcDs {
+
+  val dir = "/root/repo/target/tpcds/v1"
+
+  val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
+    "household_demographics", "customer")
+
+  private val SalesRows = 1000000L
+  private val Items = 2000L
+  private val Customers = 5000L
+  private val Dates = 1826L // 1998-01-01 .. 2002-12-31
+  private val Stores = 12L
+  private val HouseholdDemos = 720L
+
+  private def h(c: org.apache.spark.sql.Column, seed: Int) =
+    xxhash64(c, lit(seed))
+
+  private def gen(spark: SparkSession): Map[String, DataFrame] = {
+    val ss = spark.range(SalesRows)
+      .withColumn("ticket", col("id") / 3 cast "long")
+      .select(
+        col("ticket").as("ss_ticket_number"),
+        (pmod(h(col("ticket"), 1), lit(Customers)) + 1).as("ss_customer_sk"),
+        (pmod(h(col("ticket"), 2), lit(1000L)) + 1).as("ss_addr_sk"),
+        (pmod(h(col("ticket"), 3), lit(Dates)) + 1).as("ss_sold_date_sk"),
+        pmod(h(col("ticket"), 4), lit(86400L)).as("ss_sold_time_sk"),
+        (pmod(h(col("ticket"), 5), lit(HouseholdDemos)) + 1).as("ss_hdemo_sk"),
+        (pmod(h(col("ticket"), 6), lit(Stores)) + 1).as("ss_store_sk"),
+        (pmod(h(col("id"), 7), lit(Items)) + 1).as("ss_item_sk"),
+        (pmod(h(col("id"), 8), lit(10L)) + 1).cast("int").as("ss_quantity"),
+        col("id"))
+      .withColumn("ss_sales_price", // heavy-tailed by item so q65's 10%-of-avg filter selects
+        round(pow(pmod(col("ss_item_sk"), lit(300L)) + 1, 2) / 100.0, 2).cast("decimal(7,2)"))
+      .withColumn("ss_ext_sales_price",
+        (col("ss_sales_price") * col("ss_quantity")).cast("decimal(7,2)"))
+      .withColumn("ss_coupon_amt",
+        (pmod(h(col("id"), 9), lit(500L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("ss_net_profit",
+        ((pmod(h(col("id"), 10), lit(2000L)) - 500) / 100.0).cast("decimal(7,2)"))
+      .drop("id")
+
+    val dates = spark.range(Dates).select(
+      (col("id") + 1).as("d_date_sk"),
+      date_add(lit("1998-01-01").cast("date"), col("id").cast("int")).as("d_date"))
+      .withColumn("d_year", year(col("d_date")))
+      .withColumn("d_moy", month(col("d_date")))
+      .withColumn("d_dom", dayofmonth(col("d_date")))
+      .withColumn("d_dow", dayofweek(col("d_date")) - 1) // 0 = Sunday
+      .withColumn("d_day_name", date_format(col("d_date"), "EEEE"))
+      .withColumn("d_week_seq", (floor((col("d_date_sk") - 1) / 7) + 1).cast("int"))
+      .withColumn("d_month_seq", ((col("d_year") - 1900) * 12 + col("d_moy") - 1).cast("int"))
+
+    val times = spark.range(86400L).select(
+      col("id").as("t_time_sk"),
+      (col("id") / 3600).cast("int").as("t_hour"),
+      ((col("id") % 3600) / 60).cast("int").as("t_minute"))
+
+    val item = spark.range(Items).select((col("id") + 1).as("i_item_sk"))
+      .withColumn("i_item_id", concat(lit("ITEM_"), lpad(col("i_item_sk"), 6, "0")))
+      .withColumn("i_item_desc", concat(lit("item description "), col("i_item_sk")))
+      // hash-derived so a manufact/manager filter selects items with
+      // uncorrelated brands/categories (modulo would alias them)
+      .withColumn("i_manufact_id", pmod(h(col("i_item_sk"), 13), lit(1000L)).cast("int"))
+      .withColumn("i_manager_id", pmod(h(col("i_item_sk"), 14), lit(100L)).cast("int"))
+      .withColumn("i_brand_id", (pmod(col("i_item_sk"), lit(50L)) + 1).cast("int"))
+      .withColumn("i_brand", concat(lit("brand#"), col("i_brand_id")))
+      .withColumn("i_class_id", (pmod(col("i_item_sk"), lit(25L)) + 1).cast("int"))
+      .withColumn("i_class", concat(lit("class_"), col("i_class_id")))
+      .withColumn("i_category_id", (pmod(col("i_item_sk"), lit(10L)) + 1).cast("int"))
+      .withColumn("i_category", element_at(
+        array(Seq("Jewelry", "Sports", "Books", "Home", "Electronics",
+          "Music", "Men", "Women", "Children", "Shoes").map(lit): _*),
+        col("i_category_id")))
+      .withColumn("i_current_price",
+        round(pmod(h(col("i_item_sk"), 11), lit(9000L)) / 100.0 + 1, 2).cast("decimal(7,2)"))
+      .withColumn("i_wholesale_cost",
+        round(pmod(h(col("i_item_sk"), 12), lit(5000L)) / 100.0 + 1, 2).cast("decimal(7,2)"))
+
+    val store = spark.range(Stores).select((col("id") + 1).as("s_store_sk"))
+      .withColumn("s_store_id", concat(lit("S_"), lpad(col("s_store_sk"), 3, "0")))
+      .withColumn("s_store_name",
+        when(col("s_store_sk") === 1, "ese")
+          .otherwise(concat(lit("store_"), col("s_store_sk"))))
+      .withColumn("s_county", lit("Williamson County"))
+      .withColumn("s_city", concat(lit("City_"), pmod(col("s_store_sk"), lit(5L))))
+      .withColumn("s_number_employees", (lit(150) + col("s_store_sk") * 10).cast("int"))
+
+    val hd = spark.range(HouseholdDemos).select((col("id") + 1).as("hd_demo_sk"))
+      .withColumn("hd_dep_count", pmod(col("hd_demo_sk"), lit(10L)).cast("int"))
+      .withColumn("hd_vehicle_count", pmod(col("hd_demo_sk"), lit(5L)).cast("int"))
+      .withColumn("hd_buy_potential", element_at(
+        array(Seq(">10000", "Unknown", "1001-5000", "501-1000").map(lit): _*),
+        (pmod(col("hd_demo_sk"), lit(4L)) + 1).cast("int")))
+
+    val customer = spark.range(Customers).select((col("id") + 1).as("c_customer_sk"))
+      .withColumn("c_first_name", concat(lit("First"), col("c_customer_sk")))
+      .withColumn("c_last_name", concat(lit("Last"), lpad(col("c_customer_sk"), 6, "0")))
+      .withColumn("c_salutation", element_at(
+        array(Seq("Mr.", "Mrs.", "Ms.", "Dr.").map(lit): _*),
+        (pmod(col("c_customer_sk"), lit(4L)) + 1).cast("int")))
+      .withColumn("c_preferred_cust_flag",
+        element_at(array(lit("Y"), lit("N")),
+          (pmod(col("c_customer_sk"), lit(2L)) + 1).cast("int")))
+
+    Map("store_sales" -> ss, "date_dim" -> dates, "time_dim" -> times,
+      "item" -> item, "store" -> store, "household_demographics" -> hd,
+      "customer" -> customer)
+  }
+
+  /** Generate-once: write each table if its directory isn't committed yet,
+    * then register temp views so the ported SQL runs verbatim. */
+  def ensure(spark: SparkSession): Unit = synchronized {
+    val frames = if (tables.forall(t => new File(s"$dir/$t/_SUCCESS").exists())) None
+    else Some(gen(spark))
+    frames.foreach(_.foreach { case (name, df) =>
+      df.repartition(if (name == "store_sales") 8 else 1)
+        .write.mode("overwrite").parquet(s"$dir/$name")
+    })
+    tables.foreach { t =>
+      spark.read.parquet(s"$dir/$t").createOrReplaceTempView(t)
+    }
+  }
+
+  /** DuckDB oracle prefix: the same tables as WITH-views over the SAME
+    * parquet files the Spark run read. */
+  def oraclePrefix: String =
+    tables.map(t => s"$t AS (SELECT * FROM read_parquet('$dir/$t/*.parquet'))")
+      .mkString("WITH ", ",\n", "\n")
+}
