@@ -73,11 +73,57 @@ object IOQueries extends QueryModule {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin
 
+  // TFRecord roundtrip (io/TFRecordIO.java): document text → UTF-8
+  // record bytes → sharded .tfrecord → CRC-checked read-back → content
+  // aggregate. The oracle reads the original parquet; md5 equality pins
+  // byte-exact record fidelity without depending on row order.
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft-tfrecord-gate").resolve("docs").toString
+    FileIO.writeTFRecord(
+      Tables.documents(s, dir).select(col("text").cast("binary").as("value"))
+        .repartition(4),
+      path)
+    FileIO.readTFRecord(s, path)
+      .select(md5(col("value")).as("m"), octet_length(col("value")).as("len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("len").as("total_bytes"),
+        countDistinct(col("m")).as("n_distinct"),
+        min("m").as("min_md5"), max("m").as("max_md5"))
+  }
+
+  private val q78Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+      |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+      |FROM documents""".stripMargin
+
+  // XML roundtrip (sdks/java/io/xml/XmlIO.java) through Spark 4's
+  // built-in XML source: nation → XML documents → read-back → aggregate.
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft-xml-gate").resolve("nation").toString
+    FileIO.writeXml(Tables.nation(s, dir), path, rowTag = "nation")
+    FileIO.readXml(s, path, rowTag = "nation")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_nationkey")).cast("long").as("key_sum"),
+        min("n_name").as("first_name"), max("n_name").as("last_name"))
+  }
+
+  private val q79Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+      |  min(n_name) AS first_name, max(n_name) AS last_name
+      |FROM nation""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_avro_roundtrip" -> q76,
-    "q77_seekable_lookup_join" -> q77)
+    "q77_seekable_lookup_join" -> q77,
+    "q78_tfrecord_roundtrip" -> q78,
+    "q79_xml_roundtrip" -> q79)
 
   override val oracles: Map[String, String] = Map(
     "q76_avro_roundtrip" -> q76Sql,
-    "q77_seekable_lookup_join" -> q77Sql)
+    "q77_seekable_lookup_join" -> q77Sql,
+    "q78_tfrecord_roundtrip" -> q78Sql,
+    "q79_xml_roundtrip" -> q79Sql)
 }

@@ -41,6 +41,18 @@ object FileIO {
       readerSchemaJson: Option[String] = None): DataFrame =
     graft.sources.avro.AvroIO.read(spark, path, readerSchemaJson)
 
+  /** TFRecordIO.read (io/TFRecordIO.java): one binary `value` column,
+    * one file per task (the format has no sync markers — shard on write
+    * for read parallelism). */
+  def readTFRecord(spark: SparkSession, path: String,
+      checkCrc: Boolean = true): DataFrame =
+    graft.sources.tfrecord.TFRecordIO.read(spark, path, checkCrc)
+
+  /** XmlIO (sdks/java/io/xml/XmlIO.java): Spark 4's built-in XML source;
+    * `rowTag` names the repeated record element. */
+  def readXml(spark: SparkSession, path: String, rowTag: String): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag).load(path)
+
   /** Streaming file watch (≙ TextIO.watchForNewFiles / Watch.growthOf):
     * Spark's file stream source natively polls for new files. */
   def watchText(spark: SparkSession, dir: String): DataFrame =
@@ -71,4 +83,12 @@ object FileIO {
     * explicit shard control (withNumShards). */
   def writeAvro(df: DataFrame, path: String, codec: String = "snappy"): Unit =
     graft.sources.avro.AvroIO.write(df, path, codec)
+
+  /** TFRecordIO.write: sharded record files from a binary column. */
+  def writeTFRecord(df: DataFrame, path: String, recordCol: String = "value"): Unit =
+    graft.sources.tfrecord.TFRecordIO.write(df, path, recordCol)
+
+  /** XmlIO.write: one XML document per shard with `rowTag` records. */
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.format("xml").option("rowTag", rowTag).mode("overwrite").save(path)
 }
