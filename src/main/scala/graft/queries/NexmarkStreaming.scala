@@ -108,8 +108,16 @@ object NexmarkStreaming {
     * engine rejects the plan. */
   def run(spark: SparkSession, name: String, n: Long,
       rowsPerBatch: Long = 0L, timeoutMs: Long = 300000L): Option[Double] = {
-    val batchRows = if (rowsPerBatch > 0) rowsPerBatch else math.max(1L, n / 10)
+    val batchRows = if (rowsPerBatch > 0) rowsPerBatch else math.max(1L, n / 5)
     val ckpt = Files.createTempDirectory(s"graft-nexmark-stream-$name").toString
+    // Stateful micro-batch cost is dominated by per-batch state-store
+    // commits: one store per shuffle partition per stateful operator per
+    // batch. Size the state partitioning to the workload, not the batch
+    // default — at bench event counts a handful of stores is right; on a
+    // real cluster this is sized to executors (state scales out by key).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4, math.min(16, n / 25000)).toString)
     val ev = stream(spark, n, batchRows)
     try {
       val t0 = System.nanoTime()
@@ -140,6 +148,6 @@ object NexmarkStreaming {
       case e: Throwable =>
         System.err.println(s"[nexmark-streaming] $name: ${e.getMessage}")
         None
-    }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }
