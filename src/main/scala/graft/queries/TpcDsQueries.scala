@@ -22,6 +22,19 @@ import graft.sources.TpcDs
   *  - q79 adds ss_ticket_number to ORDER BY (its reference sort key is
   *    not total, and LIMIT under a non-total order is undefined);
   *  - q96/q88's zetasql alias workaround from the reference is kept.
+  *
+  * Scale notes (the corpus is run as written, so these are properties of
+  * the reference queries themselves): q65 repeats an identical
+  * store_sales aggregation subquery — Catalyst plans two fact scans (no
+  * cross-subquery materialization); at 100 TB the production form
+  * pre-aggregates (store, item) revenue once into a bucketed table and
+  * joins both consumers against it. q88 is eight scalar subqueries over
+  * store_sales with different time-band filters — eight fact scans as
+  * written; the single-pass form is one scan with eight conditional
+  * count aggregates (`count(case when ... end)`). Both single-pass
+  * rewrites are ordinary graft aggregations (see q37/q55-style
+  * conditional aggs); the corpus entries deliberately keep the reference
+  * text to compare engine behavior on the same shape.
   */
 object TpcDsQueries extends QueryModule {
 
