@@ -263,7 +263,121 @@ object TpcDsQueries extends QueryModule {
       |        ,i_item_desc
       |        ,revenueratio""".stripMargin
 
+  private val q43Body =
+    """select s_store_name, s_store_id,
+      |       cast(sum(case when (d_day_name='Sunday') then ss_sales_price else null end) as double) sun_sales,
+      |       cast(sum(case when (d_day_name='Monday') then ss_sales_price else null end) as double) mon_sales,
+      |       cast(sum(case when (d_day_name='Tuesday') then ss_sales_price else  null end) as double) tue_sales,
+      |       cast(sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) as double) wed_sales,
+      |       cast(sum(case when (d_day_name='Thursday') then ss_sales_price else null end) as double) thu_sales,
+      |       cast(sum(case when (d_day_name='Friday') then ss_sales_price else null end) as double) fri_sales,
+      |       cast(sum(case when (d_day_name='Saturday') then ss_sales_price else null end) as double) sat_sales
+      |from date_dim, store_sales, store
+      |where d_date_sk = ss_sold_date_sk and
+      |      s_store_sk = ss_store_sk and
+      |      s_gmt_offset = -5 and
+      |      d_year = 1998
+      |group by s_store_name, s_store_id
+      |order by s_store_name, s_store_id,sun_sales,mon_sales,tue_sales,wed_sales,thu_sales,fri_sales,sat_sales
+      |limit 100""".stripMargin
+
+  // q53/q63/q89 deviation predicate, exactly: avg>0 and
+  // abs(s - tot/cnt)/(tot/cnt) > 0.1  <=>  tot>0 and 10*|cnt*s - tot| > tot
+  // (decimal/integer arithmetic only — DuckDB's floating-point decimal AVG
+  // would flip boundary rows). The window aggregate pair (sum, count) over
+  // the partition IS the reference's avg-over-window, computed exactly.
+
+  private val q53Body =
+    """select i_manufact_id, d_qoy,
+      |       cast(ssum as double) sum_sales,
+      |       cast(wtot as double) / wcnt as avg_quarterly_sales
+      |from
+      |(select i_manufact_id, d_qoy,
+      |        sum(ss_sales_price) ssum,
+      |        sum(sum(ss_sales_price)) over (partition by i_manufact_id) wtot,
+      |        count(*) over (partition by i_manufact_id) wcnt
+      |from item, store_sales, date_dim, store
+      |where ss_item_sk = i_item_sk and
+      |ss_sold_date_sk = d_date_sk and
+      |ss_store_sk = s_store_sk and
+      |d_month_seq in (1212,1212+1,1212+2,1212+3,1212+4,1212+5,1212+6,1212+7,1212+8,1212+9,1212+10,1212+11) and
+      |((i_category in ('Books','Children','Electronics') and
+      |i_class in ('class_3','class_9','class_5','class_13') and
+      |i_brand in ('brand#3','brand#9','brand#5','brand#13'))
+      |or(i_category in ('Women','Music','Men') and
+      |i_class in ('class_8','class_6','class_7') and
+      |i_brand in ('brand#8','brand#6','brand#7')))
+      |group by i_manufact_id, d_qoy ) tmp1
+      |where wtot > 0 and 10 * abs(wcnt * ssum - wtot) > wtot
+      |order by avg_quarterly_sales,
+      |         sum_sales,
+      |         i_manufact_id, d_qoy
+      |limit 100""".stripMargin
+
+  private val q63Body =
+    """select i_manager_id, d_moy,
+      |       cast(ssum as double) sum_sales,
+      |       cast(wtot as double) / wcnt as avg_monthly_sales
+      |from
+      |(select i_manager_id, d_moy,
+      |        sum(ss_sales_price) ssum,
+      |        sum(sum(ss_sales_price)) over (partition by i_manager_id) wtot,
+      |        count(*) over (partition by i_manager_id) wcnt
+      |from item, store_sales, date_dim, store
+      |where ss_item_sk = i_item_sk
+      |  and ss_sold_date_sk = d_date_sk
+      |  and ss_store_sk = s_store_sk
+      |  and d_month_seq in (1212,1212+1,1212+2,1212+3,1212+4,1212+5,1212+6,1212+7,1212+8,1212+9,1212+10,1212+11)
+      |  and ((    i_category in ('Books','Children','Electronics')
+      |        and i_class in ('class_3','class_9','class_5','class_13')
+      |        and i_brand in ('brand#3','brand#9','brand#5','brand#13'))
+      |     or(    i_category in ('Women','Music','Men')
+      |        and i_class in ('class_8','class_6','class_7')
+      |        and i_brand in ('brand#8','brand#6','brand#7')))
+      |group by i_manager_id, d_moy) tmp1
+      |where wtot > 0 and 10 * abs(wcnt * ssum - wtot) > wtot
+      |order by i_manager_id
+      |        ,avg_monthly_sales
+      |        ,sum_sales, d_moy
+      |limit 100""".stripMargin
+
+  private val q89Body =
+    """select i_category, i_class, i_brand,
+      |       s_store_name, s_company_name, d_moy,
+      |       cast(ssum as double) sum_sales,
+      |       cast(wtot as double) / wcnt as avg_monthly_sales
+      |from(
+      |select i_category, i_class, i_brand,
+      |       s_store_name, s_company_name,
+      |       d_moy,
+      |       sum(ss_sales_price) ssum,
+      |       sum(sum(ss_sales_price)) over
+      |         (partition by i_category, i_brand, s_store_name, s_company_name) wtot,
+      |       count(*) over
+      |         (partition by i_category, i_brand, s_store_name, s_company_name) wcnt
+      |from item, store_sales, date_dim, store
+      |where ss_item_sk = i_item_sk and
+      |      ss_sold_date_sk = d_date_sk and
+      |      ss_store_sk = s_store_sk and
+      |      d_year in (2000) and
+      |        ((i_category in ('Home','Books','Electronics') and
+      |          i_class in ('class_4','class_3','class_5','class_14')
+      |         )
+      |      or (i_category in ('Shoes','Jewelry','Men') and
+      |          i_class in ('class_10','class_1','class_7')
+      |        ))
+      |group by i_category, i_class, i_brand,
+      |         s_store_name, s_company_name, d_moy) tmp1
+      |where wtot <> 0 and 10 * abs(wcnt * ssum - wtot) > wtot
+      |order by cast(ssum as double) - cast(wtot as double) / wcnt, s_store_name,
+      |         i_category, i_class, i_brand, d_moy
+      |limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds43_tpcds_weekday_pivot" -> q43Body,
+    "ds53_tpcds_quarterly_deviation" -> q53Body,
+    "ds63_tpcds_monthly_deviation" -> q63Body,
+    "ds89_tpcds_rolling_deviation" -> q89Body,
     "ds03_tpcds_brand_year" -> q3Body,
     "ds42_tpcds_category_month" -> q42Body,
     "ds52_tpcds_brand_month" -> q52Body,

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v1"
+  val dir = "/root/repo/target/tpcds/v2"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer")
@@ -73,6 +73,7 @@ object TpcDs {
       .withColumn("d_day_name", date_format(col("d_date"), "EEEE"))
       .withColumn("d_week_seq", (floor((col("d_date_sk") - 1) / 7) + 1).cast("int"))
       .withColumn("d_month_seq", ((col("d_year") - 1900) * 12 + col("d_moy") - 1).cast("int"))
+      .withColumn("d_qoy", quarter(col("d_date")))
 
     val times = spark.range(86400L).select(
       col("id").as("t_time_sk"),
@@ -108,6 +109,9 @@ object TpcDs {
       .withColumn("s_county", lit("Williamson County"))
       .withColumn("s_city", concat(lit("City_"), pmod(col("s_store_sk"), lit(5L))))
       .withColumn("s_number_employees", (lit(150) + col("s_store_sk") * 10).cast("int"))
+      .withColumn("s_gmt_offset", lit(-5).cast("int"))
+      .withColumn("s_company_name",
+        concat(lit("company_"), pmod(col("s_store_sk"), lit(3L))))
 
     val hd = spark.range(HouseholdDemos).select((col("id") + 1).as("hd_demo_sk"))
       .withColumn("hd_dep_count", pmod(col("hd_demo_sk"), lit(10L)).cast("int"))
