@@ -3,10 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.TpcDs
 
-/** Ten queries from the reference's TPC-DS corpus
-  * (sdks/java/testing/tpcds/src/main/resources/queries/query{3,42,52,55,
-  * 65,73,79,88,96,98}.sql), run over the deterministic store-channel
-  * tables of [[graft.sources.TpcDs]]. The SQL body is SHARED between the
+/** Fourteen queries from the reference's TPC-DS corpus
+  * (sdks/java/testing/tpcds/src/main/resources/queries/query{3,42,43,52,
+  * 53,55,63,65,73,79,88,89,96,98}.sql), run over the deterministic
+  * store-channel tables of [[graft.sources.TpcDs]]. The SQL body is SHARED between the
   * Spark run and the DuckDB oracle (which reads the same parquet through
   * WITH-views), so the gate compares the two engines on identical bytes.
   *
