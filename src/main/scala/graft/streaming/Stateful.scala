@@ -165,6 +165,44 @@ object Stateful {
         else (Some(cells), Seq.empty)
       })
 
+  /** AfterFirst(AfterPane.elementCountAtLeast(n),
+    * AfterProcessingTime.pastFirstElementInPane().plusDelayOf(d)) under
+    * Repeatedly (transforms/windowing/AfterFirst.java): a pane fires on
+    * WHICHEVER sub-trigger satisfies first — the nth element emits
+    * immediately and disarms the pane timer; otherwise the d-delay timer
+    * armed by the pane's first element emits what accumulated.
+    * Accumulating panes with indices, like the two sub-triggers alone. */
+  def firstOfTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
+      add: (A, V) => A, every: Int, delayMs: Long)(
+      implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
+      sEnc: Encoder[Cells[(A, Int, Long)]]): Dataset[(K, A, Long)] =
+    statefulParDo[K, V, (A, Int, Long), (K, A, Long)](
+      ds, zero = (zero, 0, 0L),
+      onElements = (k, elems, cells) => {
+        var (acc, sinceEmit, pane) = cells.value
+        var timers = cells.timers
+        val out = Seq.newBuilder[(K, A, Long)]
+        elems.foreach { v =>
+          if (sinceEmit == 0) // first element of this pane arms the clock
+            timers = timers.set("pane", System.currentTimeMillis() + delayMs)
+          acc = add(acc, v)
+          sinceEmit += 1
+          if (sinceEmit >= every) { // count side satisfied first
+            out += ((k, acc, pane))
+            pane += 1
+            sinceEmit = 0
+            timers = timers.clear("pane")
+          }
+        }
+        (Some(Cells((acc, sinceEmit, pane), timers)), out.result())
+      },
+      onTimer = (k, _, cells) => {
+        val (acc, sinceEmit, pane) = cells.value
+        if (sinceEmit > 0) // time side satisfied first: flush the open pane
+          (Some(Cells((acc, 0, pane + 1), cells.timers)), Seq((k, acc, pane)))
+        else (Some(cells), Seq.empty)
+      })
+
   /** GroupIntoBatches (transforms/GroupIntoBatches.java:59): per-key
     * batches of `batchSize`, flushed early after `maxWaitMs` of
     * inactivity (the flush timer is the reference's buffering timer). */

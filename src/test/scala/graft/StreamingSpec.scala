@@ -247,6 +247,24 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("AfterFirst(count, processing-time) fires on whichever satisfies first") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val panes = Stateful.firstOfTriggered[String, Int, Long](
+      input.toDS(), zero = 0L, add = (a, v) => a + v, every = 3, delayMs = 700)
+    val q = panes.toDF("k", "running_sum", "pane")
+      .writeStream.format("memory").queryName("first_of")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      input.addData(("a", 1), ("a", 2)) // below count: the 700ms clock fires
+      awaitRows("first_of", 1)
+      input.addData(("a", 3), ("a", 4), ("a", 5)) // count side fires at once
+      awaitRows("first_of", 2)
+      val rows = spark.table("first_of").as[(String, Long, Long)].collect().sortBy(_._3)
+      assert(rows.toSeq == Seq(("a", 3L, 0L), ("a", 15L, 1L)))
+    } finally q.stop()
+  }
+
   test("windowed writes: file sink partitioned by window start (WriteFiles windowed writes)") {
     implicit val ctx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("graft-winwrite").resolve("out").toString
