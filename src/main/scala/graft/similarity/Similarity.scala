@@ -127,6 +127,54 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Persist an IVF index as a CELL-BUCKETED table: one bucket (= one
+    * file, via the cell repartition) per k-means cell, so a query's
+    * `nprobe` cells resolve to `nprobe` bucket files. Returns the
+    * centroid codebook (driver-held, a few KB — ship it with the table).
+    * This is the "bucketed-by-cell persistence" serving layout: at 100 TB
+    * the scan cost per query is nprobe/nlist of the corpus, independent
+    * of executor count. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      table: String, nlist: Int = 16, seed: Long = 42L,
+      maxIter: Int = 5): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .fit(c.select(array_to_vector(col("cv")).as("features")))
+    val assigned = model.transform(c.withColumn("features", array_to_vector(col("cv"))))
+      .withColumn("cell", col("prediction").cast("int"))
+      .select("nn_id", "cv", "cell")
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite")
+      .bucketBy(nlist, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(table)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** Query a persisted IVF index: each query's `nprobe` nearest cells
+    * are point-looked-up through the bucket-file seek (graft.api.Lookup)
+    * — only the probed cells' files are read, then scoring and the
+    * bounded top-k merge proceed as in ivfTopK. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      centers: Array[Array[Double]], queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val probeCells = udf { (v: Seq[Double]) =>
+      centers.zipWithIndex.map { case (ctr, i) =>
+        var s = 0.0; var j = 0
+        while (j < ctr.length) { val d = ctr(j) - v(j); s += d * d; j += 1 }
+        (s, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qcell", explode(probeCells(col("qv"))))
+    val scored = graft.api.Lookup.lookupJoin(spark, q, table, "qcell", "cell")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
+      .select("query_id", "nn_id", "sim") // each vector lives in exactly one cell: no dup pairs
+    rankTopK(scored, k)
+  }
+
   /** Approximate top-k via standard multi-table LSH: `tables` independent
     * `nBits`-bit signature tables; a corpus vector is a candidate if it
     * collides with the query in ANY table. Recall rises with `tables`,
