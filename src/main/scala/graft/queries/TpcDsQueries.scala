@@ -3,10 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.TpcDs
 
-/** Fourteen queries from the reference's TPC-DS corpus
-  * (sdks/java/testing/tpcds/src/main/resources/queries/query{3,42,43,52,
-  * 53,55,63,65,73,79,88,89,96,98}.sql), run over the deterministic
-  * store-channel tables of [[graft.sources.TpcDs]]. The SQL body is SHARED between the
+/** Eighteen queries from the reference's TPC-DS corpus
+  * (sdks/java/testing/tpcds/src/main/resources/queries/query{3,28,41,42,
+  * 43,44,47,52,53,55,63,65,73,79,88,89,96,98}.sql), run over the
+  * deterministic store-channel tables of [[graft.sources.TpcDs]]. The SQL body is SHARED between the
   * Spark run and the DuckDB oracle (which reads the same parquet through
   * WITH-views), so the gate compares the two engines on identical bytes.
   *
@@ -373,7 +373,180 @@ object TpcDsQueries extends QueryModule {
       |         i_category, i_class, i_brand, d_moy
       |limit 100""".stripMargin
 
+  private def q28Block(alias: String, qLo: Int, qHi: Int, lp: Int,
+      cpLo: Double, wc: Int): String =
+    s"""(select cast(sum(ss_list_price) as double)/count(ss_list_price) ${alias}_LP
+       |      ,count(ss_list_price) ${alias}_CNT
+       |      ,count(distinct ss_list_price) ${alias}_CNTD
+       | from store_sales
+       | where ss_quantity between $qLo and $qHi
+       |   and (ss_list_price between $lp and $lp+10
+       |        or ss_coupon_amt between $cpLo and $cpLo+1
+       |        or ss_wholesale_cost between $wc and $wc+20)) $alias""".stripMargin
+
+  private val q28Body =
+    s"""select *
+       |from ${q28Block("B1", 1, 5, 11, 0.5, 14)},
+       |     ${q28Block("B2", 6, 10, 91, 1.5, 32)},
+       |     ${q28Block("B3", 11, 15, 66, 2.5, 4)},
+       |     ${q28Block("B4", 16, 20, 142, 3.5, 80)},
+       |     ${q28Block("B5", 21, 25, 135, 3.0, 38)},
+       |     ${q28Block("B6", 26, 30, 28, 2.0, 42)}
+       |limit 100""".stripMargin
+
+  private val q41Body =
+    """select distinct(i_product_name)
+      |from item i1
+      |where i_manufact_id between 742 and 742+40
+      |  and (select count(*) as item_cnt
+      |       from item
+      |       where (i_manufact = i1.i_manufact and
+      |       ((i_category = 'Women' and
+      |       (i_color = 'orchid' or i_color = 'papaya') and
+      |       (i_units = 'Pound' or i_units = 'Lb') and
+      |       (i_size = 'petite' or i_size = 'medium')
+      |       ) or
+      |       (i_category = 'Women' and
+      |       (i_color = 'burlywood' or i_color = 'navy') and
+      |       (i_units = 'Bundle' or i_units = 'Each') and
+      |       (i_size = 'N/A' or i_size = 'extra large')
+      |       ) or
+      |       (i_category = 'Men' and
+      |       (i_color = 'bisque' or i_color = 'azure') and
+      |       (i_units = 'N/A' or i_units = 'Tsp') and
+      |       (i_size = 'small' or i_size = 'large')
+      |       ) or
+      |       (i_category = 'Men' and
+      |       (i_color = 'chocolate' or i_color = 'cornflower') and
+      |       (i_units = 'Bunch' or i_units = 'Gross') and
+      |       (i_size = 'petite' or i_size = 'medium')
+      |       ))) or
+      |      (i_manufact = i1.i_manufact and
+      |       ((i_category = 'Women' and
+      |       (i_color = 'salmon' or i_color = 'midnight') and
+      |       (i_units = 'Oz' or i_units = 'Box') and
+      |       (i_size = 'petite' or i_size = 'medium')
+      |       ) or
+      |       (i_category = 'Women' and
+      |       (i_color = 'snow' or i_color = 'steel') and
+      |       (i_units = 'Carton' or i_units = 'Tbl') and
+      |       (i_size = 'N/A' or i_size = 'extra large')
+      |       ) or
+      |       (i_category = 'Men' and
+      |       (i_color = 'maroon' or i_color = 'ivory') and
+      |       (i_units = 'Pound' or i_units = 'Each') and
+      |       (i_size = 'small' or i_size = 'large')
+      |       ) or
+      |       (i_category = 'Men' and
+      |       (i_color = 'khaki' or i_color = 'sienna') and
+      |       (i_units = 'Bundle' or i_units = 'Gross') and
+      |       (i_size = 'petite' or i_size = 'medium')
+      |       )))) > 0
+      |order by i_product_name
+      |limit 100""".stripMargin
+
+  private val q44Body =
+    """select asceding.rnk, i1.i_product_name best_performing, i2.i_product_name worst_performing
+      |from(select *
+      |     from (select item_sk, rank() over (order by rank_col asc) rnk
+      |           from (select ss_item_sk item_sk,
+      |                        cast(sum(ss_net_profit) as double)/count(ss_net_profit) rank_col,
+      |                        sum(ss_net_profit) ssum, count(ss_net_profit) cnt
+      |                 from store_sales ss1
+      |                 where ss_store_sk = 2
+      |                 group by ss_item_sk) V1,
+      |                (select sum(ss_net_profit) bsum, count(ss_net_profit) bcnt
+      |                 from store_sales
+      |                 where ss_store_sk = 2
+      |                   and ss_hdemo_sk is null) B
+      |           where 10 * cast(ssum as double) * bcnt > 9 * cast(bsum as double) * cnt
+      |          ) V11
+      |     where rnk < 11) asceding,
+      |    (select *
+      |     from (select item_sk, rank() over (order by rank_col desc) rnk
+      |           from (select ss_item_sk item_sk,
+      |                        cast(sum(ss_net_profit) as double)/count(ss_net_profit) rank_col,
+      |                        sum(ss_net_profit) ssum, count(ss_net_profit) cnt
+      |                 from store_sales ss1
+      |                 where ss_store_sk = 2
+      |                 group by ss_item_sk) V2,
+      |                (select sum(ss_net_profit) bsum, count(ss_net_profit) bcnt
+      |                 from store_sales
+      |                 where ss_store_sk = 2
+      |                   and ss_hdemo_sk is null) B
+      |           where 10 * cast(ssum as double) * bcnt > 9 * cast(bsum as double) * cnt
+      |          ) V21
+      |     where rnk < 11) descending,
+      |item i1,
+      |item i2
+      |where asceding.rnk = descending.rnk
+      |  and i1.i_item_sk=asceding.item_sk
+      |  and i2.i_item_sk=descending.item_sk
+      |order by asceding.rnk, best_performing, worst_performing
+      |limit 100""".stripMargin
+
+  private val q47Body =
+    """with v1 as(
+      | select i_category, i_brand,
+      |        s_store_name, s_company_name,
+      |        d_year, d_moy,
+      |        sum(ss_sales_price) ssum,
+      |        sum(sum(ss_sales_price)) over
+      |          (partition by i_category, i_brand,
+      |                     s_store_name, s_company_name, d_year) wtot,
+      |        count(*) over
+      |          (partition by i_category, i_brand,
+      |                     s_store_name, s_company_name, d_year) wcnt,
+      |        rank() over
+      |          (partition by i_category, i_brand,
+      |                     s_store_name, s_company_name
+      |           order by d_year, d_moy) rn
+      | from item, store_sales, date_dim, store
+      | where ss_item_sk = i_item_sk and
+      |       ss_sold_date_sk = d_date_sk and
+      |       ss_store_sk = s_store_sk and
+      |       (
+      |         d_year = 2000 or
+      |         ( d_year = 2000-1 and d_moy =12) or
+      |         ( d_year = 2000+1 and d_moy =1)
+      |       )
+      | group by i_category, i_brand,
+      |          s_store_name, s_company_name,
+      |          d_year, d_moy),
+      | v2 as(
+      | select v1.i_category, v1.i_brand, v1.s_store_name, v1.s_company_name
+      |        ,v1.d_year, v1.d_moy
+      |        ,v1.wtot, v1.wcnt
+      |        ,v1.ssum, v1_lag.ssum pssum, v1_lead.ssum nssum
+      | from v1, v1 v1_lag, v1 v1_lead
+      | where v1.i_category = v1_lag.i_category and
+      |       v1.i_category = v1_lead.i_category and
+      |       v1.i_brand = v1_lag.i_brand and
+      |       v1.i_brand = v1_lead.i_brand and
+      |       v1.s_store_name = v1_lag.s_store_name and
+      |       v1.s_store_name = v1_lead.s_store_name and
+      |       v1.s_company_name = v1_lag.s_company_name and
+      |       v1.s_company_name = v1_lead.s_company_name and
+      |       v1.rn = v1_lag.rn + 1 and
+      |       v1.rn = v1_lead.rn - 1)
+      |select i_category, d_year, d_moy
+      |       ,cast(wtot as double) / wcnt as avg_monthly_sales
+      |       ,cast(ssum as double) as sum_sales
+      |       ,cast(pssum as double) as psum
+      |       ,cast(nssum as double) as nsum
+      |from v2
+      |where d_year = 2000 and
+      |      wtot > 0 and
+      |      10 * abs(wcnt * ssum - wtot) > wtot
+      |order by cast(ssum as double) - cast(wtot as double) / wcnt,
+      |         d_moy, i_category, i_brand, s_store_name, sum_sales, psum, nsum
+      |limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds28_tpcds_bucket_stats" -> q28Body,
+    "ds41_tpcds_manufact_exists" -> q41Body,
+    "ds44_tpcds_best_worst_rank" -> q44Body,
+    "ds47_tpcds_lag_lead_windows" -> q47Body,
     "ds43_tpcds_weekday_pivot" -> q43Body,
     "ds53_tpcds_quarterly_deviation" -> q53Body,
     "ds63_tpcds_monthly_deviation" -> q63Body,
@@ -398,5 +571,5 @@ object TpcDsQueries extends QueryModule {
     bodies.map { case (name, body) => name -> (run(body) _) }
 
   override val oracles: Map[String, String] =
-    bodies.map { case (name, body) => name -> (TpcDs.oraclePrefix + body) }
+    bodies.map { case (name, body) => name -> TpcDs.oracleSql(body) }
 }

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v2"
+  val dir = "/root/repo/target/tpcds/v3"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer")
@@ -48,10 +48,14 @@ object TpcDs {
         (pmod(h(col("ticket"), 2), lit(1000L)) + 1).as("ss_addr_sk"),
         (pmod(h(col("ticket"), 3), lit(Dates)) + 1).as("ss_sold_date_sk"),
         pmod(h(col("ticket"), 4), lit(86400L)).as("ss_sold_time_sk"),
-        (pmod(h(col("ticket"), 5), lit(HouseholdDemos)) + 1).as("ss_hdemo_sk"),
+        // ~2% of tickets have no household-demographics link (q44's
+        // baseline population is exactly these null-hdemo rows)
+        when(pmod(h(col("ticket"), 15), lit(50L)) === 0, lit(null))
+          .otherwise(pmod(h(col("ticket"), 5), lit(HouseholdDemos)) + 1)
+          .as("ss_hdemo_sk"),
         (pmod(h(col("ticket"), 6), lit(Stores)) + 1).as("ss_store_sk"),
         (pmod(h(col("id"), 7), lit(Items)) + 1).as("ss_item_sk"),
-        (pmod(h(col("id"), 8), lit(10L)) + 1).cast("int").as("ss_quantity"),
+        (pmod(h(col("id"), 8), lit(30L)) + 1).cast("int").as("ss_quantity"),
         col("id"))
       .withColumn("ss_sales_price", // heavy-tailed by item so q65's 10%-of-avg filter selects
         round(pow(pmod(col("ss_item_sk"), lit(300L)) + 1, 2) / 100.0, 2).cast("decimal(7,2)"))
@@ -61,6 +65,10 @@ object TpcDs {
         (pmod(h(col("id"), 9), lit(500L)) / 100.0).cast("decimal(7,2)"))
       .withColumn("ss_net_profit",
         ((pmod(h(col("id"), 10), lit(2000L)) - 500) / 100.0).cast("decimal(7,2)"))
+      .withColumn("ss_list_price",
+        (pmod(h(col("id"), 16), lit(20000L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("ss_wholesale_cost",
+        (pmod(h(col("id"), 17), lit(10000L)) / 100.0).cast("decimal(7,2)"))
       .drop("id")
 
     val dates = spark.range(Dates).select(
@@ -100,6 +108,24 @@ object TpcDs {
         round(pmod(h(col("i_item_sk"), 11), lit(9000L)) / 100.0 + 1, 2).cast("decimal(7,2)"))
       .withColumn("i_wholesale_cost",
         round(pmod(h(col("i_item_sk"), 12), lit(5000L)) / 100.0 + 1, 2).cast("decimal(7,2)"))
+      .withColumn("i_product_name", concat(lit("product_"), col("i_item_sk")))
+      // coarse manufacturer label (50 groups) so q41's correlated
+      // per-manufacturer existence check has plausible density
+      .withColumn("i_manufact",
+        concat(lit("manufact_"), pmod(col("i_manufact_id"), lit(50))))
+      .withColumn("i_color", element_at(
+        array(Seq("orchid", "papaya", "burlywood", "navy", "bisque", "azure",
+          "chocolate", "cornflower", "salmon", "midnight", "snow", "steel",
+          "maroon", "ivory", "khaki", "sienna").map(lit): _*),
+        (pmod(h(col("i_item_sk"), 18), lit(16L)) + 1).cast("int")))
+      .withColumn("i_units", element_at(
+        array(Seq("Pound", "Lb", "Bundle", "Each", "N/A", "Tsp", "Bunch",
+          "Gross").map(lit): _*),
+        (pmod(h(col("i_item_sk"), 19), lit(8L)) + 1).cast("int")))
+      .withColumn("i_size", element_at(
+        array(Seq("petite", "medium", "N/A", "extra large", "small",
+          "large").map(lit): _*),
+        (pmod(h(col("i_item_sk"), 20), lit(6L)) + 1).cast("int")))
 
     val store = spark.range(Stores).select((col("id") + 1).as("s_store_sk"))
       .withColumn("s_store_id", concat(lit("S_"), lpad(col("s_store_sk"), 3, "0")))
@@ -154,4 +180,13 @@ object TpcDs {
   def oraclePrefix: String =
     tables.map(t => s"$t AS (SELECT * FROM read_parquet('$dir/$t/*.parquet'))")
       .mkString("WITH ", ",\n", "\n")
+
+  /** Wrap a query body for DuckDB; a body that itself starts with WITH
+    * gets its CTEs merged into the view list. */
+  def oracleSql(body: String): String = {
+    val b = body.trim
+    if (b.length >= 4 && b.substring(0, 4).equalsIgnoreCase("with"))
+      oraclePrefix.stripSuffix("\n") + ",\n" + b.substring(4).trim
+    else oraclePrefix + b
+  }
 }
