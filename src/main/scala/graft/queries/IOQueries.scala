@@ -23,10 +23,13 @@ object IOQueries extends QueryModule {
         .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
         .repartition(4),
       path)
+    // money math in DECIMAL (the q03 rule): a parallel double sum over 4
+    // shards is order-dependent at half-cent boundaries vs the oracle's
+    // sequential sum; decimal sums are exact on both engines
     FileIO.readAvro(s, path)
       .groupBy(year(col("o_orderdate")).as("y"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("total"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"),
         max("o_orderkey").as("max_key"))
       .orderBy("y")
   }
@@ -34,7 +37,7 @@ object IOQueries extends QueryModule {
   private val q76Sql =
     """SELECT CAST(year(o_orderdate) AS INT) AS y,
       |  CAST(count(*) AS BIGINT) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS total,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
       |  max(o_orderkey) AS max_key
       |FROM orders GROUP BY 1 ORDER BY y""".stripMargin
 

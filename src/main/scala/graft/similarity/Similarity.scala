@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.functions._
 
 /** One scored candidate; public so encoder codegen can reach it. */
@@ -54,6 +55,11 @@ object Similarity {
     * restored to its original type. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val idType = scored.schema("nn_id").dataType
+    // the heap carries ids as Long; a lossy cast (string/uuid corpus ids)
+    // would silently null every candidate, so reject it up front
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"similarity top-k requires an integral id column; got $idType for nn_id — " +
+        "map string/uuid ids to a long surrogate key before calling")
     val topk = udaf(new TopKAgg(k))
     scored
       .select(col("query_id"), col("sim"), col("nn_id").cast("long").as("id"))

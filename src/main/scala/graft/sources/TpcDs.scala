@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * sdks/java/testing/tpcds — schema from the TPC-DS spec the reference
   * ships queries for). No dsdgen exists in this environment, so the
   * tables are generated once from `spark.range` + xxhash64-derived
-  * attributes and persisted under target/tpcds/v1; BOTH the Spark queries
+  * attributes and persisted under `dir` below; BOTH the Spark queries
   * and the DuckDB oracles read the SAME parquet files, so correctness
   * compares engine behavior on identical bytes, not generator parity.
   *

@@ -73,7 +73,23 @@ object Stateful {
           val (c2, o) = onTimer(key, fired,
             cells.copy(timers = cells.timers.afterFiring(now)))
           (c2, o)
-        } else onElements(key, values.map(_._2).toSeq, cells)
+        } else {
+          // Spark invokes hasTimedOut only for keys with NO data in the
+          // micro-batch, so a continuously-hot key would never drain its
+          // deadlines. Beam fires an eligible timer before delivering the
+          // next bundle; mirror that by draining overdue deadlines here,
+          // then processing the batch's elements against the post-timer
+          // state (zero state if the timer callback cleared it).
+          val now = System.currentTimeMillis()
+          val overdue = cells.timers.fired(now)
+          val (afterTimer, timerOut) =
+            if (overdue.isEmpty) (Some(cells), Seq.empty[O])
+            else onTimer(key, overdue,
+              cells.copy(timers = cells.timers.afterFiring(now)))
+          val (c2, o) = onElements(key, values.map(_._2).toSeq,
+            afterTimer.getOrElse(Cells(zero, Timers.empty)))
+          (c2, timerOut ++ o)
+        }
       next match {
         case Some(c) =>
           state.update(c)

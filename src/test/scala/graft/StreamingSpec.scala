@@ -247,6 +247,29 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("hot keys drain processing-time panes while receiving data every batch") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val panes = Stateful.processingTimeTriggered[String, Int, Long](
+      input.toDS(), zero = 0L, add = (a, v) => a + v, delayMs = 400)
+    val q = panes.toDF("k", "running_sum", "pane")
+      .writeStream.format("memory").queryName("hot_panes")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      // Feed the key faster than the trigger interval so (nearly) every
+      // micro-batch has data: Spark then never invokes hasTimedOut for it,
+      // and panes only appear if the element path drains overdue timers.
+      val stopAt = System.currentTimeMillis() + 30000
+      var fired = false
+      while (System.currentTimeMillis() < stopAt && !fired) {
+        input.addData(("a", 1))
+        Thread.sleep(60)
+        fired = spark.table("hot_panes").count() >= 2
+      }
+      assert(fired, "hot key never fired a processing-time pane while receiving data every batch")
+    } finally q.stop()
+  }
+
   test("AfterFirst(count, processing-time) fires on whichever satisfies first") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
