@@ -24,10 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v3"
+  val dir = "/root/repo/target/tpcds/v4"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
-    "household_demographics", "customer")
+    "household_demographics", "customer", "reason")
 
   private val SalesRows = 1000000L
   private val Items = 2000L

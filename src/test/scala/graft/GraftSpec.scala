@@ -16,6 +16,11 @@ object GraftSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // every streaming test checkpoints through the local manager — both
+      // dogfooding (any contract break fails the suite broadly) and speed
+      // (the Hadoop local adapter costs ~130 ms per checkpoint file)
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.LocalCheckpointFileManager")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
