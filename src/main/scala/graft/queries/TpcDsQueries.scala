@@ -3,9 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.TpcDs
 
-/** Eighteen queries from the reference's TPC-DS corpus
-  * (sdks/java/testing/tpcds/src/main/resources/queries/query{3,28,41,42,
-  * 43,44,47,52,53,55,63,65,73,79,88,89,96,98}.sql), run over the
+/** Twenty-three queries from the reference's TPC-DS corpus
+  * (sdks/java/testing/tpcds/src/main/resources/queries/query{3,9,28,36,41,
+  * 42,43,44,47,52,53,55,59,63,65,67,70,73,79,88,89,96,98}.sql), run over the
   * deterministic store-channel tables of [[graft.sources.TpcDs]]. The SQL body is SHARED between the
   * Spark run and the DuckDB oracle (which reads the same parquet through
   * WITH-views), so the gate compares the two engines on identical bytes.
@@ -21,7 +21,17 @@ import graft.sources.TpcDs
   *    decimal AVG in floating point, which flips boundary rows);
   *  - q79 adds ss_ticket_number to ORDER BY (its reference sort key is
   *    not total, and LIMIT under a non-total order is undefined);
-  *  - q96/q88's zetasql alias workaround from the reference is kept.
+  *  - q96/q88's zetasql alias workaround from the reference is kept;
+  *  - q9's `avg(decimal)` becomes `cast(sum(..) as double)/nullif(count
+  *    (..),0)` (exact decimal sum, one double division — DuckDB's AVG
+  *    over DECIMAL accumulates in floating point, and NULLIF keeps the
+  *    empty upper quantity buckets NULL under ANSI division);
+  *  - q36/q59's decimal÷decimal ratios divide after casting each side to
+  *    double (the engines' decimal-division scale/rounding rules differ);
+  *    q59's ratio columns gain aliases, incl. the spec's verbatim
+  *    `tue_sales1/tue_sales1` typo;
+  *  - q67's ORDER BY adds explicit NULLS FIRST on the rollup columns it
+  *    truncates under (Spark defaults nulls first ASC, DuckDB nulls last).
   *
   * Scale notes (the corpus is run as written, so these are properties of
   * the reference queries themselves): q65 repeats an identical
@@ -542,7 +552,223 @@ object TpcDsQueries extends QueryModule {
       |         d_moy, i_category, i_brand, s_store_name, sum_sales, psum, nsum
       |limit 100""".stripMargin
 
+  private val q9Body =
+    """select case when (select count(*)
+      |                  from store_sales
+      |                  where ss_quantity between 1 and 20) > 25437
+      |            then (select cast(sum(ss_ext_discount_amt) as double)
+      |                         / nullif(count(ss_ext_discount_amt), 0)
+      |                  from store_sales
+      |                  where ss_quantity between 1 and 20)
+      |            else (select cast(sum(ss_net_profit) as double)
+      |                         / nullif(count(ss_net_profit), 0)
+      |                  from store_sales
+      |                  where ss_quantity between 1 and 20) end bucket1 ,
+      |       case when (select count(*)
+      |                  from store_sales
+      |                  where ss_quantity between 21 and 40) > 22746
+      |            then (select cast(sum(ss_ext_discount_amt) as double)
+      |                         / nullif(count(ss_ext_discount_amt), 0)
+      |                  from store_sales
+      |                  where ss_quantity between 21 and 40)
+      |            else (select cast(sum(ss_net_profit) as double)
+      |                         / nullif(count(ss_net_profit), 0)
+      |                  from store_sales
+      |                  where ss_quantity between 21 and 40) end bucket2,
+      |       case when (select count(*)
+      |                  from store_sales
+      |                  where ss_quantity between 41 and 60) > 9387
+      |            then (select cast(sum(ss_ext_discount_amt) as double)
+      |                         / nullif(count(ss_ext_discount_amt), 0)
+      |                  from store_sales
+      |                  where ss_quantity between 41 and 60)
+      |            else (select cast(sum(ss_net_profit) as double)
+      |                         / nullif(count(ss_net_profit), 0)
+      |                  from store_sales
+      |                  where ss_quantity between 41 and 60) end bucket3,
+      |       case when (select count(*)
+      |                  from store_sales
+      |                  where ss_quantity between 61 and 80) > 10098
+      |            then (select cast(sum(ss_ext_discount_amt) as double)
+      |                         / nullif(count(ss_ext_discount_amt), 0)
+      |                  from store_sales
+      |                  where ss_quantity between 61 and 80)
+      |            else (select cast(sum(ss_net_profit) as double)
+      |                         / nullif(count(ss_net_profit), 0)
+      |                  from store_sales
+      |                  where ss_quantity between 61 and 80) end bucket4,
+      |       case when (select count(*)
+      |                  from store_sales
+      |                  where ss_quantity between 81 and 100) > 18213
+      |            then (select cast(sum(ss_ext_discount_amt) as double)
+      |                         / nullif(count(ss_ext_discount_amt), 0)
+      |                  from store_sales
+      |                  where ss_quantity between 81 and 100)
+      |            else (select cast(sum(ss_net_profit) as double)
+      |                         / nullif(count(ss_net_profit), 0)
+      |                  from store_sales
+      |                  where ss_quantity between 81 and 100) end bucket5
+      |from reason
+      |where r_reason_sk = 1""".stripMargin
+
+  private val q36Body =
+    """select
+      |    cast(sum(ss_net_profit) as double)/cast(sum(ss_ext_sales_price) as double) as gross_margin
+      |   ,i_category
+      |   ,i_class
+      |   ,grouping(i_category)+grouping(i_class) as lochierarchy
+      |   ,rank() over (
+      |        partition by grouping(i_category)+grouping(i_class),
+      |        case when grouping(i_class) = 0 then i_category end
+      |        order by cast(sum(ss_net_profit) as double)/cast(sum(ss_ext_sales_price) as double) asc) as rank_within_parent
+      | from
+      |    store_sales
+      |   ,date_dim       d1
+      |   ,item
+      |   ,store
+      | where
+      |    d1.d_year = 2000
+      | and d1.d_date_sk = ss_sold_date_sk
+      | and i_item_sk  = ss_item_sk
+      | and s_store_sk  = ss_store_sk
+      | and s_state in ('TN','TN','TN','TN',
+      |                 'TN','TN','TN','TN')
+      | group by rollup(i_category,i_class)
+      | order by
+      |   lochierarchy desc
+      |  ,case when lochierarchy = 0 then i_category end
+      |  ,rank_within_parent
+      |  limit 100""".stripMargin
+
+  private val q59Body =
+    """with wss as
+      | (select d_week_seq,
+      |        ss_store_sk,
+      |        cast(sum(case when (d_day_name='Sunday') then ss_sales_price else null end) as double) sun_sales,
+      |        cast(sum(case when (d_day_name='Monday') then ss_sales_price else null end) as double) mon_sales,
+      |        cast(sum(case when (d_day_name='Tuesday') then ss_sales_price else  null end) as double) tue_sales,
+      |        cast(sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) as double) wed_sales,
+      |        cast(sum(case when (d_day_name='Thursday') then ss_sales_price else null end) as double) thu_sales,
+      |        cast(sum(case when (d_day_name='Friday') then ss_sales_price else null end) as double) fri_sales,
+      |        cast(sum(case when (d_day_name='Saturday') then ss_sales_price else null end) as double) sat_sales
+      | from store_sales,date_dim
+      | where d_date_sk = ss_sold_date_sk
+      | group by d_week_seq,ss_store_sk
+      | )
+      |  select  s_store_name1,s_store_id1,d_week_seq1
+      |       ,sun_sales1/sun_sales2 sun_ratio,mon_sales1/mon_sales2 mon_ratio
+      |       ,tue_sales1/tue_sales1 tue_ratio,wed_sales1/wed_sales2 wed_ratio,thu_sales1/thu_sales2 thu_ratio
+      |       ,fri_sales1/fri_sales2 fri_ratio,sat_sales1/sat_sales2 sat_ratio
+      | from
+      | (select s_store_name s_store_name1,wss.d_week_seq d_week_seq1
+      |        ,s_store_id s_store_id1,sun_sales sun_sales1
+      |        ,mon_sales mon_sales1,tue_sales tue_sales1
+      |        ,wed_sales wed_sales1,thu_sales thu_sales1
+      |        ,fri_sales fri_sales1,sat_sales sat_sales1
+      |  from wss,store,date_dim d
+      |  where d.d_week_seq = wss.d_week_seq and
+      |        ss_store_sk = s_store_sk and
+      |        d_month_seq between 1185 and 1185 + 11) y,
+      | (select s_store_name s_store_name2,wss.d_week_seq d_week_seq2
+      |        ,s_store_id s_store_id2,sun_sales sun_sales2
+      |        ,mon_sales mon_sales2,tue_sales tue_sales2
+      |        ,wed_sales wed_sales2,thu_sales thu_sales2
+      |        ,fri_sales fri_sales2,sat_sales sat_sales2
+      |  from wss,store,date_dim d
+      |  where d.d_week_seq = wss.d_week_seq and
+      |        ss_store_sk = s_store_sk and
+      |        d_month_seq between 1185+ 12 and 1185 + 23) x
+      | where s_store_id1=s_store_id2
+      |   and d_week_seq1=d_week_seq2-52
+      | order by s_store_name1,s_store_id1,d_week_seq1
+      |limit 100""".stripMargin
+
+  private val q67Body =
+    """select  *
+      |from (select i_category
+      |            ,i_class
+      |            ,i_brand
+      |            ,i_product_name
+      |            ,d_year
+      |            ,d_qoy
+      |            ,d_moy
+      |            ,s_store_id
+      |            ,sumsales
+      |            ,rank() over (partition by i_category order by sumsales desc) rk
+      |      from (select i_category
+      |                  ,i_class
+      |                  ,i_brand
+      |                  ,i_product_name
+      |                  ,d_year
+      |                  ,d_qoy
+      |                  ,d_moy
+      |                  ,s_store_id
+      |                  ,cast(sum(coalesce(ss_sales_price*ss_quantity,0)) as double) sumsales
+      |            from store_sales
+      |                ,date_dim
+      |                ,store
+      |                ,item
+      |       where  ss_sold_date_sk=d_date_sk
+      |          and ss_item_sk=i_item_sk
+      |          and ss_store_sk = s_store_sk
+      |          and d_month_seq between 1212 and 1212+11
+      |       group by  rollup(i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,s_store_id))dw1) dw2
+      |where rk <= 100
+      |order by i_category nulls first
+      |        ,i_class nulls first
+      |        ,i_brand nulls first
+      |        ,i_product_name nulls first
+      |        ,d_year nulls first
+      |        ,d_qoy nulls first
+      |        ,d_moy nulls first
+      |        ,s_store_id nulls first
+      |        ,sumsales
+      |        ,rk
+      |limit 100""".stripMargin
+
+  private val q70Body =
+    """select
+      |    cast(sum(ss_net_profit) as double) as total_sum
+      |   ,s_state
+      |   ,s_county
+      |   ,grouping(s_state)+grouping(s_county) as lochierarchy
+      |   ,rank() over (
+      |        partition by grouping(s_state)+grouping(s_county),
+      |        case when grouping(s_county) = 0 then s_state end
+      |        order by sum(ss_net_profit) desc) as rank_within_parent
+      | from
+      |    store_sales
+      |   ,date_dim       d1
+      |   ,store
+      | where
+      |    d1.d_month_seq between 1212 and 1212+11
+      | and d1.d_date_sk = ss_sold_date_sk
+      | and s_store_sk  = ss_store_sk
+      | and s_state in
+      |             ( select s_state
+      |               from  (select s_state as s_state,
+      |                             rank() over ( partition by s_state order by sum(ss_net_profit) desc) as ranking
+      |                      from   store_sales, store, date_dim
+      |                      where  d_month_seq between 1212 and 1212+11
+      |                             and d_date_sk = ss_sold_date_sk
+      |                             and s_store_sk  = ss_store_sk
+      |                      group by s_state
+      |                     ) tmp1
+      |               where ranking <= 5
+      |             )
+      | group by rollup(s_state,s_county)
+      | order by
+      |   lochierarchy desc
+      |  ,case when lochierarchy = 0 then s_state end
+      |  ,rank_within_parent
+      | limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds09_tpcds_quantity_buckets" -> q9Body,
+    "ds36_tpcds_margin_rollup" -> q36Body,
+    "ds59_tpcds_weekly_yoy" -> q59Body,
+    "ds67_tpcds_rollup_rank" -> q67Body,
+    "ds70_tpcds_state_hierarchy" -> q70Body,
     "ds28_tpcds_bucket_stats" -> q28Body,
     "ds41_tpcds_manufact_exists" -> q41Body,
     "ds44_tpcds_best_worst_rank" -> q44Body,

@@ -63,6 +63,8 @@ object TpcDs {
         (col("ss_sales_price") * col("ss_quantity")).cast("decimal(7,2)"))
       .withColumn("ss_coupon_amt",
         (pmod(h(col("id"), 9), lit(500L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("ss_ext_discount_amt",
+        (pmod(h(col("id"), 21), lit(10000L)) / 100.0).cast("decimal(7,2)"))
       .withColumn("ss_net_profit",
         ((pmod(h(col("id"), 10), lit(2000L)) - 500) / 100.0).cast("decimal(7,2)"))
       .withColumn("ss_list_price",
@@ -138,6 +140,13 @@ object TpcDs {
       .withColumn("s_gmt_offset", lit(-5).cast("int"))
       .withColumn("s_company_name",
         concat(lit("company_"), pmod(col("s_store_sk"), lit(3L))))
+      // 4 states × 3 stores; stores 1-3 are TN so q36's s_state='TN'
+      // filter keeps the 'ese' store and q70's top-5-state subquery
+      // admits every state (each rank() partition is a single state)
+      .withColumn("s_state", element_at(
+        array(Seq("TN", "TN", "TN", "SC", "SC", "SC", "AL", "AL", "AL",
+          "GA", "GA", "GA").map(lit): _*),
+        col("s_store_sk").cast("int")))
 
     val hd = spark.range(HouseholdDemos).select((col("id") + 1).as("hd_demo_sk"))
       .withColumn("hd_dep_count", pmod(col("hd_demo_sk"), lit(10L)).cast("int"))
@@ -156,9 +165,13 @@ object TpcDs {
         element_at(array(lit("Y"), lit("N")),
           (pmod(col("c_customer_sk"), lit(2L)) + 1).cast("int")))
 
+    val reason = spark.range(35L).select((col("id") + 1).as("r_reason_sk"))
+      .withColumn("r_reason_id", concat(lit("R_"), lpad(col("r_reason_sk"), 3, "0")))
+      .withColumn("r_reason_desc", concat(lit("reason "), col("r_reason_sk")))
+
     Map("store_sales" -> ss, "date_dim" -> dates, "time_dim" -> times,
       "item" -> item, "store" -> store, "household_demographics" -> hd,
-      "customer" -> customer)
+      "customer" -> customer, "reason" -> reason)
   }
 
   /** Generate-once: write each table if its directory isn't committed yet,
