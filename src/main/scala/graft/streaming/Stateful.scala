@@ -219,6 +219,50 @@ object Stateful {
         else (Some(cells), Seq.empty)
       })
 
+  /** AfterAll(AfterPane.elementCountAtLeast(n),
+    * AfterProcessingTime.pastFirstElementInPane().plusDelayOf(d)) under
+    * Repeatedly (transforms/windowing/AfterAll.java): a pane fires only
+    * once BOTH sub-triggers are satisfied — at least `every` elements
+    * accumulated AND `delayMs` elapsed since the pane's first element.
+    * Whichever side satisfies second delivers the pane: the timer firing
+    * with the count already met emits immediately; elements arriving after
+    * the timer fired emit as soon as the count fills. Joint satisfaction
+    * is a persisted flag per side (the reference tracks exactly this via
+    * each sub-trigger's finished bit in its trigger state machine). */
+  def allOfTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
+      add: (A, V) => A, every: Int, delayMs: Long)(
+      implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
+      sEnc: Encoder[Cells[(A, Int, Long, Boolean)]]): Dataset[(K, A, Long)] =
+    statefulParDo[K, V, (A, Int, Long, Boolean), (K, A, Long)](
+      ds, zero = (zero, 0, 0L, false),
+      onElements = (k, elems, cells) => {
+        var (acc, sinceEmit, pane, timeSat) = cells.value
+        var timers = cells.timers
+        val out = Seq.newBuilder[(K, A, Long)]
+        elems.foreach { v =>
+          if (sinceEmit == 0) { // first element of this pane arms the clock
+            timers = timers.set("pane", System.currentTimeMillis() + delayMs)
+            timeSat = false
+          }
+          acc = add(acc, v)
+          sinceEmit += 1
+          if (sinceEmit >= every && timeSat) { // count side satisfied second
+            out += ((k, acc, pane))
+            pane += 1
+            sinceEmit = 0
+            timers = timers.clear("pane")
+          }
+        }
+        (Some(Cells((acc, sinceEmit, pane, timeSat), timers)), out.result())
+      },
+      onTimer = (k, _, cells) => {
+        val (acc, sinceEmit, pane, _) = cells.value
+        if (sinceEmit >= every) // time side satisfied second: deliver now
+          (Some(Cells((acc, 0, pane + 1, false), cells.timers)), Seq((k, acc, pane)))
+        else // time satisfied first: remember and wait for the count
+          (Some(Cells((acc, sinceEmit, pane, true), cells.timers)), Seq.empty)
+      })
+
   /** GroupIntoBatches (transforms/GroupIntoBatches.java:59): per-key
     * batches of `batchSize`, flushed early after `maxWaitMs` of
     * inactivity (the flush timer is the reference's buffering timer). */

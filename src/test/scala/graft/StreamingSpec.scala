@@ -288,6 +288,31 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("AfterAll(count, processing-time) fires only when both are satisfied") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val panes = Stateful.allOfTriggered[String, Int, Long](
+      input.toDS(), zero = 0L, add = (a, v) => a + v, every = 2, delayMs = 600)
+    val q = panes.toDF("k", "running_sum", "pane")
+      .writeStream.format("memory").queryName("all_of")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      input.addData(("a", 1), ("a", 2)) // count met at once; clock not yet
+      Thread.sleep(300)
+      assert(spark.table("all_of").count() == 0,
+        "pane fired before the processing-time side was satisfied")
+      awaitRows("all_of", 1) // clock satisfies second -> pane 0 delivers
+      input.addData(("a", 4)) // arms pane 1's clock; count unmet
+      Thread.sleep(900) // clock satisfied first, count still unmet
+      assert(spark.table("all_of").count() == 1,
+        "pane fired before the count side was satisfied")
+      input.addData(("a", 8)) // count fills second -> pane 1 delivers
+      awaitRows("all_of", 2)
+      val rows = spark.table("all_of").as[(String, Long, Long)].collect().sortBy(_._3)
+      assert(rows.toSeq == Seq(("a", 3L, 0L), ("a", 15L, 1L)))
+    } finally q.stop()
+  }
+
   test("windowed writes: file sink partitioned by window start (WriteFiles windowed writes)") {
     implicit val ctx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("graft-winwrite").resolve("out").toString
