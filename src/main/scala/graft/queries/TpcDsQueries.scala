@@ -3,9 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.TpcDs
 
-/** Twenty-three queries from the reference's TPC-DS corpus
-  * (sdks/java/testing/tpcds/src/main/resources/queries/query{3,9,28,36,41,
-  * 42,43,44,47,52,53,55,59,63,65,67,70,73,79,88,89,96,98}.sql), run over the
+/** Thirty queries from the reference's TPC-DS corpus
+  * (sdks/java/testing/tpcds/src/main/resources/queries/query{3,7,9,13,19,27,28,36,41,
+  * 42,43,44,46,47,48,52,53,55,59,63,65,67,68,70,73,79,88,89,96,98}.sql), run over the
   * deterministic store-channel tables of [[graft.sources.TpcDs]]. The SQL body is SHARED between the
   * Spark run and the DuckDB oracle (which reads the same parquet through
   * WITH-views), so the gate compares the two engines on identical bytes.
@@ -763,7 +763,270 @@ object TpcDsQueries extends QueryModule {
       |  ,rank_within_parent
       | limit 100""".stripMargin
 
+  private val q7Body =
+    """select  i_item_id,
+      |        avg(ss_quantity) agg1,
+      |        cast(sum(ss_list_price) as double)/count(ss_list_price) agg2,
+      |        cast(sum(ss_coupon_amt) as double)/count(ss_coupon_amt) agg3,
+      |        cast(sum(ss_sales_price) as double)/count(ss_sales_price) agg4
+      | from store_sales, customer_demographics, date_dim, item, promotion
+      | where ss_sold_date_sk = d_date_sk and
+      |       ss_item_sk = i_item_sk and
+      |       ss_cdemo_sk = cd_demo_sk and
+      |       ss_promo_sk = p_promo_sk and
+      |       cd_gender = 'F' and
+      |       cd_marital_status = 'W' and
+      |       cd_education_status = 'Primary' and
+      |       (p_channel_email = 'N' or p_channel_event = 'N') and
+      |       d_year = 1998
+      | group by i_item_id
+      | order by i_item_id
+      | limit 100""".stripMargin
+
+  private val q13Body =
+    """select avg(ss_quantity) avg_qty
+      |       ,cast(sum(ss_ext_sales_price) as double)/count(ss_ext_sales_price) avg_ext_sales
+      |       ,cast(sum(ss_ext_wholesale_cost) as double)/count(ss_ext_wholesale_cost) avg_ext_wholesale
+      |       ,cast(sum(ss_ext_wholesale_cost) as double) sum_ext_wholesale
+      | from store_sales
+      |     ,store
+      |     ,customer_demographics
+      |     ,household_demographics
+      |     ,customer_address
+      |     ,date_dim
+      | where s_store_sk = ss_store_sk
+      | and  ss_sold_date_sk = d_date_sk and d_year = 2001
+      | and((ss_hdemo_sk=hd_demo_sk
+      |  and cd_demo_sk = ss_cdemo_sk
+      |  and cd_marital_status = 'D'
+      |  and cd_education_status = '2 yr Degree'
+      |  and ss_sales_price between 100.00 and 150.00
+      |  and hd_dep_count = 3
+      |     )or
+      |     (ss_hdemo_sk=hd_demo_sk
+      |  and cd_demo_sk = ss_cdemo_sk
+      |  and cd_marital_status = 'S'
+      |  and cd_education_status = 'Secondary'
+      |  and ss_sales_price between 50.00 and 100.00
+      |  and hd_dep_count = 1
+      |     ) or
+      |     (ss_hdemo_sk=hd_demo_sk
+      |  and cd_demo_sk = ss_cdemo_sk
+      |  and cd_marital_status = 'W'
+      |  and cd_education_status = 'Advanced Degree'
+      |  and ss_sales_price between 150.00 and 200.00
+      |  and hd_dep_count = 1
+      |     ))
+      | and((ss_addr_sk = ca_address_sk
+      |  and ca_country = 'United States'
+      |  and ca_state in ('CO', 'IL', 'MN')
+      |  and ss_net_profit between 100 and 200
+      |     ) or
+      |     (ss_addr_sk = ca_address_sk
+      |  and ca_country = 'United States'
+      |  and ca_state in ('OH', 'MT', 'NM')
+      |  and ss_net_profit between 150 and 300
+      |     ) or
+      |     (ss_addr_sk = ca_address_sk
+      |  and ca_country = 'United States'
+      |  and ca_state in ('TX', 'MO', 'MI')
+      |  and ss_net_profit between 50 and 250
+      |     ))""".stripMargin
+
+  private val q19Body =
+    """select  i_brand_id brand_id, i_brand brand, i_manufact_id, i_manufact,
+      |        cast(sum(ss_ext_sales_price) as double) ext_price
+      | from date_dim, store_sales, item,customer,customer_address,store
+      | where d_date_sk = ss_sold_date_sk
+      |   and ss_item_sk = i_item_sk
+      |   and i_manager_id=7
+      |   and d_moy=11
+      |   and d_year=1999
+      |   and ss_customer_sk = c_customer_sk
+      |   and c_current_addr_sk = ca_address_sk
+      |   and substring(ca_zip,1,5) <> substring(s_zip,1,5)
+      |   and ss_store_sk = s_store_sk
+      | group by i_brand
+      |      ,i_brand_id
+      |      ,i_manufact_id
+      |      ,i_manufact
+      | order by ext_price desc
+      |         ,i_brand
+      |         ,i_brand_id
+      |         ,i_manufact_id
+      |         ,i_manufact
+      |limit 100""".stripMargin
+
+  private val q27Body =
+    """select  i_item_id,
+      |        s_state, grouping(s_state) g_state,
+      |        avg(ss_quantity) agg1,
+      |        cast(sum(ss_list_price) as double)/count(ss_list_price) agg2,
+      |        cast(sum(ss_coupon_amt) as double)/count(ss_coupon_amt) agg3,
+      |        cast(sum(ss_sales_price) as double)/count(ss_sales_price) agg4
+      | from store_sales, customer_demographics, date_dim, store, item
+      | where ss_sold_date_sk = d_date_sk and
+      |       ss_item_sk = i_item_sk and
+      |       ss_store_sk = s_store_sk and
+      |       ss_cdemo_sk = cd_demo_sk and
+      |       cd_gender = 'F' and
+      |       cd_marital_status = 'W' and
+      |       cd_education_status = 'Primary' and
+      |       d_year = 1998 and
+      |       s_state in ('TN','TN', 'TN', 'TN', 'TN', 'TN')
+      | group by rollup (i_item_id, s_state)
+      | order by i_item_id nulls first
+      |         ,s_state nulls first
+      | limit 100""".stripMargin
+
+  private val q46Body =
+    """select  c_last_name
+      |       ,c_first_name
+      |       ,ca_city
+      |       ,bought_city
+      |       ,ss_ticket_number
+      |       ,amt,profit
+      | from
+      |   (select ss_ticket_number
+      |          ,ss_customer_sk
+      |          ,ca_city bought_city
+      |          ,cast(sum(ss_coupon_amt) as double) amt
+      |          ,cast(sum(ss_net_profit) as double) profit
+      |    from store_sales,date_dim,store,household_demographics,customer_address
+      |    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |    and store_sales.ss_store_sk = store.s_store_sk
+      |    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+      |    and store_sales.ss_addr_sk = customer_address.ca_address_sk
+      |    and (household_demographics.hd_dep_count = 5 or
+      |         household_demographics.hd_vehicle_count= 3)
+      |    and date_dim.d_dow in (6,0)
+      |    and date_dim.d_year in (1999,1999+1,1999+2)
+      |    and store.s_city in ('Midway','Fairview','Fairview','Midway','Fairview')
+      |    group by ss_ticket_number,ss_customer_sk,ss_addr_sk,ca_city) dn,customer,customer_address current_addr
+      |    where ss_customer_sk = c_customer_sk
+      |      and customer.c_current_addr_sk = current_addr.ca_address_sk
+      |      and current_addr.ca_city <> bought_city
+      |  order by c_last_name
+      |          ,c_first_name
+      |          ,ca_city
+      |          ,bought_city
+      |          ,ss_ticket_number
+      |  limit 100""".stripMargin
+
+  private val q48Body =
+    """select cast(sum (ss_quantity) as bigint) sum_qty
+      | from store_sales, store, customer_demographics, customer_address, date_dim
+      | where s_store_sk = ss_store_sk
+      | and  ss_sold_date_sk = d_date_sk and d_year = 1998
+      | and
+      | (
+      |  (
+      |   cd_demo_sk = ss_cdemo_sk
+      |   and
+      |   cd_marital_status = 'M'
+      |   and
+      |   cd_education_status = '4 yr Degree'
+      |   and
+      |   ss_sales_price between 100.00 and 150.00
+      |   )
+      | or
+      |  (
+      |  cd_demo_sk = ss_cdemo_sk
+      |   and
+      |   cd_marital_status = 'D'
+      |   and
+      |   cd_education_status = 'Primary'
+      |   and
+      |   ss_sales_price between 50.00 and 100.00
+      |  )
+      | or
+      | (
+      |  cd_demo_sk = ss_cdemo_sk
+      |  and
+      |   cd_marital_status = 'U'
+      |   and
+      |   cd_education_status = 'Advanced Degree'
+      |   and
+      |   ss_sales_price between 150.00 and 200.00
+      | )
+      | )
+      | and
+      | (
+      |  (
+      |  ss_addr_sk = ca_address_sk
+      |  and
+      |  ca_country = 'United States'
+      |  and
+      |  ca_state in ('KY', 'GA', 'NM')
+      |  and ss_net_profit between 0 and 2000
+      |  )
+      | or
+      |  (ss_addr_sk = ca_address_sk
+      |  and
+      |  ca_country = 'United States'
+      |  and
+      |  ca_state in ('MT', 'OR', 'IN')
+      |  and ss_net_profit between 150 and 3000
+      |  )
+      | or
+      |  (ss_addr_sk = ca_address_sk
+      |  and
+      |  ca_country = 'United States'
+      |  and
+      |  ca_state in ('WI', 'MO', 'WV')
+      |  and ss_net_profit between 50 and 25000
+      |  )
+      | )""".stripMargin
+
+  private val q68Body =
+    """select  c_last_name
+      |       ,c_first_name
+      |       ,ca_city
+      |       ,bought_city
+      |       ,ss_ticket_number
+      |       ,extended_price
+      |       ,extended_tax
+      |       ,list_price
+      | from (select ss_ticket_number
+      |             ,ss_customer_sk
+      |             ,ca_city bought_city
+      |             ,cast(sum(ss_ext_sales_price) as double) extended_price
+      |             ,cast(sum(ss_ext_list_price) as double) list_price
+      |             ,cast(sum(ss_ext_tax) as double) extended_tax
+      |       from store_sales
+      |           ,date_dim
+      |           ,store
+      |           ,household_demographics
+      |           ,customer_address
+      |       where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |         and store_sales.ss_store_sk = store.s_store_sk
+      |        and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+      |        and store_sales.ss_addr_sk = customer_address.ca_address_sk
+      |        and date_dim.d_dom between 1 and 2
+      |        and (household_demographics.hd_dep_count = 5 or
+      |             household_demographics.hd_vehicle_count= 3)
+      |        and date_dim.d_year in (1999,1999+1,1999+2)
+      |        and store.s_city in ('Midway','Fairview')
+      |       group by ss_ticket_number
+      |               ,ss_customer_sk
+      |               ,ss_addr_sk,ca_city) dn
+      |      ,customer
+      |      ,customer_address current_addr
+      | where ss_customer_sk = c_customer_sk
+      |   and customer.c_current_addr_sk = current_addr.ca_address_sk
+      |   and current_addr.ca_city <> bought_city
+      | order by c_last_name
+      |         ,ss_ticket_number
+      |limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds07_tpcds_promo_demographics" -> q7Body,
+    "ds13_tpcds_or_band_averages" -> q13Body,
+    "ds19_tpcds_brand_zip_mismatch" -> q19Body,
+    "ds27_tpcds_item_state_rollup" -> q27Body,
+    "ds46_tpcds_weekend_city_carts" -> q46Body,
+    "ds48_tpcds_band_quantity" -> q48Body,
+    "ds68_tpcds_city_ticket_extract" -> q68Body,
     "ds09_tpcds_quantity_buckets" -> q9Body,
     "ds36_tpcds_margin_rollup" -> q36Body,
     "ds59_tpcds_weekly_yoy" -> q59Body,

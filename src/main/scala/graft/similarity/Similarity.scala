@@ -1,33 +1,37 @@
 package graft.similarity
 
+import scala.reflect.runtime.universe.TypeTag
+
 import org.apache.spark.sql.{DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 import graft.functions._
 
 /** One scored candidate; public so encoder codegen can reach it. */
-case class Scored(sim: Double, id: Long)
+case class Scored[T](sim: Double, id: T)
 
 /** Bounded top-k accumulator: keeps at most k (sim desc, id asc) entries.
   * Registered via `functions.udaf`, so Spark runs it as a partial+final
   * ObjectHashAggregate — each map task retains only k rows per query and
   * the final merge is k-sized. This is the scale-correct replacement for
   * `Window.partitionBy(query)` ranking, which ships EVERY scored candidate
-  * for a query to a single task. */
-private[similarity] class TopKAgg(k: Int)
-    extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-  private val ord: Ordering[Scored] = Ordering.by((s: Scored) => (-s.sim, s.id))
-  override def zero: Seq[Scored] = Nil
-  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+  * for a query to a single task. Instantiated at Long (integral corpus
+  * ids) or String (uuid/string ids). */
+private[similarity] class TopKAgg[T: TypeTag](k: Int)(implicit idOrd: Ordering[T])
+    extends Aggregator[Scored[T], Seq[Scored[T]], Seq[Scored[T]]] {
+  private val ord: Ordering[Scored[T]] =
+    Ordering.by((s: Scored[T]) => (-s.sim, s.id))
+  override def zero: Seq[Scored[T]] = Nil
+  override def reduce(b: Seq[Scored[T]], a: Scored[T]): Seq[Scored[T]] =
     if (b.lengthCompare(k) >= 0 && ord.gteq(a, b.last)) b // a ranks at/after the kth
     else ((a +: b).sorted(ord)).take(k)
-  override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+  override def merge(b1: Seq[Scored[T]], b2: Seq[Scored[T]]): Seq[Scored[T]] =
     (b1 ++ b2).sorted(ord).take(k)
-  override def finish(r: Seq[Scored]): Seq[Scored] = r
-  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
-  override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  override def finish(r: Seq[Scored[T]]): Seq[Scored[T]] = r
+  override def bufferEncoder: Encoder[Seq[Scored[T]]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Scored[T]]] = ExpressionEncoder()
 }
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -55,14 +59,19 @@ object Similarity {
     * restored to its original type. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val idType = scored.schema("nn_id").dataType
-    // the heap carries ids as Long; a lossy cast (string/uuid corpus ids)
-    // would silently null every candidate, so reject it up front
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
-      s"similarity top-k requires an integral id column; got $idType for nn_id — " +
-        "map string/uuid ids to a long surrogate key before calling")
-    val topk = udaf(new TopKAgg(k))
+    // the heap carries ids as Long (integral) or String (uuid/string);
+    // any other id type would cast lossily and null every candidate, so
+    // reject it up front
+    val (topk, heapType) = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (udaf(new TopKAgg[Long](k)), "long")
+      case StringType => (udaf(new TopKAgg[String](k)), "string")
+      case t => throw new IllegalArgumentException(
+        s"similarity top-k requires an integral or string id column; got $t " +
+          "for nn_id — map other id types to a long or string surrogate key")
+    }
     scored
-      .select(col("query_id"), col("sim"), col("nn_id").cast("long").as("id"))
+      .select(col("query_id"), col("sim"), col("nn_id").cast(heapType).as("id"))
       .groupBy("query_id")
       .agg(topk(col("sim"), col("id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))

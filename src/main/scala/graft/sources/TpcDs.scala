@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v4"
+  val dir = "/root/repo/target/tpcds/v5"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
-    "household_demographics", "customer", "reason")
+    "household_demographics", "customer", "reason", "customer_address",
+    "customer_demographics", "promotion")
 
   private val SalesRows = 1000000L
   private val Items = 2000L
@@ -35,6 +36,9 @@ object TpcDs {
   private val Dates = 1826L // 1998-01-01 .. 2002-12-31
   private val Stores = 12L
   private val HouseholdDemos = 720L
+  private val Addresses = 1000L
+  private val CustomerDemos = 1000L
+  private val Promotions = 30L
 
   private def h(c: org.apache.spark.sql.Column, seed: Int) =
     xxhash64(c, lit(seed))
@@ -65,12 +69,22 @@ object TpcDs {
         (pmod(h(col("id"), 9), lit(500L)) / 100.0).cast("decimal(7,2)"))
       .withColumn("ss_ext_discount_amt",
         (pmod(h(col("id"), 21), lit(10000L)) / 100.0).cast("decimal(7,2)"))
+      // wide profit domain (-200..600) so q13/q48's net-profit bands
+      // (50..250, 100..200, 150..300, 0..2000) each select rows
       .withColumn("ss_net_profit",
-        ((pmod(h(col("id"), 10), lit(2000L)) - 500) / 100.0).cast("decimal(7,2)"))
+        ((pmod(h(col("id"), 10), lit(80000L)) - 20000) / 100.0).cast("decimal(7,2)"))
+      .withColumn("ss_cdemo_sk", (pmod(h(col("id"), 23), lit(CustomerDemos)) + 1))
+      .withColumn("ss_promo_sk", (pmod(h(col("id"), 22), lit(Promotions)) + 1))
+      .withColumn("ss_ext_tax",
+        (pmod(h(col("id"), 24), lit(2000L)) / 100.0).cast("decimal(7,2)"))
       .withColumn("ss_list_price",
         (pmod(h(col("id"), 16), lit(20000L)) / 100.0).cast("decimal(7,2)"))
       .withColumn("ss_wholesale_cost",
         (pmod(h(col("id"), 17), lit(10000L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("ss_ext_list_price",
+        (col("ss_list_price") * col("ss_quantity")).cast("decimal(7,2)"))
+      .withColumn("ss_ext_wholesale_cost",
+        (col("ss_wholesale_cost") * col("ss_quantity")).cast("decimal(7,2)"))
       .drop("id")
 
     val dates = spark.range(Dates).select(
@@ -135,7 +149,11 @@ object TpcDs {
         when(col("s_store_sk") === 1, "ese")
           .otherwise(concat(lit("store_"), col("s_store_sk"))))
       .withColumn("s_county", lit("Williamson County"))
-      .withColumn("s_city", concat(lit("City_"), pmod(col("s_store_sk"), lit(5L))))
+      // two of the five cities are the names q46/q68's literals select
+      .withColumn("s_city", element_at(
+        array(Seq("Midway", "Fairview", "City_2", "City_3", "City_4").map(lit): _*),
+        (pmod(col("s_store_sk"), lit(5L)) + 1).cast("int")))
+      .withColumn("s_zip", lpad(pmod(h(col("s_store_sk"), 26), lit(100000L)), 5, "0"))
       .withColumn("s_number_employees", (lit(150) + col("s_store_sk") * 10).cast("int"))
       .withColumn("s_gmt_offset", lit(-5).cast("int"))
       .withColumn("s_company_name",
@@ -164,6 +182,37 @@ object TpcDs {
       .withColumn("c_preferred_cust_flag",
         element_at(array(lit("Y"), lit("N")),
           (pmod(col("c_customer_sk"), lit(2L)) + 1).cast("int")))
+      .withColumn("c_current_addr_sk", pmod(h(col("c_customer_sk"), 25), lit(Addresses)) + 1)
+
+    val address = spark.range(Addresses).select((col("id") + 1).as("ca_address_sk"))
+      .withColumn("ca_city", element_at(
+        array((Seq("Midway", "Fairview") ++
+          (2 until 20).map(i => s"AddrCity_$i")).map(lit): _*),
+        (pmod(h(col("ca_address_sk"), 27), lit(20L)) + 1).cast("int")))
+      .withColumn("ca_state", element_at(
+        array(Seq("CO", "IL", "MN", "OH", "MT", "NM", "TX", "MO", "MI",
+          "KY", "GA", "OR", "IN", "WI", "WV", "CA").map(lit): _*),
+        (pmod(h(col("ca_address_sk"), 28), lit(16L)) + 1).cast("int")))
+      .withColumn("ca_country", lit("United States"))
+      .withColumn("ca_zip", lpad(pmod(h(col("ca_address_sk"), 29), lit(100000L)), 5, "0"))
+
+    val cdemo = spark.range(CustomerDemos).select((col("id") + 1).as("cd_demo_sk"))
+      .withColumn("cd_gender", element_at(array(lit("M"), lit("F")),
+        (pmod(h(col("cd_demo_sk"), 30), lit(2L)) + 1).cast("int")))
+      .withColumn("cd_marital_status", element_at(
+        array(Seq("M", "S", "D", "W", "U").map(lit): _*),
+        (pmod(h(col("cd_demo_sk"), 31), lit(5L)) + 1).cast("int")))
+      .withColumn("cd_education_status", element_at(
+        array(Seq("Primary", "Secondary", "2 yr Degree", "4 yr Degree",
+          "Advanced Degree", "Unknown", "College").map(lit): _*),
+        (pmod(h(col("cd_demo_sk"), 32), lit(7L)) + 1).cast("int")))
+
+    val promotion = spark.range(Promotions).select((col("id") + 1).as("p_promo_sk"))
+      .withColumn("p_promo_id", concat(lit("P_"), lpad(col("p_promo_sk"), 3, "0")))
+      .withColumn("p_channel_email",
+        when(pmod(h(col("p_promo_sk"), 33), lit(4L)) === 0, "Y").otherwise("N"))
+      .withColumn("p_channel_event",
+        when(pmod(h(col("p_promo_sk"), 34), lit(4L)) === 0, "Y").otherwise("N"))
 
     val reason = spark.range(35L).select((col("id") + 1).as("r_reason_sk"))
       .withColumn("r_reason_id", concat(lit("R_"), lpad(col("r_reason_sk"), 3, "0")))
@@ -171,7 +220,9 @@ object TpcDs {
 
     Map("store_sales" -> ss, "date_dim" -> dates, "time_dim" -> times,
       "item" -> item, "store" -> store, "household_demographics" -> hd,
-      "customer" -> customer, "reason" -> reason)
+      "customer" -> customer, "reason" -> reason,
+      "customer_address" -> address, "customer_demographics" -> cdemo,
+      "promotion" -> promotion)
   }
 
   /** Generate-once: write each table if its directory isn't committed yet,

@@ -49,6 +49,18 @@ class TrainingDataSpec extends GraftSpec {
       "vec_id", "embedding", k = 2)
       .select("rnk", "nn_id").as[(Int, Long)].collect().toMap
     assert(top(1) == 1L && top(2) == 2L)
+
+    // string/uuid corpus ids rank identically and keep their type
+    val svecs = vecs.withColumn("vec_id", concat(lit("doc-"), col("vec_id")))
+    val stop = Similarity.bruteForceTopK(svecs, svecs.filter(col("vec_id") === "doc-0"),
+      "vec_id", "embedding", k = 2)
+      .select("rnk", "nn_id").as[(Int, String)].collect().toMap
+    assert(stop(1) == "doc-1" && stop(2) == "doc-2")
+
+    // other id types fail fast instead of silently nulling candidates
+    val bad = vecs.withColumn("vec_id", col("vec_id").cast("timestamp"))
+    intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(bad, bad.limit(1), "vec_id", "embedding", k = 2))
   }
 
   test("text features: language markers and fingerprint invariance") {
