@@ -3,9 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.TpcDs
 
-/** Thirty queries from the reference's TPC-DS corpus
-  * (sdks/java/testing/tpcds/src/main/resources/queries/query{3,7,9,13,19,27,28,36,41,
-  * 42,43,44,46,47,48,52,53,55,59,63,65,67,68,70,73,79,88,89,96,98}.sql), run over the
+/** Thirty-two queries from the reference's TPC-DS corpus
+  * (sdks/java/testing/tpcds/src/main/resources/queries/query{1,3,7,9,13,19,27,28,36,41,
+  * 42,43,44,46,47,48,50,52,53,55,59,63,65,67,68,70,73,79,88,89,96,98}.sql), run over the
   * deterministic store-channel tables of [[graft.sources.TpcDs]]. The SQL body is SHARED between the
   * Spark run and the DuckDB oracle (which reads the same parquet through
   * WITH-views), so the gate compares the two engines on identical bytes.
@@ -1019,7 +1019,93 @@ object TpcDsQueries extends QueryModule {
       |         ,ss_ticket_number
       |limit 100""".stripMargin
 
+  private val q1Body =
+    """with customer_total_return as
+      |(select sr_customer_sk as ctr_customer_sk
+      |,sr_store_sk as ctr_store_sk
+      |,sum(sr_fee) as ctr_total_return
+      |from store_returns
+      |,date_dim
+      |where sr_returned_date_sk = d_date_sk
+      |and d_year =2000
+      |group by sr_customer_sk
+      |,sr_store_sk)
+      | select  c_customer_id
+      |from customer_total_return ctr1
+      |,store
+      |,customer
+      |where 10 * ctr1.ctr_total_return * (select count(ctr_total_return)
+      |from customer_total_return ctr2
+      |where ctr1.ctr_store_sk = ctr2.ctr_store_sk) > 12 * (select sum(ctr_total_return)
+      |from customer_total_return ctr2
+      |where ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+      |and s_store_sk = ctr1.ctr_store_sk
+      |and s_state = 'TN'
+      |and ctr1.ctr_customer_sk = c_customer_sk
+      |order by c_customer_id
+      |limit 100""".stripMargin
+
+  private val q50Body =
+    """select
+      |   s_store_name
+      |  ,s_company_id
+      |  ,s_street_number
+      |  ,s_street_name
+      |  ,s_street_type
+      |  ,s_suite_number
+      |  ,s_city
+      |  ,s_county
+      |  ,s_state
+      |  ,s_zip
+      |  ,cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk <= 30 ) then 1 else 0 end) as bigint)  as d30
+      |  ,cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk > 30) and
+      |                 (sr_returned_date_sk - ss_sold_date_sk <= 60) then 1 else 0 end ) as bigint)  as d31_60
+      |  ,cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk > 60) and
+      |                 (sr_returned_date_sk - ss_sold_date_sk <= 90) then 1 else 0 end) as bigint)  as d61_90
+      |  ,cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk > 90) and
+      |                 (sr_returned_date_sk - ss_sold_date_sk <= 120) then 1 else 0 end) as bigint)  as d91_120
+      |  ,cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk  > 120) then 1 else 0 end) as bigint)  as d120_plus
+      |from
+      |   store_sales
+      |  ,store_returns
+      |  ,store
+      |  ,date_dim d1
+      |  ,date_dim d2
+      |where
+      |    d2.d_year = 2000
+      |and d2.d_moy  = 9
+      |and ss_ticket_number = sr_ticket_number
+      |and ss_item_sk = sr_item_sk
+      |and ss_sold_date_sk   = d1.d_date_sk
+      |and sr_returned_date_sk   = d2.d_date_sk
+      |and ss_customer_sk = sr_customer_sk
+      |and ss_store_sk = s_store_sk
+      |group by
+      |   s_store_name
+      |  ,s_company_id
+      |  ,s_street_number
+      |  ,s_street_name
+      |  ,s_street_type
+      |  ,s_suite_number
+      |  ,s_city
+      |  ,s_county
+      |  ,s_state
+      |  ,s_zip
+      |order by s_store_name
+      |        ,s_company_id
+      |        ,s_street_number
+      |        ,s_street_name
+      |        ,s_street_type
+      |        ,s_suite_number
+      |        ,s_city
+      |        ,s_county
+      |        ,s_state
+      |        ,s_zip
+      |limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds01_tpcds_return_outliers" -> q1Body,
+    "ds50_tpcds_return_lag_bands" -> q50Body,
     "ds07_tpcds_promo_demographics" -> q7Body,
     "ds13_tpcds_or_band_averages" -> q13Body,
     "ds19_tpcds_brand_zip_mismatch" -> q19Body,

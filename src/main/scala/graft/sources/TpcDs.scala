@@ -24,11 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v5"
+  val dir = "/root/repo/target/tpcds/v6"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
-    "customer_demographics", "promotion")
+    "customer_demographics", "promotion", "store_returns")
 
   private val SalesRows = 1000000L
   private val Items = 2000L
@@ -149,6 +149,11 @@ object TpcDs {
         when(col("s_store_sk") === 1, "ese")
           .otherwise(concat(lit("store_"), col("s_store_sk"))))
       .withColumn("s_county", lit("Williamson County"))
+      .withColumn("s_company_id", pmod(col("s_store_sk"), lit(3L)).cast("int"))
+      .withColumn("s_street_number", (col("s_store_sk") * 100 + 1).cast("string"))
+      .withColumn("s_street_name", concat(lit("Main St "), col("s_store_sk")))
+      .withColumn("s_street_type", lit("Blvd"))
+      .withColumn("s_suite_number", concat(lit("Suite "), pmod(col("s_store_sk"), lit(9L))))
       // two of the five cities are the names q46/q68's literals select
       .withColumn("s_city", element_at(
         array(Seq("Midway", "Fairview", "City_2", "City_3", "City_4").map(lit): _*),
@@ -183,6 +188,7 @@ object TpcDs {
         element_at(array(lit("Y"), lit("N")),
           (pmod(col("c_customer_sk"), lit(2L)) + 1).cast("int")))
       .withColumn("c_current_addr_sk", pmod(h(col("c_customer_sk"), 25), lit(Addresses)) + 1)
+      .withColumn("c_customer_id", concat(lit("C_"), lpad(col("c_customer_sk"), 6, "0")))
 
     val address = spark.range(Addresses).select((col("id") + 1).as("ca_address_sk"))
       .withColumn("ca_city", element_at(
@@ -214,6 +220,26 @@ object TpcDs {
       .withColumn("p_channel_event",
         when(pmod(h(col("p_promo_sk"), 34), lit(4L)) === 0, "Y").otherwise("N"))
 
+    // ~10% of sale lines are returned 1-150 days later (capped at the
+    // calendar end); the (ticket, item) grain matches store_sales so
+    // q50's sold-to-returned fact-fact join has a real key
+    val sreturns = ss
+      .filter(pmod(xxhash64(col("ss_ticket_number"), col("ss_item_sk"), lit(35)), lit(10L)) === 0)
+      .select(
+        col("ss_ticket_number").as("sr_ticket_number"),
+        col("ss_item_sk").as("sr_item_sk"),
+        col("ss_customer_sk").as("sr_customer_sk"),
+        col("ss_store_sk").as("sr_store_sk"),
+        least(col("ss_sold_date_sk")
+            + pmod(xxhash64(col("ss_ticket_number"), col("ss_item_sk"), lit(36)), lit(150L)) + 1,
+          lit(Dates)).as("sr_returned_date_sk"))
+      .withColumn("sr_fee",
+        (pmod(xxhash64(col("sr_ticket_number"), col("sr_item_sk"), lit(37)), lit(10000L)) / 100.0)
+          .cast("decimal(7,2)"))
+      .withColumn("sr_return_amt",
+        (pmod(xxhash64(col("sr_ticket_number"), col("sr_item_sk"), lit(38)), lit(50000L)) / 100.0)
+          .cast("decimal(7,2)"))
+
     val reason = spark.range(35L).select((col("id") + 1).as("r_reason_sk"))
       .withColumn("r_reason_id", concat(lit("R_"), lpad(col("r_reason_sk"), 3, "0")))
       .withColumn("r_reason_desc", concat(lit("reason "), col("r_reason_sk")))
@@ -222,7 +248,7 @@ object TpcDs {
       "item" -> item, "store" -> store, "household_demographics" -> hd,
       "customer" -> customer, "reason" -> reason,
       "customer_address" -> address, "customer_demographics" -> cdemo,
-      "promotion" -> promotion)
+      "promotion" -> promotion, "store_returns" -> sreturns)
   }
 
   /** Generate-once: write each table if its directory isn't committed yet,
