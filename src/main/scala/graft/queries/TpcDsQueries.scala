@@ -3,9 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.TpcDs
 
-/** Thirty-two queries from the reference's TPC-DS corpus
-  * (sdks/java/testing/tpcds/src/main/resources/queries/query{1,3,7,9,13,19,27,28,36,41,
-  * 42,43,44,46,47,48,50,52,53,55,59,63,65,67,68,70,73,79,88,89,96,98}.sql), run over the
+/** Thirty-five queries from the reference's TPC-DS corpus
+  * (sdks/java/testing/tpcds/src/main/resources/queries/query{1,3,6,7,9,13,19,27,28,36,41,
+  * 42,43,44,46,47,48,50,52,53,55,59,61,63,65,67,68,70,73,79,88,89,93,96,98}.sql), run over the
   * deterministic store-channel tables of [[graft.sources.TpcDs]]. The SQL body is SHARED between the
   * Spark run and the DuckDB oracle (which reads the same parquet through
   * WITH-views), so the gate compares the two engines on identical bytes.
@@ -1103,7 +1103,97 @@ object TpcDsQueries extends QueryModule {
       |        ,s_zip
       |limit 100""".stripMargin
 
+  private val q6Body =
+    """select  a.ca_state state, cast(count(*) as bigint) cnt
+      | from customer_address a
+      |     ,customer c
+      |     ,store_sales s
+      |     ,date_dim d
+      |     ,item i
+      | where       a.ca_address_sk = c.c_current_addr_sk
+      |        and c.c_customer_sk = s.ss_customer_sk
+      |        and s.ss_sold_date_sk = d.d_date_sk
+      |        and s.ss_item_sk = i.i_item_sk
+      |        and d.d_month_seq =
+      |             (select distinct (d_month_seq)
+      |              from date_dim
+      |               where d_year = 2000
+      |                and d_moy = 2 )
+      |        and 10 * i.i_current_price * (select count(j.i_current_price)
+      |             from item j
+      |             where j.i_category = i.i_category) > 12 *
+      |            (select sum(j.i_current_price)
+      |             from item j
+      |             where j.i_category = i.i_category)
+      | group by a.ca_state
+      | having count(*) >= 10
+      | order by cnt, a.ca_state
+      | limit 100""".stripMargin
+
+  private val q61Body =
+    """select  promotions,total,cast(promotions as double)/cast(total as double)*100 promo_pct
+      |from
+      |  (select cast(sum(ss_ext_sales_price) as double) promotions
+      |   from  store_sales
+      |        ,store
+      |        ,promotion
+      |        ,date_dim
+      |        ,customer
+      |        ,customer_address
+      |        ,item
+      |   where ss_sold_date_sk = d_date_sk
+      |   and   ss_store_sk = s_store_sk
+      |   and   ss_promo_sk = p_promo_sk
+      |   and   ss_customer_sk= c_customer_sk
+      |   and   ca_address_sk = c_current_addr_sk
+      |   and   ss_item_sk = i_item_sk
+      |   and   ca_gmt_offset = -7
+      |   and   i_category = 'Books'
+      |   and   (p_channel_dmail = 'Y' or p_channel_email = 'Y' or p_channel_tv = 'Y')
+      |   and   s_gmt_offset = -7
+      |   and   d_year = 1999
+      |   and   d_moy  = 11) promotional_sales,
+      |  (select cast(sum(ss_ext_sales_price) as double) total
+      |   from  store_sales
+      |        ,store
+      |        ,date_dim
+      |        ,customer
+      |        ,customer_address
+      |        ,item
+      |   where ss_sold_date_sk = d_date_sk
+      |   and   ss_store_sk = s_store_sk
+      |   and   ss_customer_sk= c_customer_sk
+      |   and   ca_address_sk = c_current_addr_sk
+      |   and   ss_item_sk = i_item_sk
+      |   and   ca_gmt_offset = -7
+      |   and   i_category = 'Books'
+      |   and   s_gmt_offset = -7
+      |   and   d_year = 1999
+      |   and   d_moy  = 11) all_sales
+      |order by promotions, total
+      |limit 100""".stripMargin
+
+  private val q93Body =
+    """select  ss_customer_sk
+      |            ,cast(sum(act_sales) as double) sumsales
+      |      from (select ss_item_sk
+      |                  ,ss_ticket_number
+      |                  ,ss_customer_sk
+      |                  ,case when sr_return_quantity is not null then (ss_quantity-sr_return_quantity)*ss_sales_price
+      |                                                            else (ss_quantity*ss_sales_price) end act_sales
+      |            from store_sales left outer join store_returns on (sr_item_sk = ss_item_sk
+      |                                                               and sr_ticket_number = ss_ticket_number)
+      |                ,reason
+      |            where sr_reason_sk = r_reason_sk
+      |              and r_reason_desc = 'Did not like the warranty') t
+      |      group by ss_customer_sk
+      |      order by sumsales, ss_customer_sk
+      |limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds06_tpcds_state_price_premium" -> q6Body,
+    "ds61_tpcds_promo_share" -> q61Body,
+    "ds93_tpcds_warranty_net_sales" -> q93Body,
     "ds01_tpcds_return_outliers" -> q1Body,
     "ds50_tpcds_return_lag_bands" -> q50Body,
     "ds07_tpcds_promo_demographics" -> q7Body,

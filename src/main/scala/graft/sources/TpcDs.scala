@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v6"
+  val dir = "/root/repo/target/tpcds/v7"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
@@ -160,7 +160,9 @@ object TpcDs {
         (pmod(col("s_store_sk"), lit(5L)) + 1).cast("int")))
       .withColumn("s_zip", lpad(pmod(h(col("s_store_sk"), 26), lit(100000L)), 5, "0"))
       .withColumn("s_number_employees", (lit(150) + col("s_store_sk") * 10).cast("int"))
-      .withColumn("s_gmt_offset", lit(-5).cast("int"))
+      .withColumn("s_gmt_offset", element_at(
+        array(Seq(-5, -6, -7, -8).map(v => lit(v)): _*),
+        (pmod(col("s_store_sk"), lit(4L)) + 1).cast("int")).cast("int"))
       .withColumn("s_company_name",
         concat(lit("company_"), pmod(col("s_store_sk"), lit(3L))))
       // 4 states × 3 stores; stores 1-3 are TN so q36's s_state='TN'
@@ -201,6 +203,9 @@ object TpcDs {
         (pmod(h(col("ca_address_sk"), 28), lit(16L)) + 1).cast("int")))
       .withColumn("ca_country", lit("United States"))
       .withColumn("ca_zip", lpad(pmod(h(col("ca_address_sk"), 29), lit(100000L)), 5, "0"))
+      .withColumn("ca_gmt_offset", element_at(
+        array(Seq(-5, -6, -7, -8).map(v => lit(v)): _*),
+        (pmod(h(col("ca_address_sk"), 41), lit(4L)) + 1).cast("int")).cast("int"))
 
     val cdemo = spark.range(CustomerDemos).select((col("id") + 1).as("cd_demo_sk"))
       .withColumn("cd_gender", element_at(array(lit("M"), lit("F")),
@@ -219,6 +224,10 @@ object TpcDs {
         when(pmod(h(col("p_promo_sk"), 33), lit(4L)) === 0, "Y").otherwise("N"))
       .withColumn("p_channel_event",
         when(pmod(h(col("p_promo_sk"), 34), lit(4L)) === 0, "Y").otherwise("N"))
+      .withColumn("p_channel_dmail",
+        when(pmod(h(col("p_promo_sk"), 42), lit(4L)) === 0, "Y").otherwise("N"))
+      .withColumn("p_channel_tv",
+        when(pmod(h(col("p_promo_sk"), 43), lit(4L)) === 0, "Y").otherwise("N"))
 
     // ~10% of sale lines are returned 1-150 days later (capped at the
     // calendar end); the (ticket, item) grain matches store_sales so
@@ -230,6 +239,7 @@ object TpcDs {
         col("ss_item_sk").as("sr_item_sk"),
         col("ss_customer_sk").as("sr_customer_sk"),
         col("ss_store_sk").as("sr_store_sk"),
+        col("ss_quantity"),
         least(col("ss_sold_date_sk")
             + pmod(xxhash64(col("ss_ticket_number"), col("ss_item_sk"), lit(36)), lit(150L)) + 1,
           lit(Dates)).as("sr_returned_date_sk"))
@@ -239,10 +249,18 @@ object TpcDs {
       .withColumn("sr_return_amt",
         (pmod(xxhash64(col("sr_ticket_number"), col("sr_item_sk"), lit(38)), lit(50000L)) / 100.0)
           .cast("decimal(7,2)"))
+      .withColumn("sr_reason_sk",
+        pmod(xxhash64(col("sr_ticket_number"), col("sr_item_sk"), lit(39)), lit(35L)) + 1)
+      .withColumn("sr_return_quantity",
+        (pmod(xxhash64(col("sr_ticket_number"), col("sr_item_sk"), lit(40)), col("ss_quantity")) + 1)
+          .cast("int"))
+      .drop("ss_quantity")
 
     val reason = spark.range(35L).select((col("id") + 1).as("r_reason_sk"))
       .withColumn("r_reason_id", concat(lit("R_"), lpad(col("r_reason_sk"), 3, "0")))
-      .withColumn("r_reason_desc", concat(lit("reason "), col("r_reason_sk")))
+      .withColumn("r_reason_desc",
+        when(col("r_reason_sk") === 1, "Did not like the warranty")
+          .otherwise(concat(lit("reason "), col("r_reason_sk"))))
 
     Map("store_sales" -> ss, "date_dim" -> dates, "time_dim" -> times,
       "item" -> item, "store" -> store, "household_demographics" -> hd,
