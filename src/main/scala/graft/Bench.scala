@@ -58,7 +58,16 @@ object Bench {
       graft.queries.NexmarkStreaming.run(spark, name, streamEvents)
         .map(eps => s"\"" + name + "\":" + math.round(eps).toDouble)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"nexmark_events_per_sec":$nx,"nexmark_num_events":$nexmarkEvents,"nexmark_streaming_events_per_sec":$nxStream,"nexmark_streaming_num_events":$streamEvents,"sf":"$sfDir"}""")
+    // STRESS tier (Nexmark suite sizing: 100k SMOKE / 1M STRESS): the
+    // stateful queries at 10x the events show fixed micro-batch costs
+    // amortizing — throughput should RISE with scale, not fall
+    val stressEvents = sys.env.getOrElse("SPARK_GRAFT_NEXMARK_STRESS_EVENTS",
+      "1000000").toLong
+    val nxStress = Seq("q0", "q3", "q5", "q8", "q11", "q12").flatMap { name =>
+      graft.queries.NexmarkStreaming.run(spark, name, stressEvents)
+        .map(eps => s"\"" + name + "\":" + math.round(eps).toDouble)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"nexmark_events_per_sec":$nx,"nexmark_num_events":$nexmarkEvents,"nexmark_streaming_events_per_sec":$nxStream,"nexmark_streaming_num_events":$streamEvents,"nexmark_streaming_stress_events_per_sec":$nxStress,"nexmark_streaming_stress_num_events":$stressEvents,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
