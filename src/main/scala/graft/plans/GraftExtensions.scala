@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fromHex)
     e.injectFunction(lengthBytes)
     e.injectFunction(charNgramHashes)
+    e.injectTableFunction(seqgenTvf)
   }
 }
 
@@ -71,13 +72,44 @@ object GraftExtensions {
         s"char_ngram_hashes: n must be an integer literal, got $other")
     }))
 
+  /** Table-valued function over the graft-seqgen DSv2 source — the
+    * reference's UDTF surface is table functions in the FROM clause
+    * (BeamTableFunctionScanRel.java:116; GenerateSequence for bounded
+    * sequences), and this registers one natively:
+    * `SELECT * FROM graft_seqgen(count[, from])` plans as the same DSv2
+    * relation the DataFrame path reads (splittable batch scan, pushdown
+    * intact) — not a driver-materialized LocalRelation. */
+  private val seqgenTvf = (FunctionIdentifier("graft_seqgen"),
+    info("graft_seqgen",
+      "graft_seqgen(count[, from]) - bounded event-sequence table (value, ts)"),
+    (args: Seq[Expression]) => {
+      def longArg(e: Expression, name: String): Long = e match {
+        case Literal(v: Int, _) => v.toLong
+        case Literal(v: Long, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_seqgen: $name must be an integer literal, got $other")
+      }
+      val count = longArg(args.head, "count")
+      val from = if (args.length > 1) longArg(args(1), "from") else 0L
+      val options = new java.util.HashMap[String, String]
+      options.put("count", count.toString)
+      options.put("from", from.toString)
+      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation.create(
+        new graft.sources.seqgen.SeqGenTable,
+        None, None,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(options))
+    })
+
   /** Register the same functions on an already-built session (extensions
     * normally apply at builder time; this covers driver-provided sessions). */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     Seq(tumble, hop, sessionFn, toHex, fromHex, lengthBytes, charNgramHashes).foreach {
       case (ident, inf, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      seqgenTvf._1, seqgenTvf._2, seqgenTvf._3)
+  }
 }
 
 /** `CREATE EXTERNAL TABLE name [(…)] TYPE fmt LOCATION 'path'` — the

@@ -28,6 +28,23 @@ class ExtensionsSpec extends GraftSpec {
     assert(sessions.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("graft_seqgen table function plans as the DSv2 scan, not a local relation") {
+    GraftExtensions.install(spark)
+    val df = spark.sql(
+      "SELECT count(*) AS n, min(value) AS lo, max(value) AS hi FROM graft_seqgen(100, 5)")
+    assert(df.as[(Long, Long, Long)].head() == ((100L, 5L, 104L)))
+    // the TVF must reach the splittable batch source, not materialize rows
+    // on the driver
+    val plan = spark.sql("SELECT * FROM graft_seqgen(50)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), s"expected a DSv2 BatchScan, got:\n$plan")
+    // composes with ordinary SQL: windowed agg over the generated ts
+    val winN = spark.sql(
+      "SELECT count(*) AS n FROM graft_seqgen(600) GROUP BY tumble(ts, '1 second')")
+      .as[Long].collect()
+    assert(winN.sum == 600L && winN.forall(_ == 100L)) // 10ms ticks -> 100/window
+  }
+
   test("tumble() SQL runs on a STREAM with watermark semantics (streaming SQL windowing)") {
     // the same GROUP BY tumble(...) text works on an unbounded input —
     // the reference's core design point (boundedness is a source property)
