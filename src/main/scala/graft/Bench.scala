@@ -15,6 +15,9 @@ object Bench {
     try {
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
       graft.sources.Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // corpus generation + view registration is setup, not query time —
+      // without this the alphabetically-first ds query absorbs it
+      graft.sources.TpcDs.ensure(spark)
     } catch { case _: Throwable => }
     // iteration aids: SPARK_GRAFT_ONLY=substr runs a subset,
     // SPARK_GRAFT_EXPLAIN=1 dumps formatted plans
