@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.TpcDs
 
-/** Thirty-five queries from the reference's TPC-DS corpus
-  * (sdks/java/testing/tpcds/src/main/resources/queries/query{1,3,6,7,9,13,19,27,28,36,41,
+/** Thirty-seven queries from the reference's TPC-DS corpus
+  * (sdks/java/testing/tpcds/src/main/resources/queries/query{1,3,6,7,9,13,19,24ab,27,28,36,41,
   * 42,43,44,46,47,48,50,52,53,55,59,61,63,65,67,68,70,73,79,88,89,93,96,98}.sql), run over the
   * deterministic store-channel tables of [[graft.sources.TpcDs]]. The SQL body is SHARED between the
   * Spark run and the DuckDB oracle (which reads the same parquet through
@@ -1190,7 +1190,30 @@ object TpcDsQueries extends QueryModule {
       |      order by sumsales, ss_customer_sk
       |limit 100""".stripMargin
 
+  private def q24Body(color: String) =
+    s"""with ssales as
+       | (select c_last_name, c_first_name, s_store_name, ca_state, s_state, i_color,
+       |        i_current_price, i_manager_id, i_units, i_size, sum(ss_net_paid) netpaid
+       | from store_sales, store_returns, store, item, customer, customer_address
+       | where ss_ticket_number = sr_ticket_number
+       |   and ss_item_sk = sr_item_sk
+       |   and ss_customer_sk = c_customer_sk
+       |   and ss_item_sk = i_item_sk
+       |   and ss_store_sk = s_store_sk
+       |   and c_birth_country = upper(ca_country)
+       |   and s_zip = ca_zip
+       | and s_market_id = 8
+       | group by c_last_name, c_first_name, s_store_name, ca_state, s_state, i_color,
+       |          i_current_price, i_manager_id, i_units, i_size)
+       | select c_last_name, c_first_name, s_store_name, cast(sum(netpaid) as double) paid
+       | from ssales
+       | where i_color = '$color'
+       | group by c_last_name, c_first_name, s_store_name
+       | having 20 * sum(netpaid) * (select count(netpaid) from ssales) > (select sum(netpaid) from ssales)""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds24a_tpcds_pale_netpaid" -> q24Body("pale"),
+    "ds24b_tpcds_chiffon_netpaid" -> q24Body("chiffon"),
     "ds06_tpcds_state_price_premium" -> q6Body,
     "ds61_tpcds_promo_share" -> q61Body,
     "ds93_tpcds_warranty_net_sales" -> q93Body,

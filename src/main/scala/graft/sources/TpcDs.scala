@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v7"
+  val dir = "/root/repo/target/tpcds/v8"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
@@ -77,6 +77,8 @@ object TpcDs {
       .withColumn("ss_promo_sk", (pmod(h(col("id"), 22), lit(Promotions)) + 1))
       .withColumn("ss_ext_tax",
         (pmod(h(col("id"), 24), lit(2000L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("ss_net_paid",
+        (pmod(h(col("id"), 44), lit(30000L)) / 100.0).cast("decimal(7,2)"))
       .withColumn("ss_list_price",
         (pmod(h(col("id"), 16), lit(20000L)) / 100.0).cast("decimal(7,2)"))
       .withColumn("ss_wholesale_cost",
@@ -132,8 +134,8 @@ object TpcDs {
       .withColumn("i_color", element_at(
         array(Seq("orchid", "papaya", "burlywood", "navy", "bisque", "azure",
           "chocolate", "cornflower", "salmon", "midnight", "snow", "steel",
-          "maroon", "ivory", "khaki", "sienna").map(lit): _*),
-        (pmod(h(col("i_item_sk"), 18), lit(16L)) + 1).cast("int")))
+          "maroon", "ivory", "khaki", "sienna", "pale", "chiffon").map(lit): _*),
+        (pmod(h(col("i_item_sk"), 18), lit(18L)) + 1).cast("int")))
       .withColumn("i_units", element_at(
         array(Seq("Pound", "Lb", "Bundle", "Each", "N/A", "Tsp", "Bunch",
           "Gross").map(lit): _*),
@@ -158,7 +160,11 @@ object TpcDs {
       .withColumn("s_city", element_at(
         array(Seq("Midway", "Fairview", "City_2", "City_3", "City_4").map(lit): _*),
         (pmod(col("s_store_sk"), lit(5L)) + 1).cast("int")))
-      .withColumn("s_zip", lpad(pmod(h(col("s_store_sk"), 26), lit(100000L)), 5, "0"))
+      .withColumn("s_market_id",
+        when(pmod(col("s_store_sk"), lit(4L)) === 0, 8)
+          .otherwise(pmod(h(col("s_store_sk"), 45), lit(7L)) + 1).cast("int"))
+      .withColumn("s_zip",
+        lpad(pmod(h(pmod(col("s_store_sk") * 83, lit(Addresses)) + 1, 29), lit(100000L)), 5, "0"))
       .withColumn("s_number_employees", (lit(150) + col("s_store_sk") * 10).cast("int"))
       .withColumn("s_gmt_offset", element_at(
         array(Seq(-5, -6, -7, -8).map(v => lit(v)): _*),
@@ -191,6 +197,9 @@ object TpcDs {
           (pmod(col("c_customer_sk"), lit(2L)) + 1).cast("int")))
       .withColumn("c_current_addr_sk", pmod(h(col("c_customer_sk"), 25), lit(Addresses)) + 1)
       .withColumn("c_customer_id", concat(lit("C_"), lpad(col("c_customer_sk"), 6, "0")))
+      .withColumn("c_birth_country",
+        when(pmod(h(col("c_customer_sk"), 46), lit(5L)) < 4, "UNITED STATES")
+          .otherwise("CANADA"))
 
     val address = spark.range(Addresses).select((col("id") + 1).as("ca_address_sk"))
       .withColumn("ca_city", element_at(
