@@ -1,4 +1,5 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,6 +20,20 @@ object Bench {
       // without this the alphabetically-first ds query absorbs it
       graft.sources.TpcDs.ensure(spark)
     } catch { case _: Throwable => }
+    // iteration aid: SPARK_GRAFT_STREAM_ONLY=q3,q8 runs just those streaming
+    // Nexmark queries (optionally SPARK_GRAFT_STREAM_BATCHES sets rowsPerBatch)
+    // and exits — for tuning micro-batch overheads without the full suite
+    if (sys.env.contains("SPARK_GRAFT_STREAM_ONLY")) {
+      val names = sys.env("SPARK_GRAFT_STREAM_ONLY")
+      val nEv = sys.env.getOrElse("SPARK_GRAFT_NEXMARK_STREAM_EVENTS", "100000").toLong
+      val rpb = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "0").toLong
+      names.split(",").foreach { q =>
+        val eps = graft.queries.NexmarkStreaming.run(spark, q.trim, nEv, rpb)
+        println(s"[stream-only] $q events/s = ${eps.map(_.round).getOrElse(-1L)}")
+      }
+      spark.stop()
+      return
+    }
     // iteration aids: SPARK_GRAFT_ONLY=substr runs a subset,
     // SPARK_GRAFT_EXPLAIN=1 dumps formatted plans
     val queries = sys.env.get("SPARK_GRAFT_ONLY")
@@ -38,9 +53,18 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only a bounded tail of this process's output, so
+    // the reported JSON line must stay small: headline queries only, values
+    // rounded. The COMPLETE per-query map goes to target/bench_full.json.
+    def fmt(v: Double): String = f"$v%.3f"
+    val headline = Seq("q01_agg_pushdown", "q03_join_agg", "q32_window_range_frame",
+      "q52_session_window", "q58_cep_match_recognize", "q75_multi_exists_decorrelation",
+      "d62_minhash_lsh_neardups", "d64_embedding_cosine_topk", "d73_embedding_ivf_ann",
+      "t66_text_quality_features", "ds47_tpcds_lag_lead_windows", "ds65_tpcds_underperf_items")
+    val qs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val tpcdsTotal = results.collect { case (k, v) if k.startsWith("ds") => v }.sum
     // Nexmark SMOKE analog: 100k generated events (BASELINE.md's config),
     // reported as events/sec per query for direct baseline comparison
     val nexmarkEvents = sys.env.getOrElse("SPARK_GRAFT_NEXMARK_EVENTS", "100000").toLong
@@ -49,7 +73,7 @@ object Bench {
       try fn(spark, nexmarkEvents).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] nexmark $name: $e") }
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> math.round(nexmarkEvents / sec).toDouble
+      name -> math.round(nexmarkEvents / sec)
     }
     val nx = nexmark.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -58,8 +82,12 @@ object Bench {
     val streamEvents = sys.env.getOrElse("SPARK_GRAFT_NEXMARK_STREAM_EVENTS",
       nexmarkEvents.toString).toLong
     val nxStream = graft.queries.NexmarkStreaming.queryNames.flatMap { name =>
+      // untimed warmup run (same hygiene as the batch suite's noop warmup):
+      // pays the query's codegen/JIT once so the timed run measures the
+      // engine's steady-state micro-batch throughput, not class loading
+      graft.queries.NexmarkStreaming.run(spark, name, 5000)
       graft.queries.NexmarkStreaming.run(spark, name, streamEvents)
-        .map(eps => s"\"" + name + "\":" + math.round(eps).toDouble)
+        .map(eps => s"\"" + name + "\":" + math.round(eps))
     }.mkString("{", ",", "}")
     // STRESS tier (Nexmark suite sizing: 100k SMOKE / 1M STRESS): the
     // stateful queries at 10x the events show fixed micro-batch costs
@@ -68,9 +96,15 @@ object Bench {
       "1000000").toLong
     val nxStress = Seq("q0", "q3", "q5", "q8", "q11", "q12").flatMap { name =>
       graft.queries.NexmarkStreaming.run(spark, name, stressEvents)
-        .map(eps => s"\"" + name + "\":" + math.round(eps).toDouble)
+        .map(eps => s"\"" + name + "\":" + math.round(eps))
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"nexmark_events_per_sec":$nx,"nexmark_num_events":$nexmarkEvents,"nexmark_streaming_events_per_sec":$nxStream,"nexmark_streaming_num_events":$streamEvents,"nexmark_streaming_stress_events_per_sec":$nxStress,"nexmark_streaming_stress_num_events":$stressEvents,"sf":"$sfDir"}""")
+    val fullQs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"tpcds_total_sec":${fmt(tpcdsTotal)},"queries":$qs,"nexmark_events_per_sec":$nx,"nexmark_num_events":$nexmarkEvents,"nexmark_streaming_events_per_sec":$nxStream,"nexmark_streaming_num_events":$streamEvents,"stress_events_per_sec":$nxStress,"stress_num_events":$stressEvents,"sf":"$sfDir"}"""
+    val full = line.dropRight(1) + s""","all_queries":$fullQs}"""
+    Files.write(Paths.get("target/bench_full.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

@@ -108,7 +108,13 @@ object NexmarkStreaming {
     * engine rejects the plan. */
   def run(spark: SparkSession, name: String, n: Long,
       rowsPerBatch: Long = 0L, timeoutMs: Long = 300000L): Option[Double] = {
-    val batchRows = if (rowsPerBatch > 0) rowsPerBatch else math.max(1L, n / 5)
+    // Two data micro-batches by default (plus the watermark-flush no-data
+    // batch below): per-batch incremental planning is the dominant fixed
+    // cost at bench scale, and a 50k-row batch matches what a healthy
+    // micro-batch pipeline carries at this event rate. Latency-sensitive
+    // deployments would size this down; the knob is exactly Spark's
+    // maxOffsetsPerTrigger-style admission control.
+    val batchRows = if (rowsPerBatch > 0) rowsPerBatch else math.max(1L, n / 2)
     val ckpt = Files.createTempDirectory(s"graft-nexmark-stream-$name").toString
     // Stateful micro-batch cost is dominated by per-batch state-store
     // commits: one store per shuffle partition per stateful operator per
@@ -116,8 +122,9 @@ object NexmarkStreaming {
     // default — at bench event counts a handful of stores is right; on a
     // real cluster this is sized to executors (state scales out by key).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(4, math.min(16, n / 25000)).toString)
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toLong)
+      .getOrElse(math.max(2, math.min(16, n / 50000)))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // Local checkpoints: java.nio atomic renames instead of the Hadoop
     // FileContext local adapter (~130 ms per checkpoint file on this
     // container — the per-batch fixed cost that dominated stateful
@@ -130,9 +137,11 @@ object NexmarkStreaming {
     // CRC sidecars duplicate what the local page cache + rename protocol
     // already guarantee, and each costs another file write per commit
     spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-    // AvailableNow drains a bounded prefix; the trailing no-data batch only
-    // advances the watermark past data we know is complete — skip it
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // Keep the trailing no-data batch: it advances the watermark past the
+    // drained prefix so stateful queries EMIT their complete windows — with
+    // it disabled a coarse batching would report throughput on output that
+    // never materialized
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val ev = stream(spark, n, batchRows)
     try {
       val t0 = System.nanoTime()
@@ -158,6 +167,13 @@ object NexmarkStreaming {
         }
       }
       if (!q.awaitTermination(timeoutMs)) { q.stop(); return None }
+      // SPARK_GRAFT_STREAM_DEBUG=1 dumps per-batch duration breakdowns so
+      // fixed micro-batch overheads are measurable, not guessed at
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[stream-debug] $name batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+        }
       Some(n / ((System.nanoTime() - t0) / 1e9))
     } catch {
       case e: Throwable =>
