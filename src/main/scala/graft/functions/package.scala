@@ -249,4 +249,30 @@ package object functions {
     org.apache.spark.sql.graftbridge.column(
       graft.plans.HyperplaneSignatures(
         org.apache.spark.sql.graftbridge.expression(vec), nBits, tables))
+
+  // ==========================================================================
+  // T-Digest quantile sketch (graft.plans.TDigestSketch; reference analog
+  // sdks/java/extensions/sketching/TDigestQuantiles.java)
+  // ==========================================================================
+
+  /** Aggregate a numeric column into a serialized t-digest (binary). */
+  def tdigestSketch(c: Column, compression: Double = 200.0): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.TDigestSketchAgg(
+        org.apache.spark.sql.graftbridge.expression(c), compression)
+        .toAggregateExpression())
+
+  /** Merge serialized t-digests (rollup across shards/windows). */
+  def tdigestMerge(c: Column): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.TDigestMergeAgg(
+        org.apache.spark.sql.graftbridge.expression(c))
+        .toAggregateExpression())
+
+  /** Quantile estimate from a serialized t-digest. */
+  def tdigestQuantile(sketch: Column, q: Double): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.TDigestQuantile(
+        org.apache.spark.sql.graftbridge.expression(sketch),
+        org.apache.spark.sql.catalyst.expressions.Literal(q)))
 }

@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fromHex)
     e.injectFunction(lengthBytes)
     e.injectFunction(charNgramHashes)
+    e.injectFunction(tdigestSketch)
+    e.injectFunction(tdigestMerge)
+    e.injectFunction(tdigestQuantile)
     e.injectTableFunction(seqgenTvf)
   }
 }
@@ -72,6 +75,25 @@ object GraftExtensions {
         s"char_ngram_hashes: n must be an integer literal, got $other")
     }))
 
+  private val tdigestSketch = (FunctionIdentifier("tdigest_sketch"),
+    info("tdigest_sketch",
+      "tdigest_sketch(col[, compression]) - mergeable t-digest quantile sketch (binary)"),
+    (args: Seq[Expression]) => TDigestSketchAgg(args.head, args match {
+      case Seq(_, Literal(d: Double, _)) => d
+      case Seq(_, Literal(i: Int, _)) => i.toDouble
+      case Seq(_) => 200.0
+      case other => throw new IllegalArgumentException(
+        s"tdigest_sketch: compression must be a numeric literal, got $other")
+    }))
+
+  private val tdigestMerge = (FunctionIdentifier("tdigest_merge"),
+    info("tdigest_merge", "tdigest_merge(sketch) - merge serialized t-digests"),
+    (args: Seq[Expression]) => TDigestMergeAgg(args.head))
+
+  private val tdigestQuantile = (FunctionIdentifier("tdigest_quantile"),
+    info("tdigest_quantile", "tdigest_quantile(sketch, q) - quantile estimate"),
+    (args: Seq[Expression]) => TDigestQuantile(args(0), args(1)))
+
   /** Table-valued function over the graft-seqgen DSv2 source — the
     * reference's UDTF surface is table functions in the FROM clause
     * (BeamTableFunctionScanRel.java:116; GenerateSequence for bounded
@@ -103,7 +125,8 @@ object GraftExtensions {
   /** Register the same functions on an already-built session (extensions
     * normally apply at builder time; this covers driver-provided sessions). */
   def install(spark: SparkSession): Unit = {
-    Seq(tumble, hop, sessionFn, toHex, fromHex, lengthBytes, charNgramHashes).foreach {
+    Seq(tumble, hop, sessionFn, toHex, fromHex, lengthBytes, charNgramHashes,
+      tdigestSketch, tdigestMerge, tdigestQuantile).foreach {
       case (ident, inf, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }

@@ -294,7 +294,39 @@ object Analytics extends QueryModule {
       |        ORDER BY o_orderkey) AS rn FROM orders) t
       |GROUP BY o_custkey, batch_id ORDER BY o_custkey, batch_id""".stripMargin
 
+  // T-Digest mergeable quantile sketch (graft.plans.TDigestSketch;
+  // reference sdks/java/extensions/sketching/TDigestQuantiles.java).
+  // Estimates depend on merge order, so the gate checks ACCURACY instead
+  // of reproduction: per-(returnflag, linestatus) digests merge up to
+  // returnflag level (exercising sketch + merge + quantile), and the
+  // emitted booleans assert each estimated quantile lands within 1%
+  // relative error of the EXACT percentile — the oracle expects all-true,
+  // so an accuracy regression is a hash mismatch, not a silent drift.
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{tdigestSketch, tdigestMerge, tdigestQuantile}
+    val li = Tables.lineitem(s, dir)
+    val parts = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(tdigestSketch(col("l_extendedprice").cast("double")).as("sk"))
+    val merged = parts.groupBy("l_returnflag").agg(tdigestMerge(col("sk")).as("sk"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("ex"))
+    def ok(q: Double, i: Int) = {
+      val e = element_at(col("ex"), i)
+      (abs(tdigestQuantile(col("sk"), q) - e) / e < 0.01).as(s"ok_p${(q * 100).toInt}")
+    }
+    merged.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n_rows"), ok(0.5, 1), ok(0.95, 2), ok(0.99, 3))
+      .orderBy("l_returnflag")
+  }
+
+  private val q80Sql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |  TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_tdigest_quantiles" -> q80,
     "q30_window_rank" -> q30,
     "q31_window_running" -> q31,
     "q32_window_range_frame" -> q32,
@@ -311,6 +343,7 @@ object Analytics extends QueryModule {
     "q43_group_into_batches" -> q43)
 
   override val oracles: Map[String, String] = Map(
+    "q80_tdigest_quantiles" -> q80Sql,
     "q30_window_rank" -> q30Sql,
     "q31_window_running" -> q31Sql,
     "q32_window_range_frame" -> q32Sql,
