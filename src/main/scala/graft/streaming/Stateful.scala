@@ -263,6 +263,78 @@ object Stateful {
           (Some(Cells((acc, sinceEmit, pane, true), cells.timers)), Seq.empty)
       })
 
+  /** Repeatedly.forever(AfterPane.elementCountAtLeast(every))
+    * .orFinally(AfterPane.elementCountAtLeast(total))
+    * (transforms/windowing/OrFinallyTrigger.java): speculative count-based
+    * panes repeat until the `until` side — a total element count — is
+    * satisfied; that delivers one last pane flagged `isFinal` (≙
+    * PaneInfo.isLast) and permanently closes the key. Elements arriving
+    * after the close are discarded, mirroring a finished trigger state
+    * machine: the reference never fires a finished trigger again, and the
+    * closed marker persisting in state is exactly its finished bit. */
+  def orFinallyTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
+      add: (A, V) => A, every: Int, total: Int)(
+      implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long, Boolean)],
+      sEnc: Encoder[Cells[(A, Int, Int, Long, Boolean)]]): Dataset[(K, A, Long, Boolean)] =
+    statefulParDo[K, V, (A, Int, Int, Long, Boolean), (K, A, Long, Boolean)](
+      ds, zero = (zero, 0, 0, 0L, false),
+      onElements = (k, elems, cells) => {
+        var (acc, sinceEmit, seen, pane, closed) = cells.value
+        val out = Seq.newBuilder[(K, A, Long, Boolean)]
+        elems.foreach { v =>
+          if (!closed) {
+            acc = add(acc, v)
+            sinceEmit += 1
+            seen += 1
+            if (seen >= total) { // the until-side: final pane, then close
+              out += ((k, acc, pane, true))
+              pane += 1
+              closed = true
+            } else if (sinceEmit >= every) { // the repeated inner trigger
+              out += ((k, acc, pane, false))
+              pane += 1
+              sinceEmit = 0
+            }
+          }
+        }
+        (Some(Cells((acc, sinceEmit, seen, pane, closed), cells.timers)), out.result())
+      },
+      onTimer = (_, _, _) => (None, Seq.empty))
+
+  /** AfterEach.inOrder(AfterPane.elementCountAtLeast(c1), …, (cn))
+    * (transforms/windowing/AfterEach.java): sub-triggers govern panes IN
+    * SEQUENCE — pane i fires once c(i) elements accumulate, then control
+    * advances to sub-trigger i+1; when the last finishes the whole
+    * composite is finished and later elements no longer fire (the
+    * sequence position persisting in state is the reference's
+    * subTriggerIndex). Accumulating panes, like the other triggers. */
+  def afterEachTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
+      add: (A, V) => A, counts: Seq[Int])(
+      implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
+      sEnc: Encoder[Cells[(A, Int, Int)]]): Dataset[(K, A, Long)] = {
+    require(counts.nonEmpty && counts.forall(_ > 0),
+      "afterEach needs a non-empty sequence of positive element counts")
+    statefulParDo[K, V, (A, Int, Int), (K, A, Long)](
+      ds, zero = (zero, 0, 0),
+      onElements = (k, elems, cells) => {
+        var (acc, sinceEmit, idx) = cells.value
+        val out = Seq.newBuilder[(K, A, Long)]
+        elems.foreach { v =>
+          if (idx < counts.length) { // a finished sequence never fires again
+            acc = add(acc, v)
+            sinceEmit += 1
+            if (sinceEmit >= counts(idx)) {
+              out += ((k, acc, idx.toLong))
+              idx += 1
+              sinceEmit = 0
+            }
+          }
+        }
+        (Some(Cells((acc, sinceEmit, idx), cells.timers)), out.result())
+      },
+      onTimer = (_, _, _) => (None, Seq.empty))
+  }
+
   /** GroupIntoBatches (transforms/GroupIntoBatches.java:59): per-key
     * batches of `batchSize`, flushed early after `maxWaitMs` of
     * inactivity (the flush timer is the reference's buffering timer). */

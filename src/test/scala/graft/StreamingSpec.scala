@@ -229,6 +229,47 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("orFinally: repeated count panes until the total closes the key") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val panes = Stateful.orFinallyTriggered[String, Int, Long](
+      input.toDS(), zero = 0L, add = (a, v) => a + v, every = 2, total = 5)
+    val q = panes.toDF("k", "running_sum", "pane", "is_final")
+      .writeStream.format("memory").queryName("or_finally")
+      .outputMode("append").trigger(Trigger.ProcessingTime(200)).start()
+    try {
+      input.addData(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5),
+        ("a", 100), ("a", 200)) // the last two land after the close
+      awaitRows("or_finally", 3)
+      Thread.sleep(500) // would surface any post-final extra pane
+      val rows = spark.table("or_finally").as[(String, Long, Long, Boolean)]
+        .collect().sortBy(_._3)
+      // panes 0,1 every 2 elements; 5th element satisfies the until-side:
+      // final pane, then the key is closed and 100/200 are discarded
+      assert(rows.toSeq == Seq(("a", 3L, 0L, false), ("a", 10L, 1L, false),
+        ("a", 15L, 2L, true)))
+    } finally q.stop()
+  }
+
+  test("afterEach: sequenced count sub-triggers fire in order, then finish") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val panes = Stateful.afterEachTriggered[String, Int, Long](
+      input.toDS(), zero = 0L, add = (a, v) => a + v, counts = Seq(1, 2, 3))
+    val q = panes.toDF("k", "running_sum", "pane")
+      .writeStream.format("memory").queryName("after_each")
+      .outputMode("append").trigger(Trigger.ProcessingTime(200)).start()
+    try {
+      input.addData((1 to 8).map(i => ("a", i)): _*) // 6 consume the sequence; 7,8 after finish
+      awaitRows("after_each", 3)
+      Thread.sleep(500)
+      val rows = spark.table("after_each").as[(String, Long, Long)].collect().sortBy(_._3)
+      // pane 0 after 1 element, pane 1 after 2 more, pane 2 after 3 more;
+      // elements 7,8 arrive on a finished sequence and never fire
+      assert(rows.toSeq == Seq(("a", 1L, 0L), ("a", 6L, 1L), ("a", 21L, 2L)))
+    } finally q.stop()
+  }
+
   test("processing-time early firing emits a running pane after the delay") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
