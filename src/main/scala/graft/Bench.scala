@@ -37,7 +37,8 @@ object Bench {
     // iteration aids: SPARK_GRAFT_ONLY=substr runs a subset,
     // SPARK_GRAFT_EXPLAIN=1 dumps formatted plans
     val queries = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(o => SparkEntry.queries.filter(_._1.contains(o)))
+      .map(_.split(",").map(_.trim).toSeq)
+      .map(fs => SparkEntry.queries.filter { case (n, _) => fs.exists(n.contains) })
       .getOrElse(SparkEntry.queries)
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       queries.foreach { case (name, fn) =>

@@ -15,10 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Local-iteration filter (same convention as Bench); driver leaves it unset.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // Local-iteration filter (same convention as Bench), comma = any-of;
+    // driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(f => name.contains(f)) }
+      only.forall(_.exists(name.contains)) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1211,7 +1211,251 @@ object TpcDsQueries extends QueryModule {
        | group by c_last_name, c_first_name, s_store_name
        | having 20 * sum(netpaid) * (select count(netpaid) from ssales) > (select sum(netpaid) from ssales)""".stripMargin
 
+  // ---- cross-channel corpus (catalog_sales / web_sales / inventory).
+  // Adaptations follow the house rules (decimal sums cast to double at
+  // output, decimal÷decimal through double, sum(int) cast to bigint for
+  // DuckDB's HUGEINT, space-bearing aliases renamed — backtick quoting is
+  // not portable), plus per-query notes inline.
+
+  // query2.sql: web+catalog weekly sales, year-over-year ratio per day
+  // of week. Our continuous d_week_seq advances 52/year (no 53-week
+  // restart), so the reference's `d_week_seq2-53` becomes -52.
+  private val q2Body =
+    """with wscs as
+      | (select sold_date_sk
+      |        ,sales_price
+      |  from (select ws_sold_date_sk sold_date_sk
+      |              ,ws_ext_sales_price sales_price
+      |        from web_sales
+      |        union all
+      |        select cs_sold_date_sk sold_date_sk
+      |              ,cs_ext_sales_price sales_price
+      |        from catalog_sales)),
+      | wswscs as
+      | (select d_week_seq,
+      |        sum(case when (d_day_name='Sunday') then sales_price else null end) sun_sales,
+      |        sum(case when (d_day_name='Monday') then sales_price else null end) mon_sales,
+      |        sum(case when (d_day_name='Tuesday') then sales_price else  null end) tue_sales,
+      |        sum(case when (d_day_name='Wednesday') then sales_price else null end) wed_sales,
+      |        sum(case when (d_day_name='Thursday') then sales_price else null end) thu_sales,
+      |        sum(case when (d_day_name='Friday') then sales_price else null end) fri_sales,
+      |        sum(case when (d_day_name='Saturday') then sales_price else null end) sat_sales
+      | from wscs
+      |     ,date_dim
+      | where d_date_sk = sold_date_sk
+      | group by d_week_seq)
+      | select d_week_seq1
+      |       ,round(cast(sun_sales1 as double)/cast(sun_sales2 as double),2) sun_ratio
+      |       ,round(cast(mon_sales1 as double)/cast(mon_sales2 as double),2) mon_ratio
+      |       ,round(cast(tue_sales1 as double)/cast(tue_sales2 as double),2) tue_ratio
+      |       ,round(cast(wed_sales1 as double)/cast(wed_sales2 as double),2) wed_ratio
+      |       ,round(cast(thu_sales1 as double)/cast(thu_sales2 as double),2) thu_ratio
+      |       ,round(cast(fri_sales1 as double)/cast(fri_sales2 as double),2) fri_ratio
+      |       ,round(cast(sat_sales1 as double)/cast(sat_sales2 as double),2) sat_ratio
+      | from
+      | (select wswscs.d_week_seq d_week_seq1
+      |        ,sun_sales sun_sales1
+      |        ,mon_sales mon_sales1
+      |        ,tue_sales tue_sales1
+      |        ,wed_sales wed_sales1
+      |        ,thu_sales thu_sales1
+      |        ,fri_sales fri_sales1
+      |        ,sat_sales sat_sales1
+      |  from wswscs,date_dim
+      |  where date_dim.d_week_seq = wswscs.d_week_seq and
+      |        d_year = 2001) y,
+      | (select wswscs.d_week_seq d_week_seq2
+      |        ,sun_sales sun_sales2
+      |        ,mon_sales mon_sales2
+      |        ,tue_sales tue_sales2
+      |        ,wed_sales wed_sales2
+      |        ,thu_sales thu_sales2
+      |        ,fri_sales fri_sales2
+      |        ,sat_sales sat_sales2
+      |  from wswscs
+      |      ,date_dim
+      |  where date_dim.d_week_seq = wswscs.d_week_seq and
+      |        d_year = 2001+1) z
+      | where d_week_seq1=d_week_seq2-52
+      | order by d_week_seq1""".stripMargin
+
+  // query11.sql: customers whose web year-over-year growth beats their
+  // store growth. The growth-ratio comparison goes through double (the
+  // engines' decimal-division scale rules differ).
+  private val q11Body =
+    """with year_total as (
+      | select c_customer_id customer_id
+      |       ,c_first_name customer_first_name
+      |       ,c_last_name customer_last_name
+      |       ,c_preferred_cust_flag customer_preferred_cust_flag
+      |       ,c_birth_country customer_birth_country
+      |       ,c_login customer_login
+      |       ,c_email_address customer_email_address
+      |       ,d_year dyear
+      |       ,sum(ss_ext_list_price-ss_ext_discount_amt) year_total
+      |       ,'s' sale_type
+      | from customer
+      |     ,store_sales
+      |     ,date_dim
+      | where c_customer_sk = ss_customer_sk
+      |   and ss_sold_date_sk = d_date_sk
+      | group by c_customer_id
+      |         ,c_first_name
+      |         ,c_last_name
+      |         ,c_preferred_cust_flag
+      |         ,c_birth_country
+      |         ,c_login
+      |         ,c_email_address
+      |         ,d_year
+      | union all
+      | select c_customer_id customer_id
+      |       ,c_first_name customer_first_name
+      |       ,c_last_name customer_last_name
+      |       ,c_preferred_cust_flag customer_preferred_cust_flag
+      |       ,c_birth_country customer_birth_country
+      |       ,c_login customer_login
+      |       ,c_email_address customer_email_address
+      |       ,d_year dyear
+      |       ,sum(ws_ext_list_price-ws_ext_discount_amt) year_total
+      |       ,'w' sale_type
+      | from customer
+      |     ,web_sales
+      |     ,date_dim
+      | where c_customer_sk = ws_bill_customer_sk
+      |   and ws_sold_date_sk = d_date_sk
+      | group by c_customer_id
+      |         ,c_first_name
+      |         ,c_last_name
+      |         ,c_preferred_cust_flag
+      |         ,c_birth_country
+      |         ,c_login
+      |         ,c_email_address
+      |         ,d_year
+      |         )
+      |  select
+      |                  t_s_secyear.customer_id
+      |                 ,t_s_secyear.customer_first_name
+      |                 ,t_s_secyear.customer_last_name
+      |                 ,t_s_secyear.customer_email_address
+      | from year_total t_s_firstyear
+      |     ,year_total t_s_secyear
+      |     ,year_total t_w_firstyear
+      |     ,year_total t_w_secyear
+      | where t_s_secyear.customer_id = t_s_firstyear.customer_id
+      |         and t_s_firstyear.customer_id = t_w_secyear.customer_id
+      |         and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      |         and t_s_firstyear.sale_type = 's'
+      |         and t_w_firstyear.sale_type = 'w'
+      |         and t_s_secyear.sale_type = 's'
+      |         and t_w_secyear.sale_type = 'w'
+      |         and t_s_firstyear.dyear = 2001
+      |         and t_s_secyear.dyear = 2001+1
+      |         and t_w_firstyear.dyear = 2001
+      |         and t_w_secyear.dyear = 2001+1
+      |         and t_s_firstyear.year_total > 0
+      |         and t_w_firstyear.year_total > 0
+      |         and case when t_w_firstyear.year_total > 0 then cast(t_w_secyear.year_total as double) / cast(t_w_firstyear.year_total as double) else 0.0 end
+      |             > case when t_s_firstyear.year_total > 0 then cast(t_s_secyear.year_total as double) / cast(t_s_firstyear.year_total as double) else 0.0 end
+      | order by t_s_secyear.customer_id
+      |         ,t_s_secyear.customer_first_name
+      |         ,t_s_secyear.customer_last_name
+      |         ,t_s_secyear.customer_email_address
+      |limit 100""".stripMargin
+
+  // query16.sql: catalog orders shipped from multiple warehouses with no
+  // return, within 60 days. ca_state/cc_county literals adapted to the
+  // generator's domains; the space-bearing aliases are renamed.
+  private val q16Body =
+    """select
+      |   cast(count(distinct cs_order_number) as bigint) as order_count
+      |  ,cast(sum(cs_ext_ship_cost) as double) as total_shipping_cost
+      |  ,cast(sum(cs_net_profit) as double) as total_net_profit
+      |from
+      |   catalog_sales cs1
+      |  ,date_dim
+      |  ,customer_address
+      |  ,call_center
+      |where
+      |    d_date between '2001-4-01' and
+      |           (cast('2001-4-01' as date) + interval '60' day)
+      |and cs1.cs_ship_date_sk = d_date_sk
+      |and cs1.cs_bill_addr_sk = ca_address_sk
+      |and ca_state = 'GA'
+      |and cs1.cs_call_center_sk = cc_call_center_sk
+      |and cc_county in ('Williamson County','Levy County','Huron County','Franklin Parish',
+      |                  'Daviess County'
+      |)
+      |and exists (select *
+      |            from catalog_sales cs2
+      |            where cs1.cs_order_number = cs2.cs_order_number
+      |              and cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+      |and not exists(select *
+      |               from catalog_returns cr1
+      |               where cs1.cs_order_number = cr1.cr_order_number)
+      |order by order_count
+      |limit 100""".stripMargin
+
+  // query21.sql: inventory quantity before/after a price-change date per
+  // warehouse/item. sum(int) casts to bigint (DuckDB sums ints to
+  // HUGEINT), which also makes the 2/3..3/2 ratio double/double.
+  private val q21Body =
+    """select  *
+      | from(select w_warehouse_name
+      |            ,i_item_id
+      |            ,cast(sum(case when (cast(d_date as date) < cast ('1998-04-08' as date))
+      |                 then inv_quantity_on_hand
+      |                      else 0 end) as bigint) as inv_before
+      |            ,cast(sum(case when (cast(d_date as date) >= cast ('1998-04-08' as date))
+      |                      then inv_quantity_on_hand
+      |                      else 0 end) as bigint) as inv_after
+      |   from inventory
+      |       ,warehouse
+      |       ,item
+      |       ,date_dim
+      |   where i_current_price between 0.99 and 1.49
+      |     and i_item_sk          = inv_item_sk
+      |     and inv_warehouse_sk   = w_warehouse_sk
+      |     and inv_date_sk    = d_date_sk
+      |     and d_date between (cast ('1998-04-08' as date) - interval '30' day)
+      |                    and (cast ('1998-04-08' as date) + interval '30' day)
+      |   group by w_warehouse_name, i_item_id) x
+      | where (case when inv_before > 0
+      |             then inv_after / inv_before
+      |             else null
+      |             end) between 2.0/3.0 and 3.0/2.0
+      | order by w_warehouse_name
+      |         ,i_item_id
+      | limit 100""".stripMargin
+
+  // query22.sql: average quantity-on-hand over the item hierarchy rollup.
+  // ORDER BY gains explicit NULLS FIRST on the rollup columns (the q67
+  // rule: Spark sorts nulls first ASC, DuckDB last).
+  private val q22Body =
+    """select  i_product_name
+      |             ,i_brand
+      |             ,i_class
+      |             ,i_category
+      |             ,avg(inv_quantity_on_hand) qoh
+      |       from inventory
+      |           ,date_dim
+      |           ,item
+      |       where inv_date_sk=d_date_sk
+      |              and inv_item_sk=i_item_sk
+      |              and d_month_seq between 1212 and 1212 + 11
+      |       group by rollup(i_product_name
+      |                       ,i_brand
+      |                       ,i_class
+      |                       ,i_category)
+      |order by qoh, i_product_name nulls first, i_brand nulls first,
+      |         i_class nulls first, i_category nulls first
+      |limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds02_tpcds_weekly_channel_ratio" -> q2Body,
+    "ds11_tpcds_channel_growth" -> q11Body,
+    "ds16_tpcds_multi_warehouse_ship" -> q16Body,
+    "ds21_tpcds_inventory_shift" -> q21Body,
+    "ds22_tpcds_inventory_rollup" -> q22Body,
     "ds24a_tpcds_pale_netpaid" -> q24Body("pale"),
     "ds24b_tpcds_chiffon_netpaid" -> q24Body("chiffon"),
     "ds06_tpcds_state_price_premium" -> q6Body,

@@ -24,13 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v8"
+  val dir = "/root/repo/target/tpcds/v9"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
-    "customer_demographics", "promotion", "store_returns")
+    "customer_demographics", "promotion", "store_returns",
+    "catalog_sales", "catalog_returns", "web_sales", "web_returns",
+    "inventory", "warehouse", "call_center", "ship_mode", "web_site",
+    "web_page")
 
   private val SalesRows = 1000000L
+  private val CatalogRows = 500000L
+  private val WebRows = 400000L
   private val Items = 2000L
   private val Customers = 5000L
   private val Dates = 1826L // 1998-01-01 .. 2002-12-31
@@ -39,6 +44,11 @@ object TpcDs {
   private val Addresses = 1000L
   private val CustomerDemos = 1000L
   private val Promotions = 30L
+  private val Warehouses = 4L
+  private val CallCenters = 4L
+  private val ShipModes = 8L
+  private val WebSites = 4L
+  private val WebPages = 20L
 
   private def h(c: org.apache.spark.sql.Column, seed: Int) =
     xxhash64(c, lit(seed))
@@ -200,6 +210,9 @@ object TpcDs {
       .withColumn("c_birth_country",
         when(pmod(h(col("c_customer_sk"), 46), lit(5L)) < 4, "UNITED STATES")
           .otherwise("CANADA"))
+      .withColumn("c_login", concat(lit("login_"), col("c_customer_sk")))
+      .withColumn("c_email_address",
+        concat(lit("First"), col("c_customer_sk"), lit("@example.com")))
 
     val address = spark.range(Addresses).select((col("id") + 1).as("ca_address_sk"))
       .withColumn("ca_city", element_at(
@@ -265,6 +278,198 @@ object TpcDs {
           .cast("int"))
       .drop("ss_quantity")
 
+    // ---- catalog channel (grain: order_number × item, ~2.5 lines/order).
+    // Bill customer/item draw from the SAME sk domains as the store
+    // channel, so cross-channel correlation queries (q25/q29/q78/q97:
+    // "same customer bought the same item in another channel") have real
+    // key overlap rather than disjoint synthetic spaces.
+    val cs = spark.range(CatalogRows)
+      .withColumn("ord", (col("id") / 2.5).cast("long"))
+      .select(
+        col("ord").as("cs_order_number"),
+        (pmod(h(col("ord"), 50), lit(Customers)) + 1).as("cs_bill_customer_sk"),
+        (pmod(h(col("ord"), 51), lit(CustomerDemos)) + 1).as("cs_bill_cdemo_sk"),
+        (pmod(h(col("ord"), 52), lit(Addresses)) + 1).as("cs_bill_addr_sk"),
+        (pmod(h(col("ord"), 53), lit(Dates)) + 1).as("cs_sold_date_sk"),
+        pmod(h(col("ord"), 54), lit(86400L)).as("cs_sold_time_sk"),
+        (pmod(h(col("ord"), 55), lit(CallCenters)) + 1).as("cs_call_center_sk"),
+        (pmod(h(col("id"), 56), lit(ShipModes)) + 1).as("cs_ship_mode_sk"),
+        (pmod(h(col("id"), 57), lit(Warehouses)) + 1).as("cs_warehouse_sk"),
+        (pmod(h(col("id"), 58), lit(Items)) + 1).as("cs_item_sk"),
+        (pmod(h(col("id"), 59), lit(Promotions)) + 1).as("cs_promo_sk"),
+        (pmod(h(col("id"), 60), lit(30L)) + 1).cast("int").as("cs_quantity"),
+        col("id"))
+      // ship lag 1..60 days, capped at calendar end (q16/q94's "ship
+      // within 60 days" and q21's before/after split live on this lag)
+      .withColumn("cs_ship_date_sk",
+        least(col("cs_sold_date_sk") + pmod(h(col("cs_order_number"), 61), lit(60L)) + 1,
+          lit(Dates)))
+      .withColumn("cs_sales_price",
+        round(pow(pmod(col("cs_item_sk") + 7, lit(300L)) + 1, 2) / 100.0, 2).cast("decimal(7,2)"))
+      .withColumn("cs_ext_sales_price",
+        (col("cs_sales_price") * col("cs_quantity")).cast("decimal(7,2)"))
+      .withColumn("cs_list_price",
+        (pmod(h(col("id"), 62), lit(20000L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("cs_ext_list_price",
+        (col("cs_list_price") * col("cs_quantity")).cast("decimal(7,2)"))
+      .withColumn("cs_wholesale_cost",
+        (pmod(h(col("id"), 63), lit(10000L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("cs_ext_wholesale_cost",
+        (col("cs_wholesale_cost") * col("cs_quantity")).cast("decimal(7,2)"))
+      .withColumn("cs_ext_discount_amt",
+        (pmod(h(col("id"), 64), lit(10000L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("cs_ext_ship_cost",
+        (pmod(h(col("id"), 65), lit(5000L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("cs_net_paid",
+        (pmod(h(col("id"), 66), lit(30000L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("cs_net_profit",
+        ((pmod(h(col("id"), 67), lit(80000L)) - 20000) / 100.0).cast("decimal(7,2)"))
+      .drop("id")
+
+    // ~10% of catalog lines return 1..120 days after ship
+    val creturns = cs
+      .filter(pmod(xxhash64(col("cs_order_number"), col("cs_item_sk"), lit(70)), lit(10L)) === 0)
+      .select(
+        col("cs_order_number").as("cr_order_number"),
+        col("cs_item_sk").as("cr_item_sk"),
+        col("cs_bill_customer_sk").as("cr_returning_customer_sk"),
+        col("cs_call_center_sk").as("cr_call_center_sk"),
+        col("cs_warehouse_sk").as("cr_warehouse_sk"),
+        col("cs_quantity"),
+        least(col("cs_ship_date_sk")
+            + pmod(xxhash64(col("cs_order_number"), col("cs_item_sk"), lit(71)), lit(120L)) + 1,
+          lit(Dates)).as("cr_returned_date_sk"))
+      .withColumn("cr_return_quantity",
+        (pmod(xxhash64(col("cr_order_number"), col("cr_item_sk"), lit(72)), col("cs_quantity")) + 1)
+          .cast("int"))
+      .withColumn("cr_return_amount",
+        (pmod(xxhash64(col("cr_order_number"), col("cr_item_sk"), lit(73)), lit(50000L)) / 100.0)
+          .cast("decimal(7,2)"))
+      .withColumn("cr_refunded_cash",
+        (pmod(xxhash64(col("cr_order_number"), col("cr_item_sk"), lit(74)), lit(30000L)) / 100.0)
+          .cast("decimal(7,2)"))
+      .withColumn("cr_net_loss",
+        (pmod(xxhash64(col("cr_order_number"), col("cr_item_sk"), lit(75)), lit(20000L)) / 100.0)
+          .cast("decimal(7,2)"))
+      .drop("cs_quantity")
+
+    // ---- web channel (grain: order_number × item, ~2 lines/order)
+    val ws = spark.range(WebRows)
+      .withColumn("ord", (col("id") / 2).cast("long"))
+      .select(
+        col("ord").as("ws_order_number"),
+        (pmod(h(col("ord"), 80), lit(Customers)) + 1).as("ws_bill_customer_sk"),
+        (pmod(h(col("ord"), 81), lit(Addresses)) + 1).as("ws_bill_addr_sk"),
+        (pmod(h(col("ord"), 82), lit(Addresses)) + 1).as("ws_ship_addr_sk"),
+        (pmod(h(col("ord"), 83), lit(Dates)) + 1).as("ws_sold_date_sk"),
+        pmod(h(col("ord"), 84), lit(86400L)).as("ws_sold_time_sk"),
+        (pmod(h(col("ord"), 85), lit(WebSites)) + 1).as("ws_web_site_sk"),
+        (pmod(h(col("ord"), 86), lit(WebPages)) + 1).as("ws_web_page_sk"),
+        (pmod(h(col("id"), 87), lit(Warehouses)) + 1).as("ws_warehouse_sk"),
+        (pmod(h(col("id"), 88), lit(ShipModes)) + 1).as("ws_ship_mode_sk"),
+        (pmod(h(col("id"), 89), lit(Items)) + 1).as("ws_item_sk"),
+        (pmod(h(col("id"), 90), lit(Promotions)) + 1).as("ws_promo_sk"),
+        (pmod(h(col("ord"), 95), lit(HouseholdDemos)) + 1).as("ws_ship_hdemo_sk"),
+        (pmod(h(col("id"), 91), lit(30L)) + 1).cast("int").as("ws_quantity"),
+        col("id"))
+      .withColumn("ws_ship_date_sk",
+        least(col("ws_sold_date_sk") + pmod(h(col("ws_order_number"), 92), lit(60L)) + 1,
+          lit(Dates)))
+      .withColumn("ws_sales_price",
+        round(pow(pmod(col("ws_item_sk") + 13, lit(300L)) + 1, 2) / 100.0, 2).cast("decimal(7,2)"))
+      .withColumn("ws_ext_sales_price",
+        (col("ws_sales_price") * col("ws_quantity")).cast("decimal(7,2)"))
+      .withColumn("ws_list_price",
+        (pmod(h(col("id"), 93), lit(20000L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("ws_ext_list_price",
+        (col("ws_list_price") * col("ws_quantity")).cast("decimal(7,2)"))
+      .withColumn("ws_wholesale_cost",
+        (pmod(h(col("id"), 94), lit(10000L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("ws_ext_wholesale_cost",
+        (col("ws_wholesale_cost") * col("ws_quantity")).cast("decimal(7,2)"))
+      .withColumn("ws_ext_discount_amt",
+        (pmod(h(col("id"), 96), lit(10000L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("ws_ext_ship_cost",
+        (pmod(h(col("id"), 97), lit(5000L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("ws_net_paid",
+        (pmod(h(col("id"), 98), lit(30000L)) / 100.0).cast("decimal(7,2)"))
+      .withColumn("ws_net_profit",
+        ((pmod(h(col("id"), 99), lit(80000L)) - 20000) / 100.0).cast("decimal(7,2)"))
+      .drop("id")
+
+    val wreturns = ws
+      .filter(pmod(xxhash64(col("ws_order_number"), col("ws_item_sk"), lit(100)), lit(10L)) === 0)
+      .select(
+        col("ws_order_number").as("wr_order_number"),
+        col("ws_item_sk").as("wr_item_sk"),
+        col("ws_bill_customer_sk").as("wr_returning_customer_sk"),
+        col("ws_web_page_sk").as("wr_web_page_sk"),
+        col("ws_quantity"),
+        least(col("ws_ship_date_sk")
+            + pmod(xxhash64(col("ws_order_number"), col("ws_item_sk"), lit(101)), lit(120L)) + 1,
+          lit(Dates)).as("wr_returned_date_sk"))
+      .withColumn("wr_return_quantity",
+        (pmod(xxhash64(col("wr_order_number"), col("wr_item_sk"), lit(102)), col("ws_quantity")) + 1)
+          .cast("int"))
+      .withColumn("wr_return_amt",
+        (pmod(xxhash64(col("wr_order_number"), col("wr_item_sk"), lit(103)), lit(50000L)) / 100.0)
+          .cast("decimal(7,2)"))
+      .withColumn("wr_refunded_cash",
+        (pmod(xxhash64(col("wr_order_number"), col("wr_item_sk"), lit(104)), lit(30000L)) / 100.0)
+          .cast("decimal(7,2)"))
+      .withColumn("wr_net_loss",
+        (pmod(xxhash64(col("wr_order_number"), col("wr_item_sk"), lit(105)), lit(20000L)) / 100.0)
+          .cast("decimal(7,2)"))
+      .drop("ws_quantity")
+
+    // ---- weekly inventory snapshots: every 7th calendar day × item ×
+    // warehouse (the reference's inventory is exactly this weekly grain)
+    val inventory = spark.range(Dates / 7)
+      .select((col("id") * 7 + 1).as("inv_date_sk"))
+      .crossJoin(spark.range(Items).select((col("id") + 1).as("inv_item_sk")))
+      .crossJoin(spark.range(Warehouses).select((col("id") + 1).as("inv_warehouse_sk")))
+      .withColumn("inv_quantity_on_hand",
+        pmod(xxhash64(col("inv_date_sk"), col("inv_item_sk"),
+          col("inv_warehouse_sk"), lit(110)), lit(1000L)).cast("int"))
+
+    val warehouse = spark.range(Warehouses).select((col("id") + 1).as("w_warehouse_sk"))
+      .withColumn("w_warehouse_name", concat(lit("Warehouse_"), col("w_warehouse_sk")))
+      .withColumn("w_warehouse_sq_ft", (col("w_warehouse_sk") * 25000).cast("int"))
+      .withColumn("w_city", element_at(
+        array(Seq("Midway", "Fairview", "City_2", "City_3").map(lit): _*),
+        col("w_warehouse_sk").cast("int")))
+      .withColumn("w_county", lit("Williamson County"))
+      .withColumn("w_state", element_at(
+        array(Seq("TN", "SC", "AL", "GA").map(lit): _*), col("w_warehouse_sk").cast("int")))
+      .withColumn("w_country", lit("United States"))
+
+    val callCenter = spark.range(CallCenters).select((col("id") + 1).as("cc_call_center_sk"))
+      .withColumn("cc_name", concat(lit("call_center_"), col("cc_call_center_sk")))
+      .withColumn("cc_county", lit("Williamson County"))
+      .withColumn("cc_manager", concat(lit("Manager_"), col("cc_call_center_sk")))
+
+    val shipMode = spark.range(ShipModes).select((col("id") + 1).as("sm_ship_mode_sk"))
+      .withColumn("sm_type", element_at(
+        array(Seq("EXPRESS", "OVERNIGHT", "REGULAR", "NEXT DAY", "TWO DAY",
+          "LIBRARY", "MAIL", "EXPRESS").map(lit): _*),
+        col("sm_ship_mode_sk").cast("int")))
+      .withColumn("sm_carrier", element_at(
+        array(Seq("UPS", "FEDEX", "AIRBORNE", "USPS", "DHL", "TBS", "ZHOU",
+          "LATVIAN").map(lit): _*),
+        col("sm_ship_mode_sk").cast("int")))
+      .withColumn("sm_code", element_at(
+        array(Seq("AIR", "SURFACE", "SEA", "AIR", "SURFACE", "SEA", "AIR",
+          "SURFACE").map(lit): _*),
+        col("sm_ship_mode_sk").cast("int")))
+
+    val webSite = spark.range(WebSites).select((col("id") + 1).as("web_site_sk"))
+      .withColumn("web_name", concat(lit("site_"), col("web_site_sk") - 1))
+      .withColumn("web_company_name", lit("pri"))
+
+    val webPage = spark.range(WebPages).select((col("id") + 1).as("wp_web_page_sk"))
+      .withColumn("wp_char_count",
+        (lit(2500) + pmod(h(col("wp_web_page_sk"), 115), lit(2700L))).cast("int"))
+
     val reason = spark.range(35L).select((col("id") + 1).as("r_reason_sk"))
       .withColumn("r_reason_id", concat(lit("R_"), lpad(col("r_reason_sk"), 3, "0")))
       .withColumn("r_reason_desc",
@@ -275,7 +480,12 @@ object TpcDs {
       "item" -> item, "store" -> store, "household_demographics" -> hd,
       "customer" -> customer, "reason" -> reason,
       "customer_address" -> address, "customer_demographics" -> cdemo,
-      "promotion" -> promotion, "store_returns" -> sreturns)
+      "promotion" -> promotion, "store_returns" -> sreturns,
+      "catalog_sales" -> cs, "catalog_returns" -> creturns,
+      "web_sales" -> ws, "web_returns" -> wreturns,
+      "inventory" -> inventory, "warehouse" -> warehouse,
+      "call_center" -> callCenter, "ship_mode" -> shipMode,
+      "web_site" -> webSite, "web_page" -> webPage)
   }
 
   /** Generate-once: write each table if its directory isn't committed yet,
@@ -283,8 +493,10 @@ object TpcDs {
   def ensure(spark: SparkSession): Unit = synchronized {
     val frames = if (tables.forall(t => new File(s"$dir/$t/_SUCCESS").exists())) None
     else Some(gen(spark))
+    val shards = Map("store_sales" -> 8, "catalog_sales" -> 4,
+      "web_sales" -> 4, "inventory" -> 4)
     frames.foreach(_.foreach { case (name, df) =>
-      df.repartition(if (name == "store_sales") 8 else 1)
+      df.repartition(shards.getOrElse(name, 1))
         .write.mode("overwrite").parquet(s"$dir/$name")
     })
     tables.foreach { t =>
