@@ -1450,7 +1450,196 @@ object TpcDsQueries extends QueryModule {
       |         i_class nulls first, i_category nulls first
       |limit 100""".stripMargin
 
+  // query25.sql: items sold in April, returned within 6 months, and
+  // re-bought by the same customer through the catalog — a 3-fact join
+  // chain over (customer, item). Year adapted to 2000 (in-domain).
+  private val q25Body =
+    """select
+      | i_item_id
+      | ,i_item_desc
+      | ,s_store_id
+      | ,s_store_name
+      | ,cast(sum(ss_net_profit) as double) as store_sales_profit
+      | ,cast(sum(sr_net_loss) as double) as store_returns_loss
+      | ,cast(sum(cs_net_profit) as double) as catalog_sales_profit
+      | from
+      | store_sales
+      | ,store_returns
+      | ,catalog_sales
+      | ,date_dim d1
+      | ,date_dim d2
+      | ,date_dim d3
+      | ,store
+      | ,item
+      | where
+      | d1.d_moy = 4
+      | and d1.d_year = 2000
+      | and d1.d_date_sk = ss_sold_date_sk
+      | and i_item_sk = ss_item_sk
+      | and s_store_sk = ss_store_sk
+      | and ss_customer_sk = sr_customer_sk
+      | and ss_item_sk = sr_item_sk
+      | and ss_ticket_number = sr_ticket_number
+      | and sr_returned_date_sk = d2.d_date_sk
+      | and d2.d_moy               between 4 and  10
+      | and d2.d_year              = 2000
+      | and sr_customer_sk = cs_bill_customer_sk
+      | and sr_item_sk = cs_item_sk
+      | and cs_sold_date_sk = d3.d_date_sk
+      | and d3.d_moy               between 4 and  10
+      | and d3.d_year              = 2000
+      | group by
+      | i_item_id
+      | ,i_item_desc
+      | ,s_store_id
+      | ,s_store_name
+      | order by
+      | i_item_id
+      | ,i_item_desc
+      | ,s_store_id
+      | ,s_store_name""".stripMargin
+
+  // query29.sql: like q25 on quantities, with a 3-year catalog window.
+  // Integer-quantity sums cast to bigint (the DuckDB HUGEINT rule).
+  private val q29Body =
+    """select
+      |     i_item_id
+      |    ,i_item_desc
+      |    ,s_store_id
+      |    ,s_store_name
+      |    ,cast(sum(ss_quantity) as bigint)        as store_sales_quantity
+      |    ,cast(sum(sr_return_quantity) as bigint) as store_returns_quantity
+      |    ,cast(sum(cs_quantity) as bigint)        as catalog_sales_quantity
+      | from
+      |    store_sales
+      |   ,store_returns
+      |   ,catalog_sales
+      |   ,date_dim             d1
+      |   ,date_dim             d2
+      |   ,date_dim             d3
+      |   ,store
+      |   ,item
+      | where
+      |     d1.d_moy               = 4
+      | and d1.d_year              = 1999
+      | and d1.d_date_sk           = ss_sold_date_sk
+      | and i_item_sk              = ss_item_sk
+      | and s_store_sk             = ss_store_sk
+      | and ss_customer_sk         = sr_customer_sk
+      | and ss_item_sk             = sr_item_sk
+      | and ss_ticket_number       = sr_ticket_number
+      | and sr_returned_date_sk    = d2.d_date_sk
+      | and d2.d_moy               between 4 and  4 + 3
+      | and d2.d_year              = 1999
+      | and sr_customer_sk         = cs_bill_customer_sk
+      | and sr_item_sk             = cs_item_sk
+      | and cs_sold_date_sk        = d3.d_date_sk
+      | and d3.d_year              in (1999,1999+1,1999+2)
+      | group by
+      |    i_item_id
+      |   ,i_item_desc
+      |   ,s_store_id
+      |   ,s_store_name
+      | order by
+      |    i_item_id
+      |   ,i_item_desc
+      |   ,s_store_id
+      |   ,s_store_name
+      | limit 100""".stripMargin
+
+  // query37.sql: catalog items in a price/manufacturer band with healthy
+  // inventory. Manufacturer ids adapted to the generator's hash domain.
+  private val q37Body =
+    """select  i_item_id
+      |       ,i_item_desc
+      |       ,i_current_price
+      | from item, inventory, date_dim, catalog_sales
+      | where i_current_price between 22 and 22 + 30
+      | and inv_item_sk = i_item_sk
+      | and d_date_sk=inv_date_sk
+      | and d_date between cast('2001-06-02' as date) and (cast('2001-06-02' as date) +  interval '60' day)
+      | and i_manufact_id in (678,964,918,849)
+      | and inv_quantity_on_hand between 100 and 500
+      | and cs_item_sk = i_item_sk
+      | group by i_item_id,i_item_desc,i_current_price
+      | order by i_item_id
+      | limit 100""".stripMargin
+
+  // query82.sql: the store-channel analog of q37.
+  private val q82Body =
+    """select  i_item_id
+      |       ,i_item_desc
+      |       ,i_current_price
+      | from item, inventory, date_dim, store_sales
+      | where i_current_price between 30 and 30+30
+      | and inv_item_sk = i_item_sk
+      | and d_date_sk=inv_date_sk
+      | and d_date between cast('2002-05-30' as date) and (cast('2002-05-30' as date) +  interval '60' day)
+      | and i_manufact_id in (437,129,727,663)
+      | and inv_quantity_on_hand between 100 and 500
+      | and ss_item_sk = i_item_sk
+      | group by i_item_id,i_item_desc,i_current_price
+      | order by i_item_id
+      | limit 100""".stripMargin
+
+  // query40.sql: catalog sales net of refunds by warehouse state,
+  // before/after a price-change date (left join to returns).
+  private val q40Body =
+    """select
+      |   w_state
+      |  ,i_item_id
+      |  ,cast(sum(case when (cast(d_date as date) < cast ('1998-04-08' as date))
+      | 		then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as double) as sales_before
+      |  ,cast(sum(case when (cast(d_date as date) >= cast ('1998-04-08' as date))
+      | 		then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as double) as sales_after
+      | from
+      |   catalog_sales left outer join catalog_returns on
+      |       (cs_order_number = cr_order_number
+      |        and cs_item_sk = cr_item_sk)
+      |  ,warehouse
+      |  ,item
+      |  ,date_dim
+      | where
+      |     i_current_price between 0.99 and 1.49
+      | and i_item_sk          = cs_item_sk
+      | and cs_warehouse_sk    = w_warehouse_sk
+      | and cs_sold_date_sk    = d_date_sk
+      | and d_date between (cast ('1998-04-08' as date) - interval '30' day)
+      |                and (cast ('1998-04-08' as date) + interval '30' day)
+      | group by
+      |    w_state,i_item_id
+      | order by w_state,i_item_id
+      |limit 100""".stripMargin
+
+  // query45.sql: web sales by customer zip/county for a zip list OR a
+  // prime-item-sk list (the item branch keeps the result non-empty
+  // whatever the hashed zip values are).
+  private val q45Body =
+    """select  ca_zip, ca_county, cast(sum(ws_sales_price) as double) sum_sales
+      | from web_sales, customer, customer_address, date_dim, item
+      | where ws_bill_customer_sk = c_customer_sk
+      | 	and c_current_addr_sk = ca_address_sk
+      | 	and ws_item_sk = i_item_sk
+      | 	and ( substring(ca_zip,1,5) in ('85669', '86197','88274','83405','86475', '85392', '85460', '80348', '81792')
+      | 	      or
+      | 	      i_item_id in (select i_item_id
+      |                             from item
+      |                             where i_item_sk in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+      |                             )
+      | 	    )
+      | 	and ws_sold_date_sk = d_date_sk
+      | 	and d_qoy = 2 and d_year = 2000
+      | group by ca_zip, ca_county
+      | order by ca_zip, ca_county
+      | limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds25_tpcds_rebuy_profit_chain" -> q25Body,
+    "ds29_tpcds_rebuy_quantity_chain" -> q29Body,
+    "ds37_tpcds_catalog_inventory_band" -> q37Body,
+    "ds82_tpcds_store_inventory_band" -> q82Body,
+    "ds40_tpcds_warehouse_refund_split" -> q40Body,
+    "ds45_tpcds_web_zip_sales" -> q45Body,
     "ds02_tpcds_weekly_channel_ratio" -> q2Body,
     "ds11_tpcds_channel_growth" -> q11Body,
     "ds16_tpcds_multi_warehouse_ship" -> q16Body,

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v9"
+  val dir = "/root/repo/target/tpcds/v11"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
@@ -224,6 +224,10 @@ object TpcDs {
           "KY", "GA", "OR", "IN", "WI", "WV", "CA").map(lit): _*),
         (pmod(h(col("ca_address_sk"), 28), lit(16L)) + 1).cast("int")))
       .withColumn("ca_country", lit("United States"))
+      .withColumn("ca_county", element_at(
+        array(Seq("Williamson County", "Walker County", "Ziebach County",
+          "Levy County", "Huron County").map(lit): _*),
+        (pmod(h(col("ca_address_sk"), 47), lit(5L)) + 1).cast("int")))
       .withColumn("ca_zip", lpad(pmod(h(col("ca_address_sk"), 29), lit(100000L)), 5, "0"))
       .withColumn("ca_gmt_offset", element_at(
         array(Seq(-5, -6, -7, -8).map(v => lit(v)): _*),
@@ -276,6 +280,9 @@ object TpcDs {
       .withColumn("sr_return_quantity",
         (pmod(xxhash64(col("sr_ticket_number"), col("sr_item_sk"), lit(40)), col("ss_quantity")) + 1)
           .cast("int"))
+      .withColumn("sr_net_loss",
+        (pmod(xxhash64(col("sr_ticket_number"), col("sr_item_sk"), lit(41)), lit(20000L)) / 100.0)
+          .cast("decimal(7,2)"))
       .drop("ss_quantity")
 
     // ---- catalog channel (grain: order_number × item, ~2.5 lines/order).
