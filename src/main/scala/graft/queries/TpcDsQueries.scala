@@ -1633,7 +1633,194 @@ object TpcDsQueries extends QueryModule {
       | order by ca_zip, ca_county
       | limit 100""".stripMargin
 
+  // query92.sql: web discounts more than 1.3x the item's average over the
+  // window. The correlated average goes through exact-decimal-sum /
+  // double-division (the q9 rule) so the 1.3x boundary is engine-stable.
+  private val q92Body =
+    """select
+      |   cast(sum(ws_ext_discount_amt) as double)  as excess_discount_amount
+      |from
+      |    web_sales
+      |   ,item
+      |   ,date_dim
+      |where
+      |i_manufact_id = 269
+      |and i_item_sk = ws_item_sk
+      |and d_date between '1998-03-18' and
+      |        (cast('1998-03-18' as date) + interval '90' day)
+      |and d_date_sk = ws_sold_date_sk
+      |and cast(ws_ext_discount_amt as double)
+      |     > (
+      |         SELECT
+      |            1.3 * (cast(sum(ws_ext_discount_amt) as double) / nullif(count(ws_ext_discount_amt),0))
+      |         FROM
+      |            web_sales
+      |           ,date_dim
+      |         WHERE
+      |              ws_item_sk = i_item_sk
+      |          and d_date between '1998-03-18' and
+      |                             (cast('1998-03-18' as date) + interval '90' day)
+      |          and d_date_sk = ws_sold_date_sk
+      |      )
+      |order by excess_discount_amount
+      |limit 100""".stripMargin
+
+  // query94.sql: web orders shipped from multiple warehouses with no
+  // return — the web analog of q16.
+  private val q94Body =
+    """select
+      |   cast(count(distinct ws_order_number) as bigint) as order_count
+      |  ,cast(sum(ws_ext_ship_cost) as double) as total_shipping_cost
+      |  ,cast(sum(ws_net_profit) as double) as total_net_profit
+      |from
+      |   web_sales ws1
+      |  ,date_dim
+      |  ,customer_address
+      |  ,web_site
+      |where
+      |    d_date between '1999-5-01' and
+      |           (cast('1999-5-01' as date) + interval '60' day)
+      |and ws1.ws_ship_date_sk = d_date_sk
+      |and ws1.ws_ship_addr_sk = ca_address_sk
+      |and ca_state = 'TX'
+      |and ws1.ws_web_site_sk = web_site_sk
+      |and web_company_name = 'pri'
+      |and exists (select *
+      |            from web_sales ws2
+      |            where ws1.ws_order_number = ws2.ws_order_number
+      |              and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+      |and not exists(select *
+      |               from web_returns wr1
+      |               where ws1.ws_order_number = wr1.wr_order_number)
+      |order by order_count
+      |limit 100""".stripMargin
+
+  // query95.sql: like q94 but BOTH-exists (multi-warehouse AND returned),
+  // expressed through the reference's ws_wh self-join CTE + IN subqueries.
+  private val q95Body =
+    """with ws_wh as
+      |(select ws1.ws_order_number,ws1.ws_warehouse_sk wh1,ws2.ws_warehouse_sk wh2
+      | from web_sales ws1,web_sales ws2
+      | where ws1.ws_order_number = ws2.ws_order_number
+      |   and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+      | select
+      |   cast(count(distinct ws_order_number) as bigint) as order_count
+      |  ,cast(sum(ws_ext_ship_cost) as double) as total_shipping_cost
+      |  ,cast(sum(ws_net_profit) as double) as total_net_profit
+      |from
+      |   web_sales ws1
+      |  ,date_dim
+      |  ,customer_address
+      |  ,web_site
+      |where
+      |    d_date between '1999-5-01' and
+      |           (cast('1999-5-01' as date) + interval '60' day)
+      |and ws1.ws_ship_date_sk = d_date_sk
+      |and ws1.ws_ship_addr_sk = ca_address_sk
+      |and ca_state = 'TX'
+      |and ws1.ws_web_site_sk = web_site_sk
+      |and web_company_name = 'pri'
+      |and ws1.ws_order_number in (select ws_order_number
+      |                            from ws_wh)
+      |and ws1.ws_order_number in (select wr_order_number
+      |                            from web_returns,ws_wh
+      |                            where wr_order_number = ws_wh.ws_order_number)
+      |order by order_count
+      |limit 100""".stripMargin
+
+  // query97.sql (the reference ships the zetasql-adapted text): customer×
+  // item overlap between store and catalog channels via full outer join.
+  private val q97Body =
+    """with ssci as (
+      |select ss_customer_sk customer_sk
+      |      ,ss_item_sk item_sk
+      |from store_sales,date_dim
+      |where ss_sold_date_sk = d_date_sk
+      |  and d_month_seq between 1212 and 1212 + 11
+      |group by ss_customer_sk
+      |        ,ss_item_sk),
+      |csci as(
+      | select cs_bill_customer_sk customer_sk
+      |      ,cs_item_sk item_sk
+      |from catalog_sales,date_dim
+      |where cs_sold_date_sk = d_date_sk
+      |  and d_month_seq between 1212 and 1212 + 11
+      |group by cs_bill_customer_sk
+      |        ,cs_item_sk)
+      | select  cast(sum(case when ssci.customer_sk is not null and csci.customer_sk is null then 1 else 0 end) as bigint) store_only
+      |      ,cast(sum(case when ssci.customer_sk is null and csci.customer_sk is not null then 1 else 0 end) as bigint) catalog_only
+      |      ,cast(sum(case when ssci.customer_sk is not null and csci.customer_sk is not null then 1 else 0 end) as bigint) store_and_catalog
+      |from ssci full outer join csci on (ssci.customer_sk=csci.customer_sk
+      |                               and ssci.item_sk = csci.item_sk)
+      |limit 100""".stripMargin
+
+  // query99.sql: catalog shipping-lag day bands by warehouse/mode/call
+  // center. Space-bearing band aliases renamed; counts cast to bigint.
+  private val q99Body =
+    """select
+      |   substring(w_warehouse_name,1,20) wh_name
+      |  ,sm_type
+      |  ,cc_name
+      |  ,cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk <= 30 ) then 1 else 0 end) as bigint)  as days_30
+      |  ,cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk > 30) and
+      |                 (cs_ship_date_sk - cs_sold_date_sk <= 60) then 1 else 0 end ) as bigint)  as days_31_60
+      |  ,cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk > 60) and
+      |                 (cs_ship_date_sk - cs_sold_date_sk <= 90) then 1 else 0 end) as bigint)  as days_61_90
+      |  ,cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk > 90) and
+      |                 (cs_ship_date_sk - cs_sold_date_sk <= 120) then 1 else 0 end) as bigint)  as days_91_120
+      |  ,cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk  > 120) then 1 else 0 end) as bigint)  as days_over_120
+      |from
+      |   catalog_sales
+      |  ,warehouse
+      |  ,ship_mode
+      |  ,call_center
+      |  ,date_dim
+      |where
+      |    d_month_seq between 1212 and 1212 + 11
+      |and cs_ship_date_sk   = d_date_sk
+      |and cs_warehouse_sk   = w_warehouse_sk
+      |and cs_ship_mode_sk   = sm_ship_mode_sk
+      |and cs_call_center_sk = cc_call_center_sk
+      |group by
+      |   substring(w_warehouse_name,1,20)
+      |  ,sm_type
+      |  ,cc_name
+      |order by wh_name
+      |        ,sm_type
+      |        ,cc_name
+      |limit 100""".stripMargin
+
+  // query90.sql: web sales AM/PM ratio for high-dependent-count
+  // households on long pages. The decimal(15,4) division goes through
+  // double; the reserved `at` alias becomes a_side.
+  private val q90Body =
+    """select  cast(amc as double)/cast(pmc as double) am_pm_ratio
+      | from ( select count(*) amc
+      |       from web_sales, household_demographics , time_dim, web_page
+      |       where ws_sold_time_sk = time_dim.t_time_sk
+      |         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+      |         and ws_web_page_sk = web_page.wp_web_page_sk
+      |         and time_dim.t_hour between 6 and 6+1
+      |         and household_demographics.hd_dep_count = 8
+      |         and web_page.wp_char_count between 5000 and 5200) a_side,
+      |      ( select count(*) pmc
+      |       from web_sales, household_demographics , time_dim, web_page
+      |       where ws_sold_time_sk = time_dim.t_time_sk
+      |         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+      |         and ws_web_page_sk = web_page.wp_web_page_sk
+      |         and time_dim.t_hour between 14 and 14+1
+      |         and household_demographics.hd_dep_count = 8
+      |         and web_page.wp_char_count between 5000 and 5200) p_side
+      | order by am_pm_ratio
+      | limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds92_tpcds_excess_discount" -> q92Body,
+    "ds94_tpcds_web_multi_warehouse" -> q94Body,
+    "ds95_tpcds_web_returned_orders" -> q95Body,
+    "ds97_tpcds_channel_overlap" -> q97Body,
+    "ds99_tpcds_ship_lag_bands" -> q99Body,
+    "ds90_tpcds_am_pm_ratio" -> q90Body,
     "ds25_tpcds_rebuy_profit_chain" -> q25Body,
     "ds29_tpcds_rebuy_quantity_chain" -> q29Body,
     "ds37_tpcds_catalog_inventory_band" -> q37Body,

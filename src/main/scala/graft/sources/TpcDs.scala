@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v11"
+  val dir = "/root/repo/target/tpcds/v12"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
@@ -473,9 +473,10 @@ object TpcDs {
       .withColumn("web_name", concat(lit("site_"), col("web_site_sk") - 1))
       .withColumn("web_company_name", lit("pri"))
 
+    // linear spread 2635..5200 so q90's 5000..5200 band always holds the
+    // top pages (a hashed domain left the band empty ~20% of the time)
     val webPage = spark.range(WebPages).select((col("id") + 1).as("wp_web_page_sk"))
-      .withColumn("wp_char_count",
-        (lit(2500) + pmod(h(col("wp_web_page_sk"), 115), lit(2700L))).cast("int"))
+      .withColumn("wp_char_count", (lit(2500) + col("wp_web_page_sk") * 135).cast("int"))
 
     val reason = spark.range(35L).select((col("id") + 1).as("r_reason_sk"))
       .withColumn("r_reason_id", concat(lit("R_"), lpad(col("r_reason_sk"), 3, "0")))
