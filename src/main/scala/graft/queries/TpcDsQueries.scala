@@ -1814,7 +1814,205 @@ object TpcDsQueries extends QueryModule {
       | order by am_pm_ratio
       | limit 100""".stripMargin
 
+  // query60.sql: per-item September Children-category sales, all three
+  // channels unioned, for central-timezone customers.
+  private val q60Body =
+    """with ss as (
+      | select
+      |          i_item_id,sum(ss_ext_sales_price) total_sales
+      | from
+      | 	store_sales,
+      | 	date_dim,
+      |         customer_address,
+      |         item
+      | where
+      |         i_item_id in (select
+      |  i_item_id
+      |from
+      | item
+      |where i_category in ('Children'))
+      | and     ss_item_sk              = i_item_sk
+      | and     ss_sold_date_sk         = d_date_sk
+      | and     d_year                  = 1999
+      | and     d_moy                   = 9
+      | and     ss_addr_sk              = ca_address_sk
+      | and     ca_gmt_offset           = -6
+      | group by i_item_id),
+      | cs as (
+      | select
+      |          i_item_id,sum(cs_ext_sales_price) total_sales
+      | from
+      | 	catalog_sales,
+      | 	date_dim,
+      |         customer_address,
+      |         item
+      | where
+      |         i_item_id               in (select
+      |  i_item_id
+      |from
+      | item
+      |where i_category in ('Children'))
+      | and     cs_item_sk              = i_item_sk
+      | and     cs_sold_date_sk         = d_date_sk
+      | and     d_year                  = 1999
+      | and     d_moy                   = 9
+      | and     cs_bill_addr_sk         = ca_address_sk
+      | and     ca_gmt_offset           = -6
+      | group by i_item_id),
+      | ws as (
+      | select
+      |          i_item_id,sum(ws_ext_sales_price) total_sales
+      | from
+      | 	web_sales,
+      | 	date_dim,
+      |         customer_address,
+      |         item
+      | where
+      |         i_item_id               in (select
+      |  i_item_id
+      |from
+      | item
+      |where i_category in ('Children'))
+      | and     ws_item_sk              = i_item_sk
+      | and     ws_sold_date_sk         = d_date_sk
+      | and     d_year                  = 1999
+      | and     d_moy                   = 9
+      | and     ws_bill_addr_sk         = ca_address_sk
+      | and     ca_gmt_offset           = -6
+      | group by i_item_id)
+      |  select
+      |  i_item_id
+      |,cast(sum(total_sales) as double) total_sales
+      | from  (select * from ss
+      |        union all
+      |        select * from cs
+      |        union all
+      |        select * from ws) tmp1
+      | group by i_item_id
+      | order by i_item_id
+      |      ,total_sales
+      | limit 100""".stripMargin
+
+  // query69.sql: demographics of customers with a store purchase but no
+  // web or catalog purchase in the quarter. ca_state list adapted.
+  private val q69Body =
+    """select
+      |  cd_gender,
+      |  cd_marital_status,
+      |  cd_education_status,
+      |  cast(count(*) as bigint) cnt1,
+      |  cd_purchase_estimate,
+      |  cast(count(*) as bigint) cnt2,
+      |  cd_credit_rating,
+      |  cast(count(*) as bigint) cnt3
+      | from
+      |  customer c,customer_address ca,customer_demographics
+      | where
+      |  c.c_current_addr_sk = ca.ca_address_sk and
+      |  ca_state in ('CO','IL','MN') and
+      |  cd_demo_sk = c.c_current_cdemo_sk and
+      |  exists (select *
+      |          from store_sales,date_dim
+      |          where c.c_customer_sk = ss_customer_sk and
+      |                ss_sold_date_sk = d_date_sk and
+      |                d_year = 1999 and
+      |                d_moy between 1 and 1+2) and
+      |   (not exists (select *
+      |            from web_sales,date_dim
+      |            where c.c_customer_sk = ws_bill_customer_sk and
+      |                  ws_sold_date_sk = d_date_sk and
+      |                  d_year = 1999 and
+      |                  d_moy between 1 and 1+2) and
+      |    not exists (select *
+      |            from catalog_sales,date_dim
+      |            where c.c_customer_sk = cs_ship_customer_sk and
+      |                  cs_sold_date_sk = d_date_sk and
+      |                  d_year = 1999 and
+      |                  d_moy between 1 and 1+2))
+      | group by cd_gender,
+      |          cd_marital_status,
+      |          cd_education_status,
+      |          cd_purchase_estimate,
+      |          cd_credit_rating
+      | order by cd_gender,
+      |          cd_marital_status,
+      |          cd_education_status,
+      |          cd_purchase_estimate,
+      |          cd_credit_rating
+      | limit 100""".stripMargin
+
+  // query71.sql: December brand revenue at breakfast/dinner times across
+  // all three channels. No LIMIT, so the float-desc ORDER BY is safe
+  // (the gate sorts rows canonically before hashing).
+  private val q71Body =
+    """select i_brand_id brand_id, i_brand brand,t_hour,t_minute,
+      | 	cast(sum(ext_price) as double) ext_price
+      | from item, (select ws_ext_sales_price as ext_price,
+      |                        ws_sold_date_sk as sold_date_sk,
+      |                        ws_item_sk as sold_item_sk,
+      |                        ws_sold_time_sk as time_sk
+      |                 from web_sales,date_dim
+      |                 where d_date_sk = ws_sold_date_sk
+      |                   and d_moy=12
+      |                   and d_year=2000
+      |                 union all
+      |                 select cs_ext_sales_price as ext_price,
+      |                        cs_sold_date_sk as sold_date_sk,
+      |                        cs_item_sk as sold_item_sk,
+      |                        cs_sold_time_sk as time_sk
+      |                 from catalog_sales,date_dim
+      |                 where d_date_sk = cs_sold_date_sk
+      |                   and d_moy=12
+      |                   and d_year=2000
+      |                 union all
+      |                 select ss_ext_sales_price as ext_price,
+      |                        ss_sold_date_sk as sold_date_sk,
+      |                        ss_item_sk as sold_item_sk,
+      |                        ss_sold_time_sk as time_sk
+      |                 from store_sales,date_dim
+      |                 where d_date_sk = ss_sold_date_sk
+      |                   and d_moy=12
+      |                   and d_year=2000
+      |                 ) tmp,time_dim
+      | where
+      |   sold_item_sk = i_item_sk
+      |   and i_manager_id=1
+      |   and time_sk = t_time_sk
+      |   and (t_meal_time = 'breakfast' or t_meal_time = 'dinner')
+      | group by i_brand, i_brand_id,t_hour,t_minute
+      | order by ext_price desc, i_brand_id""".stripMargin
+
+  // query76.sql: row counts and value of sales whose audit column is
+  // NULL, per channel (ss_addr_sk / ws_web_page_sk / cs_warehouse_sk
+  // carry ~2% nulls in the generator for exactly this query).
+  private val q76Body =
+    """select  channel, col_name, d_year, d_qoy, i_category, cast(COUNT(*) as bigint) sales_cnt, cast(SUM(ext_sales_price) as double) sales_amt FROM (
+      |        SELECT 'store' as channel, 'ss_addr_sk' col_name, d_year, d_qoy, i_category, ss_ext_sales_price ext_sales_price
+      |         FROM store_sales, item, date_dim
+      |         WHERE ss_addr_sk IS NULL
+      |           AND ss_sold_date_sk=d_date_sk
+      |           AND ss_item_sk=i_item_sk
+      |        UNION ALL
+      |        SELECT 'web' as channel, 'ws_web_page_sk' col_name, d_year, d_qoy, i_category, ws_ext_sales_price ext_sales_price
+      |         FROM web_sales, item, date_dim
+      |         WHERE ws_web_page_sk IS NULL
+      |           AND ws_sold_date_sk=d_date_sk
+      |           AND ws_item_sk=i_item_sk
+      |        UNION ALL
+      |        SELECT 'catalog' as channel, 'cs_warehouse_sk' col_name, d_year, d_qoy, i_category, cs_ext_sales_price ext_sales_price
+      |         FROM catalog_sales, item, date_dim
+      |         WHERE cs_warehouse_sk IS NULL
+      |           AND cs_sold_date_sk=d_date_sk
+      |           AND cs_item_sk=i_item_sk) foo
+      |GROUP BY channel, col_name, d_year, d_qoy, i_category
+      |ORDER BY channel, col_name, d_year, d_qoy, i_category
+      |limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds60_tpcds_children_september" -> q60Body,
+    "ds69_tpcds_store_only_demographics" -> q69Body,
+    "ds71_tpcds_mealtime_brands" -> q71Body,
+    "ds76_tpcds_null_audit" -> q76Body,
     "ds92_tpcds_excess_discount" -> q92Body,
     "ds94_tpcds_web_multi_warehouse" -> q94Body,
     "ds95_tpcds_web_returned_orders" -> q95Body,

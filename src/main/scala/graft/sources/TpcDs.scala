@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v12"
+  val dir = "/root/repo/target/tpcds/v13"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
@@ -59,7 +59,9 @@ object TpcDs {
       .select(
         col("ticket").as("ss_ticket_number"),
         (pmod(h(col("ticket"), 1), lit(Customers)) + 1).as("ss_customer_sk"),
-        (pmod(h(col("ticket"), 2), lit(1000L)) + 1).as("ss_addr_sk"),
+        // ~2% null (q76's store-channel null-audit column)
+        when(pmod(h(col("ticket"), 77), lit(50L)) === 0, lit(null))
+          .otherwise(pmod(h(col("ticket"), 2), lit(1000L)) + 1).as("ss_addr_sk"),
         (pmod(h(col("ticket"), 3), lit(Dates)) + 1).as("ss_sold_date_sk"),
         pmod(h(col("ticket"), 4), lit(86400L)).as("ss_sold_time_sk"),
         // ~2% of tickets have no household-demographics link (q44's
@@ -115,6 +117,10 @@ object TpcDs {
       col("id").as("t_time_sk"),
       (col("id") / 3600).cast("int").as("t_hour"),
       ((col("id") % 3600) / 60).cast("int").as("t_minute"))
+      .withColumn("t_meal_time",
+        when(col("t_hour").between(6, 8), "breakfast")
+          .when(col("t_hour").between(11, 13), "lunch")
+          .when(col("t_hour").between(17, 19), "dinner"))
 
     val item = spark.range(Items).select((col("id") + 1).as("i_item_sk"))
       .withColumn("i_item_id", concat(lit("ITEM_"), lpad(col("i_item_sk"), 6, "0")))
@@ -210,6 +216,8 @@ object TpcDs {
       .withColumn("c_birth_country",
         when(pmod(h(col("c_customer_sk"), 46), lit(5L)) < 4, "UNITED STATES")
           .otherwise("CANADA"))
+      .withColumn("c_current_cdemo_sk",
+        pmod(h(col("c_customer_sk"), 48), lit(CustomerDemos)) + 1)
       .withColumn("c_login", concat(lit("login_"), col("c_customer_sk")))
       .withColumn("c_email_address",
         concat(lit("First"), col("c_customer_sk"), lit("@example.com")))
@@ -243,6 +251,11 @@ object TpcDs {
         array(Seq("Primary", "Secondary", "2 yr Degree", "4 yr Degree",
           "Advanced Degree", "Unknown", "College").map(lit): _*),
         (pmod(h(col("cd_demo_sk"), 32), lit(7L)) + 1).cast("int")))
+      .withColumn("cd_purchase_estimate",
+        ((pmod(h(col("cd_demo_sk"), 49), lit(20L)) + 1) * 500).cast("int"))
+      .withColumn("cd_credit_rating", element_at(
+        array(Seq("Low Risk", "Good", "High Risk", "Unknown").map(lit): _*),
+        (pmod(h(col("cd_demo_sk"), 76), lit(4L)) + 1).cast("int")))
 
     val promotion = spark.range(Promotions).select((col("id") + 1).as("p_promo_sk"))
       .withColumn("p_promo_id", concat(lit("P_"), lpad(col("p_promo_sk"), 3, "0")))
@@ -301,7 +314,10 @@ object TpcDs {
         pmod(h(col("ord"), 54), lit(86400L)).as("cs_sold_time_sk"),
         (pmod(h(col("ord"), 55), lit(CallCenters)) + 1).as("cs_call_center_sk"),
         (pmod(h(col("id"), 56), lit(ShipModes)) + 1).as("cs_ship_mode_sk"),
-        (pmod(h(col("id"), 57), lit(Warehouses)) + 1).as("cs_warehouse_sk"),
+        // ~2% null (q76's catalog-channel null-audit column)
+        when(pmod(h(col("id"), 78), lit(50L)) === 0, lit(null))
+          .otherwise(pmod(h(col("id"), 57), lit(Warehouses)) + 1).as("cs_warehouse_sk"),
+        (pmod(h(col("ord"), 79), lit(Customers)) + 1).as("cs_ship_customer_sk"),
         (pmod(h(col("id"), 58), lit(Items)) + 1).as("cs_item_sk"),
         (pmod(h(col("id"), 59), lit(Promotions)) + 1).as("cs_promo_sk"),
         (pmod(h(col("id"), 60), lit(30L)) + 1).cast("int").as("cs_quantity"),
@@ -371,7 +387,9 @@ object TpcDs {
         (pmod(h(col("ord"), 83), lit(Dates)) + 1).as("ws_sold_date_sk"),
         pmod(h(col("ord"), 84), lit(86400L)).as("ws_sold_time_sk"),
         (pmod(h(col("ord"), 85), lit(WebSites)) + 1).as("ws_web_site_sk"),
-        (pmod(h(col("ord"), 86), lit(WebPages)) + 1).as("ws_web_page_sk"),
+        // ~2% null (q76's web-channel null-audit column)
+        when(pmod(h(col("ord"), 106), lit(50L)) === 0, lit(null))
+          .otherwise(pmod(h(col("ord"), 86), lit(WebPages)) + 1).as("ws_web_page_sk"),
         (pmod(h(col("id"), 87), lit(Warehouses)) + 1).as("ws_warehouse_sk"),
         (pmod(h(col("id"), 88), lit(ShipModes)) + 1).as("ws_ship_mode_sk"),
         (pmod(h(col("id"), 89), lit(Items)) + 1).as("ws_item_sk"),
