@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v13"
+  val dir = "/root/repo/target/tpcds/v14"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
@@ -115,6 +115,7 @@ object TpcDs {
 
     val times = spark.range(86400L).select(
       col("id").as("t_time_sk"),
+      col("id").cast("int").as("t_time"),
       (col("id") / 3600).cast("int").as("t_hour"),
       ((col("id") % 3600) / 60).cast("int").as("t_minute"))
       .withColumn("t_meal_time",
@@ -347,6 +348,8 @@ object TpcDs {
         (pmod(h(col("id"), 66), lit(30000L)) / 100.0).cast("decimal(7,2)"))
       .withColumn("cs_net_profit",
         ((pmod(h(col("id"), 67), lit(80000L)) - 20000) / 100.0).cast("decimal(7,2)"))
+      .withColumn("cs_net_paid_inc_ship_tax",
+        (pmod(h(col("id"), 68), lit(33000L)) / 100.0).cast("decimal(7,2)"))
       .drop("id")
 
     // ~10% of catalog lines return 1..120 days after ship
@@ -420,6 +423,8 @@ object TpcDs {
         (pmod(h(col("id"), 98), lit(30000L)) / 100.0).cast("decimal(7,2)"))
       .withColumn("ws_net_profit",
         ((pmod(h(col("id"), 99), lit(80000L)) - 20000) / 100.0).cast("decimal(7,2)"))
+      .withColumn("ws_net_paid_inc_tax",
+        (pmod(h(col("id"), 107), lit(33000L)) / 100.0).cast("decimal(7,2)"))
       .drop("id")
 
     val wreturns = ws
