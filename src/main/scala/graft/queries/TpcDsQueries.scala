@@ -2332,7 +2332,210 @@ ${q66Half("catalog_sales", "cs", "cs_ext_sales_price* cs_quantity", "cs_net_paid
       |         ,sr_item_qty
       | limit 100""".stripMargin
 
+  // query12.sql / query20.sql: 30-day item revenue and in-class revenue
+  // share for the web / catalog channels (q98 is the store analog). The
+  // share division goes through double on both engines.
+  private def q12Style(fact: String, pfx: String, custCol: String): String =
+    s"""select  i_item_desc
+      |      ,i_category
+      |      ,i_class
+      |      ,i_current_price
+      |      ,i_item_id
+      |      ,cast(sum(${pfx}_ext_sales_price) as double) as itemrevenue
+      |      ,cast(sum(${pfx}_ext_sales_price) as double)*100/cast(sum(sum(${pfx}_ext_sales_price)) over
+      |          (partition by i_class) as double) as revenueratio
+      |from
+      |	$fact
+      |    	,item
+      |    	,date_dim
+      |where
+      |	${pfx}_item_sk = i_item_sk
+      |  	and i_category in ('Jewelry', 'Sports', 'Books')
+      |  	and ${pfx}_sold_date_sk = d_date_sk
+      |	and d_date between cast('2001-01-12' as date)
+      |				and (cast('2001-01-12' as date) + interval '30' day)
+      |group by
+      |	i_item_id
+      |        ,i_item_desc
+      |        ,i_category
+      |        ,i_class
+      |        ,i_current_price
+      |order by
+      |	i_category
+      |        ,i_class
+      |        ,i_item_id
+      |        ,i_item_desc
+      |        ,revenueratio
+      |limit 100""".stripMargin
+  private val q12Body = q12Style("web_sales", "ws", "ws_bill_customer_sk")
+  private val q20Body = q12Style("catalog_sales", "cs", "cs_bill_customer_sk")
+
+  // query15.sql: catalog sales by zip for qualifying zips/states/prices.
+  private val q15Body =
+    """select  ca_zip
+      |       ,cast(sum(cs_sales_price) as double) sum_sales
+      | from catalog_sales
+      |     ,customer
+      |     ,customer_address
+      |     ,date_dim
+      | where cs_bill_customer_sk = c_customer_sk
+      | 	and c_current_addr_sk = ca_address_sk
+      | 	and ( substring(ca_zip,1,5) in ('85669', '86197','88274','83405','86475',
+      |                                   '85392', '85460', '80348', '81792')
+      | 	      or ca_state in ('CA','WA','GA')
+      | 	      or cs_sales_price > 500)
+      | 	and cs_sold_date_sk = d_date_sk
+      | 	and d_qoy = 2 and d_year = 2000
+      | group by ca_zip
+      | order by ca_zip
+      | limit 100""".stripMargin
+
+  // query32.sql: the catalog analog of q92's excess-discount correlated
+  // subquery, with the same exact-sum/double-division rewrite.
+  private val q32Body =
+    """select  cast(sum(cs_ext_discount_amt) as double)  as excess_discount_amount
+      |from
+      |   catalog_sales
+      |   ,item
+      |   ,date_dim
+      |where
+      |i_manufact_id = 269
+      |and i_item_sk = cs_item_sk
+      |and d_date between '1998-03-18' and
+      |        (cast('1998-03-18' as date) + interval '90' day)
+      |and d_date_sk = cs_sold_date_sk
+      |and cast(cs_ext_discount_amt as double)
+      |     > (
+      |         select
+      |            1.3 * (cast(sum(cs_ext_discount_amt) as double) / nullif(count(cs_ext_discount_amt),0))
+      |         from
+      |            catalog_sales
+      |           ,date_dim
+      |         where
+      |              cs_item_sk = i_item_sk
+      |          and d_date between '1998-03-18' and
+      |                             (cast('1998-03-18' as date) + interval '90' day)
+      |          and d_date_sk = cs_sold_date_sk
+      |      )
+      |limit 100""".stripMargin
+
+  // query33.sql / query56.sql: three-channel monthly totals by
+  // manufacturer (Books) / by item (given colors) for one timezone.
+  private def q33Style(keyCol: String, innerFilter: String, year: Int, moy: Int,
+      gmt: Int, tail: String): String = {
+    def half(fact: String, pfx: String, addr: String) =
+      s"""select $keyCol,sum(${pfx}_ext_sales_price) total_sales
+         | from
+         | \t$fact,
+         | \tdate_dim,
+         |         customer_address,
+         |         item
+         | where $keyCol in (select
+         |     $keyCol
+         |from item
+         |where $innerFilter)
+         | and     ${pfx}_item_sk              = i_item_sk
+         | and     ${pfx}_sold_date_sk         = d_date_sk
+         | and     d_year                  = $year
+         | and     d_moy                   = $moy
+         | and     $addr              = ca_address_sk
+         | and     ca_gmt_offset           = $gmt
+         | group by $keyCol""".stripMargin
+    s"""with ss as (
+       | ${half("store_sales", "ss", "ss_addr_sk")}),
+       | cs as (
+       | ${half("catalog_sales", "cs", "cs_bill_addr_sk")}),
+       | ws as (
+       | ${half("web_sales", "ws", "ws_bill_addr_sk")})
+       |  select  $keyCol ,cast(sum(total_sales) as double) total_sales
+       | from  (select * from ss
+       |        union all
+       |        select * from cs
+       |        union all
+       |        select * from ws) tmp1
+       | group by $keyCol
+       | $tail
+       |limit 100""".stripMargin
+  }
+  // q33's bare ORDER BY total_sales gains the key as tiebreak (the q79
+  // rule: LIMIT under a non-total order is undefined)
+  private val q33Body = q33Style("i_manufact_id", "i_category in ('Books')",
+    1999, 3, -5, "order by total_sales, i_manufact_id")
+  private val q56Body = q33Style("i_item_id",
+    "i_color in ('orchid','chiffon','lace')", 2000, 1, -8,
+    "order by total_sales,\n          i_item_id")
+
+  // query38.sql / query87.sql: customers active in ALL three channels
+  // (intersect) / in store but neither other channel (except).
+  private def q38Style(op: String): String =
+    s"""select cast(count(*) as bigint) num_cust from (
+      |    (select distinct c_last_name, c_first_name, d_date
+      |    from store_sales, date_dim, customer
+      |          where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |      and store_sales.ss_customer_sk = customer.c_customer_sk
+      |      and d_month_seq between 1212 and 1212 + 11)
+      |  $op
+      |    (select distinct c_last_name, c_first_name, d_date
+      |    from catalog_sales, date_dim, customer
+      |          where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+      |      and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+      |      and d_month_seq between 1212 and 1212 + 11)
+      |  $op
+      |    (select distinct c_last_name, c_first_name, d_date
+      |    from web_sales, date_dim, customer
+      |          where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+      |      and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+      |      and d_month_seq between 1212 and 1212 + 11)
+      |) hot_cust
+      |limit 100""".stripMargin
+  private val q38Body = q38Style("intersect")
+  private val q87Body = q38Style("except")
+
+  // query62.sql: the web analog of q99's shipping-lag day bands.
+  private val q62Body =
+    """select
+      |   substring(w_warehouse_name,1,20) wh_name
+      |  ,sm_type
+      |  ,web_name
+      |  ,cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk <= 30 ) then 1 else 0 end) as bigint)  as days_30
+      |  ,cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk > 30) and
+      |                 (ws_ship_date_sk - ws_sold_date_sk <= 60) then 1 else 0 end ) as bigint)  as days_31_60
+      |  ,cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk > 60) and
+      |                 (ws_ship_date_sk - ws_sold_date_sk <= 90) then 1 else 0 end) as bigint)  as days_61_90
+      |  ,cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk > 90) and
+      |                 (ws_ship_date_sk - ws_sold_date_sk <= 120) then 1 else 0 end) as bigint)  as days_91_120
+      |  ,cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk  > 120) then 1 else 0 end) as bigint)  as days_over_120
+      |from
+      |   web_sales
+      |  ,warehouse
+      |  ,ship_mode
+      |  ,web_site
+      |  ,date_dim
+      |where
+      |    d_month_seq between 1212 and 1212 + 11
+      |and ws_ship_date_sk   = d_date_sk
+      |and ws_warehouse_sk   = w_warehouse_sk
+      |and ws_ship_mode_sk   = sm_ship_mode_sk
+      |and ws_web_site_sk    = web_site_sk
+      |group by
+      |   substring(w_warehouse_name,1,20)
+      |  ,sm_type
+      |  ,web_name
+      |order by wh_name
+      |        ,sm_type
+      |       ,web_name
+      |limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds12_tpcds_web_class_share" -> q12Body,
+    "ds20_tpcds_catalog_class_share" -> q20Body,
+    "ds15_tpcds_catalog_zip" -> q15Body,
+    "ds32_tpcds_catalog_excess_discount" -> q32Body,
+    "ds33_tpcds_books_manufact_tz" -> q33Body,
+    "ds56_tpcds_color_items_tz" -> q56Body,
+    "ds38_tpcds_all_channel_customers" -> q38Body,
+    "ds87_tpcds_store_only_customers" -> q87Body,
+    "ds62_tpcds_web_ship_lag_bands" -> q62Body,
     "ds66_tpcds_warehouse_month_pivot" -> q66Body,
     "ds77_tpcds_channel_profit_rollup" -> q77Body,
     "ds78_tpcds_loyal_channel_ratio" -> q78Body,
