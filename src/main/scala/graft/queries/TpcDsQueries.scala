@@ -3,10 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.TpcDs
 
-/** Sixty-two queries from the reference's TPC-DS corpus
-  * (sdks/java/testing/tpcds/src/main/resources/queries/query{1,2,3,6,7,9,11,13,16,19,21,22,24ab,
-  * 25,27,28,29,36,37,40,41,42,43,44,45,46,47,48,50,52,53,55,59,60,61,63,65,66,67,68,69,70,71,73,
-  * 76,77,78,79,82,83,88,89,90,92,93,94,95,96,97,98,99}.sql), run over the
+/** Seventy-eight queries from the reference's TPC-DS corpus
+  * (sdks/java/testing/tpcds/src/main/resources/queries/query{1,2,3,4,6,7,9,11,12,13,15,16,17,19,
+  * 20,21,22,24ab,25,26,27,28,29,32,33,34,35,36,37,38,40,41,42,43,44,45,46,47,48,50,52,53,55,56,
+  * 59,60,61,62,63,65,66,67,68,69,70,71,73,74,76,77,78,79,82,83,86,87,88,89,90,92,93,94,95,96,97,
+  * 98,99}.sql), run over the
   * deterministic multi-channel tables of [[graft.sources.TpcDs]] (store +
   * catalog + web facts and returns, weekly inventory, and their
   * dimensions). The SQL body is SHARED between the
@@ -2526,7 +2527,332 @@ ${q66Half("catalog_sales", "cs", "cs_ext_sales_price* cs_quantity", "cs_net_paid
       |       ,web_name
       |limit 100""".stripMargin
 
+  // query4.sql: customers whose catalog growth beats BOTH store and web
+  // growth. year_total's /2 and the growth ratios go through double (the
+  // engines' decimal-division scale rules differ); the CTE is otherwise
+  // the reference's three-channel union.
+  private def q4YearTotal(fact: String, pfx: String, cust: String, tag: String,
+      expr: String): String =
+    s""" select c_customer_id customer_id
+       |       ,c_first_name customer_first_name
+       |       ,c_last_name customer_last_name
+       |       ,c_preferred_cust_flag customer_preferred_cust_flag
+       |       ,c_birth_country customer_birth_country
+       |       ,c_login customer_login
+       |       ,c_email_address customer_email_address
+       |       ,d_year dyear
+       |       ,cast(sum($expr) as double)/2 year_total
+       |       ,'$tag' sale_type
+       | from customer
+       |     ,$fact
+       |     ,date_dim
+       | where c_customer_sk = $cust
+       |   and ${pfx}_sold_date_sk = d_date_sk
+       | group by c_customer_id
+       |         ,c_first_name
+       |         ,c_last_name
+       |         ,c_preferred_cust_flag
+       |         ,c_birth_country
+       |         ,c_login
+       |         ,c_email_address
+       |         ,d_year""".stripMargin
+  private val q4Body =
+    s"""with year_total as (
+       |${q4YearTotal("store_sales", "ss", "ss_customer_sk", "s",
+           "(ss_ext_list_price-ss_ext_wholesale_cost-ss_ext_discount_amt)+ss_ext_sales_price")}
+       | union all
+       |${q4YearTotal("catalog_sales", "cs", "cs_bill_customer_sk", "c",
+           "(cs_ext_list_price-cs_ext_wholesale_cost-cs_ext_discount_amt)+cs_ext_sales_price")}
+       | union all
+       |${q4YearTotal("web_sales", "ws", "ws_bill_customer_sk", "w",
+           "(ws_ext_list_price-ws_ext_wholesale_cost-ws_ext_discount_amt)+ws_ext_sales_price")}
+       |         )
+       |  select
+       |                  t_s_secyear.customer_id
+       |                 ,t_s_secyear.customer_first_name
+       |                 ,t_s_secyear.customer_last_name
+       |                 ,t_s_secyear.customer_preferred_cust_flag
+       | from year_total t_s_firstyear
+       |     ,year_total t_s_secyear
+       |     ,year_total t_c_firstyear
+       |     ,year_total t_c_secyear
+       |     ,year_total t_w_firstyear
+       |     ,year_total t_w_secyear
+       | where t_s_secyear.customer_id = t_s_firstyear.customer_id
+       |   and t_s_firstyear.customer_id = t_c_secyear.customer_id
+       |   and t_s_firstyear.customer_id = t_c_firstyear.customer_id
+       |   and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+       |   and t_s_firstyear.customer_id = t_w_secyear.customer_id
+       |   and t_s_firstyear.sale_type = 's'
+       |   and t_c_firstyear.sale_type = 'c'
+       |   and t_w_firstyear.sale_type = 'w'
+       |   and t_s_secyear.sale_type = 's'
+       |   and t_c_secyear.sale_type = 'c'
+       |   and t_w_secyear.sale_type = 'w'
+       |   and t_s_firstyear.dyear =  2001
+       |   and t_s_secyear.dyear = 2001+1
+       |   and t_c_firstyear.dyear =  2001
+       |   and t_c_secyear.dyear =  2001+1
+       |   and t_w_firstyear.dyear = 2001
+       |   and t_w_secyear.dyear = 2001+1
+       |   and t_s_firstyear.year_total > 0
+       |   and t_c_firstyear.year_total > 0
+       |   and t_w_firstyear.year_total > 0
+       |   and case when t_c_firstyear.year_total > 0 then t_c_secyear.year_total / t_c_firstyear.year_total else null end
+       |           > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else null end
+       |   and case when t_c_firstyear.year_total > 0 then t_c_secyear.year_total / t_c_firstyear.year_total else null end
+       |           > case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else null end
+       | order by t_s_secyear.customer_id
+       |         ,t_s_secyear.customer_first_name
+       |         ,t_s_secyear.customer_last_name
+       |         ,t_s_secyear.customer_preferred_cust_flag
+       |limit 100""".stripMargin
+
+  // query74.sql: the two-channel max-net-paid variant of q4/q11. The
+  // reserved `year` alias becomes yr; ratios through double (max of a
+  // decimal is exact, so only the division needs the rule).
+  private def q74YearTotal(fact: String, pfx: String, cust: String, tag: String): String =
+    s""" select c_customer_id customer_id
+       |       ,c_first_name customer_first_name
+       |       ,c_last_name customer_last_name
+       |       ,d_year as yr
+       |       ,max(${pfx}_net_paid) year_total
+       |       ,'$tag' sale_type
+       | from customer
+       |     ,$fact
+       |     ,date_dim
+       | where c_customer_sk = $cust
+       |   and ${pfx}_sold_date_sk = d_date_sk
+       |   and d_year in (2001,2001+1)
+       | group by c_customer_id
+       |         ,c_first_name
+       |         ,c_last_name
+       |         ,d_year""".stripMargin
+  private val q74Body =
+    s"""with year_total as (
+       |${q74YearTotal("store_sales", "ss", "ss_customer_sk", "s")}
+       | union all
+       |${q74YearTotal("web_sales", "ws", "ws_bill_customer_sk", "w")}
+       |         )
+       |  select
+       |        t_s_secyear.customer_id, t_s_secyear.customer_first_name, t_s_secyear.customer_last_name
+       | from year_total t_s_firstyear
+       |     ,year_total t_s_secyear
+       |     ,year_total t_w_firstyear
+       |     ,year_total t_w_secyear
+       | where t_s_secyear.customer_id = t_s_firstyear.customer_id
+       |         and t_s_firstyear.customer_id = t_w_secyear.customer_id
+       |         and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+       |         and t_s_firstyear.sale_type = 's'
+       |         and t_w_firstyear.sale_type = 'w'
+       |         and t_s_secyear.sale_type = 's'
+       |         and t_w_secyear.sale_type = 'w'
+       |         and t_s_firstyear.yr = 2001
+       |         and t_s_secyear.yr = 2001+1
+       |         and t_w_firstyear.yr = 2001
+       |         and t_w_secyear.yr = 2001+1
+       |         and t_s_firstyear.year_total > 0
+       |         and t_w_firstyear.year_total > 0
+       |         and case when t_w_firstyear.year_total > 0 then cast(t_w_secyear.year_total as double) / cast(t_w_firstyear.year_total as double) else null end
+       |           > case when t_s_firstyear.year_total > 0 then cast(t_s_secyear.year_total as double) / cast(t_s_firstyear.year_total as double) else null end
+       | order by 2,1,3
+       |limit 100""".stripMargin
+
+  // query17.sql: buy-return-rebuy quantity statistics per item/state.
+  // stddev and cov round to 4 decimals (the q37 stat-agg rule: the
+  // engines' one-pass moment accumulations differ in final ulps).
+  private val q17Body =
+    """select  i_item_id
+      |       ,i_item_desc
+      |       ,s_state
+      |       ,cast(count(ss_quantity) as bigint) as store_sales_quantitycount
+      |       ,avg(ss_quantity) as store_sales_quantityave
+      |       ,round(stddev_samp(ss_quantity), 4) as store_sales_quantitystdev
+      |       ,round(stddev_samp(ss_quantity)/avg(ss_quantity), 4) as store_sales_quantitycov
+      |       ,cast(count(sr_return_quantity) as bigint) as store_returns_quantitycount
+      |       ,avg(sr_return_quantity) as store_returns_quantityave
+      |       ,round(stddev_samp(sr_return_quantity), 4) as store_returns_quantitystdev
+      |       ,round(stddev_samp(sr_return_quantity)/avg(sr_return_quantity), 4) as store_returns_quantitycov
+      |       ,cast(count(cs_quantity) as bigint) as catalog_sales_quantitycount ,avg(cs_quantity) as catalog_sales_quantityave
+      |       ,round(stddev_samp(cs_quantity), 4) as catalog_sales_quantitystdev
+      |       ,round(stddev_samp(cs_quantity)/avg(cs_quantity), 4) as catalog_sales_quantitycov
+      | from store_sales
+      |     ,store_returns
+      |     ,catalog_sales
+      |     ,date_dim d1
+      |     ,date_dim d2
+      |     ,date_dim d3
+      |     ,store
+      |     ,item
+      | where d1.d_quarter_name = '1998Q1'
+      |   and d1.d_date_sk = ss_sold_date_sk
+      |   and i_item_sk = ss_item_sk
+      |   and s_store_sk = ss_store_sk
+      |   and ss_customer_sk = sr_customer_sk
+      |   and ss_item_sk = sr_item_sk
+      |   and ss_ticket_number = sr_ticket_number
+      |   and sr_returned_date_sk = d2.d_date_sk
+      |   and d2.d_quarter_name in ('1998Q1','1998Q2','1998Q3')
+      |   and sr_customer_sk = cs_bill_customer_sk
+      |   and sr_item_sk = cs_item_sk
+      |   and cs_sold_date_sk = d3.d_date_sk
+      |   and d3.d_quarter_name in ('1998Q1','1998Q2','1998Q3')
+      | group by i_item_id
+      |         ,i_item_desc
+      |         ,s_state
+      | order by i_item_id
+      | limit 100""".stripMargin
+
+  // query26.sql: catalog demographics/promotion averages (q7's catalog
+  // analog); decimal averages via exact-sum/double-division.
+  private val q26Body =
+    """select  i_item_id,
+      |        avg(cs_quantity) agg1,
+      |        cast(sum(cs_list_price) as double)/count(cs_list_price) agg2,
+      |        cast(sum(cs_coupon_amt) as double)/count(cs_coupon_amt) agg3,
+      |        cast(sum(cs_sales_price) as double)/count(cs_sales_price) agg4
+      | from catalog_sales, customer_demographics, date_dim, item, promotion
+      | where cs_sold_date_sk = d_date_sk and
+      |       cs_item_sk = i_item_sk and
+      |       cs_bill_cdemo_sk = cd_demo_sk and
+      |       cs_promo_sk = p_promo_sk and
+      |       cd_gender = 'F' and
+      |       cd_marital_status = 'W' and
+      |       cd_education_status = 'Primary' and
+      |       (p_channel_email = 'N' or p_channel_event = 'N') and
+      |       d_year = 1998
+      | group by i_item_id
+      | order by i_item_id
+      | limit 100""".stripMargin
+
+  // query34.sql: month-edge bulk shoppers from high-buy-potential
+  // multi-vehicle households. The 15-20 items/ticket band is adapted to
+  // 2-5 (the q73 rule: generated tickets carry ~3 lines).
+  private val q34Body =
+    """select c_last_name
+      |       ,c_first_name
+      |       ,c_salutation
+      |       ,c_preferred_cust_flag
+      |       ,ss_ticket_number
+      |       ,cnt from
+      |   (select ss_ticket_number
+      |          ,ss_customer_sk
+      |          ,cast(count(*) as bigint) cnt
+      |    from store_sales,date_dim,store,household_demographics
+      |    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |    and store_sales.ss_store_sk = store.s_store_sk
+      |    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+      |    and (date_dim.d_dom between 1 and 3 or date_dim.d_dom between 25 and 28)
+      |    and (household_demographics.hd_buy_potential = '>10000' or
+      |         household_demographics.hd_buy_potential = 'Unknown')
+      |    and household_demographics.hd_vehicle_count > 0
+      |    and (case when household_demographics.hd_vehicle_count > 0
+      |	then household_demographics.hd_dep_count/ household_demographics.hd_vehicle_count
+      |	else null
+      |	end)  > 1.2
+      |    and date_dim.d_year in (1998,1998+1,1998+2)
+      |    and store.s_county in ('Williamson County','Williamson County','Williamson County','Williamson County',
+      |                           'Williamson County','Williamson County','Williamson County','Williamson County')
+      |    group by ss_ticket_number,ss_customer_sk) dn,customer
+      |    where ss_customer_sk = c_customer_sk
+      |      and cnt between 2 and 5
+      |    order by c_last_name,c_first_name,c_salutation,c_preferred_cust_flag desc, ss_ticket_number""".stripMargin
+
+  // query35.sql: dependent-count statistics for customers active in the
+  // store channel and at least one other channel. The unnamed avg/max/sum
+  // outputs gain aliases; integer sums cast to bigint.
+  private val q35Body =
+    """select
+      |  ca_state,
+      |  cd_gender,
+      |  cd_marital_status,
+      |  cd_dep_count,
+      |  cast(count(*) as bigint) cnt1,
+      |  avg(cd_dep_count) avg_dep,
+      |  max(cd_dep_count) max_dep,
+      |  cast(sum(cd_dep_count) as bigint) sum_dep,
+      |  cd_dep_employed_count,
+      |  cast(count(*) as bigint) cnt2,
+      |  avg(cd_dep_employed_count) avg_emp,
+      |  max(cd_dep_employed_count) max_emp,
+      |  cast(sum(cd_dep_employed_count) as bigint) sum_emp,
+      |  cd_dep_college_count,
+      |  cast(count(*) as bigint) cnt3,
+      |  avg(cd_dep_college_count) avg_col,
+      |  max(cd_dep_college_count) max_col,
+      |  cast(sum(cd_dep_college_count) as bigint) sum_col
+      | from
+      |  customer c,customer_address ca,customer_demographics
+      | where
+      |  c.c_current_addr_sk = ca.ca_address_sk and
+      |  cd_demo_sk = c.c_current_cdemo_sk and
+      |  exists (select *
+      |          from store_sales,date_dim
+      |          where c.c_customer_sk = ss_customer_sk and
+      |                ss_sold_date_sk = d_date_sk and
+      |                d_year = 1999 and
+      |                d_qoy < 4) and
+      |   (exists (select *
+      |            from web_sales,date_dim
+      |            where c.c_customer_sk = ws_bill_customer_sk and
+      |                  ws_sold_date_sk = d_date_sk and
+      |                  d_year = 1999 and
+      |                  d_qoy < 4) or
+      |    exists (select *
+      |            from catalog_sales,date_dim
+      |            where c.c_customer_sk = cs_ship_customer_sk and
+      |                  cs_sold_date_sk = d_date_sk and
+      |                  d_year = 1999 and
+      |                  d_qoy < 4))
+      | group by ca_state,
+      |          cd_gender,
+      |          cd_marital_status,
+      |          cd_dep_count,
+      |          cd_dep_employed_count,
+      |          cd_dep_college_count
+      | order by ca_state,
+      |          cd_gender,
+      |          cd_marital_status,
+      |          cd_dep_count,
+      |          cd_dep_employed_count,
+      |          cd_dep_college_count
+      | limit 100""".stripMargin
+
+  // query86.sql: web net-paid over the category/class rollup with
+  // rank-within-parent (q70's web analog).
+  private val q86Body =
+    """select
+      |    cast(sum(ws_net_paid) as double) as total_sum
+      |   ,i_category
+      |   ,i_class
+      |   ,grouping(i_category)+grouping(i_class) as lochierarchy
+      |   ,rank() over (
+      | 	partition by grouping(i_category)+grouping(i_class),
+      | 	case when grouping(i_class) = 0 then i_category end
+      | 	order by sum(ws_net_paid) desc) as rank_within_parent
+      | from
+      |    web_sales
+      |   ,date_dim       d1
+      |   ,item
+      | where
+      |    d1.d_month_seq between 1212 and 1212+11
+      | and d1.d_date_sk = ws_sold_date_sk
+      | and i_item_sk  = ws_item_sk
+      | group by rollup(i_category,i_class)
+      | order by
+      |   lochierarchy desc,
+      |   case when lochierarchy = 0 then i_category end,
+      |   rank_within_parent
+      | limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds04_tpcds_triple_channel_growth" -> q4Body,
+    "ds74_tpcds_max_paid_growth" -> q74Body,
+    "ds17_tpcds_rebuy_quantity_stats" -> q17Body,
+    "ds26_tpcds_catalog_demo_averages" -> q26Body,
+    "ds34_tpcds_bulk_ticket_customers" -> q34Body,
+    "ds35_tpcds_multichannel_dependents" -> q35Body,
+    "ds86_tpcds_web_rollup_rank" -> q86Body,
     "ds12_tpcds_web_class_share" -> q12Body,
     "ds20_tpcds_catalog_class_share" -> q20Body,
     "ds15_tpcds_catalog_zip" -> q15Body,

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v14"
+  val dir = "/root/repo/target/tpcds/v16"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
@@ -112,6 +112,7 @@ object TpcDs {
       .withColumn("d_week_seq", (floor((col("d_date_sk") - 1) / 7) + 1).cast("int"))
       .withColumn("d_month_seq", ((col("d_year") - 1900) * 12 + col("d_moy") - 1).cast("int"))
       .withColumn("d_qoy", quarter(col("d_date")))
+      .withColumn("d_quarter_name", concat(col("d_year"), lit("Q"), quarter(col("d_date"))))
 
     val times = spark.range(86400L).select(
       col("id").as("t_time_sk"),
@@ -257,6 +258,9 @@ object TpcDs {
       .withColumn("cd_credit_rating", element_at(
         array(Seq("Low Risk", "Good", "High Risk", "Unknown").map(lit): _*),
         (pmod(h(col("cd_demo_sk"), 76), lit(4L)) + 1).cast("int")))
+      .withColumn("cd_dep_count", pmod(h(col("cd_demo_sk"), 116), lit(7L)).cast("int"))
+      .withColumn("cd_dep_employed_count", pmod(h(col("cd_demo_sk"), 117), lit(7L)).cast("int"))
+      .withColumn("cd_dep_college_count", pmod(h(col("cd_demo_sk"), 118), lit(7L)).cast("int"))
 
     val promotion = spark.range(Promotions).select((col("id") + 1).as("p_promo_sk"))
       .withColumn("p_promo_id", concat(lit("P_"), lpad(col("p_promo_sk"), 3, "0")))
@@ -340,6 +344,8 @@ object TpcDs {
         (pmod(h(col("id"), 63), lit(10000L)) / 100.0).cast("decimal(7,2)"))
       .withColumn("cs_ext_wholesale_cost",
         (col("cs_wholesale_cost") * col("cs_quantity")).cast("decimal(7,2)"))
+      .withColumn("cs_coupon_amt",
+        (pmod(h(col("id"), 119), lit(500L)) / 100.0).cast("decimal(7,2)"))
       .withColumn("cs_ext_discount_amt",
         (pmod(h(col("id"), 64), lit(10000L)) / 100.0).cast("decimal(7,2)"))
       .withColumn("cs_ext_ship_cost",
