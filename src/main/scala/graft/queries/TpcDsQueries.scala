@@ -3,11 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.TpcDs
 
-/** Seventy-eight queries from the reference's TPC-DS corpus
-  * (sdks/java/testing/tpcds/src/main/resources/queries/query{1,2,3,4,6,7,9,11,12,13,15,16,17,19,
-  * 20,21,22,24ab,25,26,27,28,29,32,33,34,35,36,37,38,40,41,42,43,44,45,46,47,48,50,52,53,55,56,
-  * 59,60,61,62,63,65,66,67,68,69,70,71,73,74,76,77,78,79,82,83,86,87,88,89,90,92,93,94,95,96,97,
-  * 98,99}.sql), run over the
+/** Eighty-two queries from the reference's TPC-DS corpus
+  * (sdks/java/testing/tpcds/src/main/resources/queries/query{1,2,3,4,6,7,9,11,12,13,15,16,17,18,
+  * 19,20,21,22,24ab,25,26,27,28,29,32,33,34,35,36,37,38,40,41,42,43,44,45,46,47,48,49,50,51,52,
+  * 53,55,56,59,60,61,62,63,65,66,67,68,69,70,71,73,74,76,77,78,79,82,83,86,87,88,89,90,91,92,93,
+  * 94,95,96,97,98,99}.sql), run over the
   * deterministic multi-channel tables of [[graft.sources.TpcDs]] (store +
   * catalog + web facts and returns, weekly inventory, and their
   * dimensions). The SQL body is SHARED between the
@@ -2845,7 +2845,200 @@ ${q66Half("catalog_sales", "cs", "cs_ext_sales_price* cs_quantity", "cs_net_paid
       |   rank_within_parent
       | limit 100""".stripMargin
 
+  // query18.sql: catalog demographics rollup averages. The reference's
+  // avg(cast(x as decimal(12,2))) goes through exact-sum/double-division
+  // (Spark returns exact decimal averages, DuckDB floating ones); the
+  // rollup ORDER BY gains NULLS FIRST (q67 rule).
+  private val q18Body = {
+    def avgOf(x: String, n: Int) =
+      s"cast(sum(cast($x as decimal(12,2))) as double)/count($x) agg$n"
+    s"""select  i_item_id,
+      |        ca_country,
+      |        ca_state,
+      |        ca_county,
+      |        ${avgOf("cs_quantity", 1)},
+      |        ${avgOf("cs_list_price", 2)},
+      |        ${avgOf("cs_coupon_amt", 3)},
+      |        ${avgOf("cs_sales_price", 4)},
+      |        ${avgOf("cs_net_profit", 5)},
+      |        ${avgOf("c_birth_year", 6)},
+      |        ${avgOf("cd1.cd_dep_count", 7)}
+      | from catalog_sales, customer_demographics cd1,
+      |      customer_demographics cd2, customer, customer_address, date_dim, item
+      | where cs_sold_date_sk = d_date_sk and
+      |       cs_item_sk = i_item_sk and
+      |       cs_bill_cdemo_sk = cd1.cd_demo_sk and
+      |       cs_bill_customer_sk = c_customer_sk and
+      |       cd1.cd_gender = 'M' and
+      |       cd1.cd_education_status = 'College' and
+      |       c_current_cdemo_sk = cd2.cd_demo_sk and
+      |       c_current_addr_sk = ca_address_sk and
+      |       c_birth_month in (9,5,12,4,1,10) and
+      |       d_year = 2001 and
+      |       ca_state in ('ND','WI','AL'
+      |                   ,'NC','OK','MS','TN')
+      | group by rollup (i_item_id, ca_country, ca_state, ca_county)
+      | order by ca_country nulls first,
+      |        ca_state nulls first,
+      |        ca_county nulls first,
+      |	i_item_id nulls first
+      | limit 100""".stripMargin
+  }
+
+  // query49.sql: worst return ratios per channel, rank-unioned. The
+  // return-amount floor is adapted to the generator's domain (>100; the
+  // reference's 10000 exceeds every generated return), and the
+  // decimal(15,4) ratio divisions go through double.
+  private def q49Channel(tag: String, fact: String, ret: String, pfx: String,
+      rpfx: String, saleKey: String, retKey: String,
+      retAmt: String = "return_amt"): String =
+    s""" select
+      | '$tag' as channel
+      | ,$tag.item
+      | ,$tag.return_ratio
+      | ,$tag.return_rank
+      | ,$tag.currency_rank
+      | from (
+      | 	select
+      | 	 item
+      | 	,return_ratio
+      | 	,currency_ratio
+      | 	,rank() over (order by return_ratio) as return_rank
+      | 	,rank() over (order by currency_ratio) as currency_rank
+      | 	from
+      | 	(	select ${pfx}.${pfx}_item_sk as item
+      | 		,(cast(sum(coalesce(${rpfx}.${rpfx}_return_quantity,0)) as double)/
+      | 		cast(sum(coalesce(${pfx}.${pfx}_quantity,0)) as double)) as return_ratio
+      | 		,(cast(sum(coalesce(${rpfx}.${rpfx}_$retAmt,0)) as double)/
+      | 		cast(sum(coalesce(${pfx}.${pfx}_net_paid,0)) as double)) as currency_ratio
+      | 		from
+      | 		 $fact ${pfx} left outer join $ret ${rpfx}
+      | 			on (${pfx}.$saleKey = ${rpfx}.$retKey and
+      | 			${pfx}.${pfx}_item_sk = ${rpfx}.${rpfx}_item_sk)
+      |                 ,date_dim
+      | 		where
+      | 			${rpfx}.${rpfx}_$retAmt > 100
+      | 			and ${pfx}.${pfx}_net_profit > 1
+      |                         and ${pfx}.${pfx}_net_paid > 0
+      |                         and ${pfx}.${pfx}_quantity > 0
+      |                         and ${pfx}_sold_date_sk = d_date_sk
+      |                         and d_year = 2000
+      |                         and d_moy = 12
+      | 		group by ${pfx}.${pfx}_item_sk
+      | 	) in_$tag
+      | ) $tag
+      | where
+      | (
+      | $tag.return_rank <= 10
+      | or
+      | $tag.currency_rank <= 10
+      | )""".stripMargin
+  private val q49Body = {
+    // the reference aliases catalog_returns as cr but refers to columns
+    // via the cr_ prefix; our generic template passes matching prefixes
+    s"""select  channel, item, return_ratio, return_rank, currency_rank from
+      | (${q49Channel("web", "web_sales", "web_returns", "ws", "wr",
+          "ws_order_number", "wr_order_number")}
+      | union
+      |${q49Channel("catalog", "catalog_sales", "catalog_returns", "cs", "cr",
+          "cs_order_number", "cr_order_number", retAmt = "return_amount")}
+      | union
+      |${q49Channel("store", "store_sales", "store_returns", "ss", "sr",
+          "ss_ticket_number", "sr_ticket_number")}
+      | )
+      | order by 1,4,5,2
+      | limit 100""".stripMargin
+  }
+
+  // query51.sql: cumulative web-vs-store revenue crossover via windowed
+  // running sums over the channel full-outer join. The decimal running
+  // sums are compared in decimal (exact) and cast to double at output.
+  private val q51Body =
+    """WITH web_v1 as (
+      |select
+      |  ws_item_sk item_sk, d_date,
+      |  sum(sum(ws_sales_price))
+      |      over (partition by ws_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+      |from web_sales
+      |    ,date_dim
+      |where ws_sold_date_sk=d_date_sk
+      |  and d_month_seq between 1212 and 1212+11
+      |  and ws_item_sk is not NULL
+      |group by ws_item_sk, d_date),
+      |store_v1 as (
+      |select
+      |  ss_item_sk item_sk, d_date,
+      |  sum(sum(ss_sales_price))
+      |      over (partition by ss_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+      |from store_sales
+      |    ,date_dim
+      |where ss_sold_date_sk=d_date_sk
+      |  and d_month_seq between 1212 and 1212+11
+      |  and ss_item_sk is not NULL
+      |group by ss_item_sk, d_date)
+      | select  item_sk, d_date,
+      |     cast(web_sales as double) web_sales,
+      |     cast(store_sales as double) store_sales,
+      |     cast(web_cumulative as double) web_cumulative,
+      |     cast(store_cumulative as double) store_cumulative
+      |from (select item_sk
+      |     ,d_date
+      |     ,web_sales
+      |     ,store_sales
+      |     ,max(web_sales)
+      |         over (partition by item_sk order by d_date rows between unbounded preceding and current row) web_cumulative
+      |     ,max(store_sales)
+      |         over (partition by item_sk order by d_date rows between unbounded preceding and current row) store_cumulative
+      |     from (select case when web.item_sk is not null then web.item_sk else store.item_sk end item_sk
+      |                 ,case when web.d_date is not null then web.d_date else store.d_date end d_date
+      |                 ,web.cume_sales web_sales
+      |                 ,store.cume_sales store_sales
+      |           from web_v1 web full outer join store_v1 store on (web.item_sk = store.item_sk
+      |                                                          and web.d_date = store.d_date)
+      |          )x )y
+      |where web_cumulative > store_cumulative
+      |order by item_sk
+      |        ,d_date
+      |limit 100""".stripMargin
+
+  // query91.sql: call-center catalog-return losses for given
+  // demographics. hd_buy_potential's '0-500%' pattern is adapted to the
+  // generator's '501-1000' bucket.
+  private val q91Body =
+    """select
+      |        cc_call_center_id Call_Center,
+      |        cc_name Call_Center_Name,
+      |        cc_manager Manager,
+      |        cast(sum(cr_net_loss) as double) Returns_Loss
+      |from
+      |        call_center,
+      |        catalog_returns,
+      |        date_dim,
+      |        customer,
+      |        customer_address,
+      |        customer_demographics,
+      |        household_demographics
+      |where
+      |        cr_call_center_sk       = cc_call_center_sk
+      |and     cr_returned_date_sk     = d_date_sk
+      |and     cr_returning_customer_sk= c_customer_sk
+      |and     cd_demo_sk              = c_current_cdemo_sk
+      |and     hd_demo_sk              = c_current_hdemo_sk
+      |and     ca_address_sk           = c_current_addr_sk
+      |and     d_year                  = 1999
+      |and     d_moy                   = 11
+      |and     ( (cd_marital_status       = 'M' and cd_education_status     = 'Unknown')
+      |        or(cd_marital_status       = 'W' and cd_education_status     = 'Advanced Degree'))
+      |and     hd_buy_potential like '501-1000%'
+      |and     ca_gmt_offset           = -7
+      |group by cc_call_center_id,cc_name,cc_manager,cd_marital_status,cd_education_status
+      |order by sum(cr_net_loss) desc""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds18_tpcds_catalog_rollup_averages" -> q18Body,
+    "ds49_tpcds_return_ratio_ranks" -> q49Body,
+    "ds51_tpcds_cumulative_crossover" -> q51Body,
+    "ds91_tpcds_call_center_losses" -> q91Body,
     "ds04_tpcds_triple_channel_growth" -> q4Body,
     "ds74_tpcds_max_paid_growth" -> q74Body,
     "ds17_tpcds_rebuy_quantity_stats" -> q17Body,

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v16"
+  val dir = "/root/repo/target/tpcds/v17"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
@@ -220,6 +220,12 @@ object TpcDs {
           .otherwise("CANADA"))
       .withColumn("c_current_cdemo_sk",
         pmod(h(col("c_customer_sk"), 48), lit(CustomerDemos)) + 1)
+      .withColumn("c_current_hdemo_sk",
+        pmod(h(col("c_customer_sk"), 120), lit(HouseholdDemos)) + 1)
+      .withColumn("c_birth_year",
+        (lit(1930) + pmod(h(col("c_customer_sk"), 121), lit(63L))).cast("int"))
+      .withColumn("c_birth_month",
+        (pmod(h(col("c_customer_sk"), 122), lit(12L)) + 1).cast("int"))
       .withColumn("c_login", concat(lit("login_"), col("c_customer_sk")))
       .withColumn("c_email_address",
         concat(lit("First"), col("c_customer_sk"), lit("@example.com")))
@@ -480,6 +486,7 @@ object TpcDs {
       .withColumn("w_country", lit("United States"))
 
     val callCenter = spark.range(CallCenters).select((col("id") + 1).as("cc_call_center_sk"))
+      .withColumn("cc_call_center_id", concat(lit("CC_"), lpad(col("cc_call_center_sk"), 3, "0")))
       .withColumn("cc_name", concat(lit("call_center_"), col("cc_call_center_sk")))
       .withColumn("cc_county", lit("Williamson County"))
       .withColumn("cc_manager", concat(lit("Manager_"), col("cc_call_center_sk")))
