@@ -10,6 +10,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Dimensions broadcast, facts shuffle-join: column pruning shrinks a
+      // half-megarow fact scan's SIZE ESTIMATE under the default 10MB
+      // threshold, and a long run accumulating 50-100MB fact broadcasts
+      // hits driver GC cliffs (observed: one corpus query at 185s that
+      // runs in 6s fresh). 4MB keeps every real dimension broadcast and
+      // is the plan shape a 100TB cluster needs anyway.
+      .config("spark.sql.autoBroadcastJoinThreshold", (4 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay JIT/codegen/parquet-footer costs outside the timed loop

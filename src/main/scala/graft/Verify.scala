@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same threshold as Bench: dims broadcast, facts shuffle-join (see
+      // the Bench scaladoc note on pruned-estimate fact broadcasts)
+      .config("spark.sql.autoBroadcastJoinThreshold", (4 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
