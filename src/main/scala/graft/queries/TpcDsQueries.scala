@@ -3,11 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.TpcDs
 
-/** Eighty-two queries from the reference's TPC-DS corpus
+/** Eighty-seven queries from the reference's TPC-DS corpus
   * (sdks/java/testing/tpcds/src/main/resources/queries/query{1,2,3,4,6,7,9,11,12,13,15,16,17,18,
-  * 19,20,21,22,24ab,25,26,27,28,29,32,33,34,35,36,37,38,40,41,42,43,44,45,46,47,48,49,50,51,52,
-  * 53,55,56,59,60,61,62,63,65,66,67,68,69,70,71,73,74,76,77,78,79,82,83,86,87,88,89,90,91,92,93,
-  * 94,95,96,97,98,99}.sql), run over the
+  * 19,20,21,22,24ab,25,26,27,28,29,30,31,32,33,34,35,36,37,38,40,41,42,43,44,45,46,47,48,49,50,
+  * 51,52,53,55,56,58,59,60,61,62,63,65,66,67,68,69,70,71,72,73,74,76,77,78,79,81,82,83,86,87,88,
+  * 89,90,91,92,93,94,95,96,97,98,99}.sql), run over the
   * deterministic multi-channel tables of [[graft.sources.TpcDs]] (store +
   * catalog + web facts and returns, weekly inventory, and their
   * dimensions). The SQL body is SHARED between the
@@ -3034,7 +3034,206 @@ ${q66Half("catalog_sales", "cs", "cs_ext_sales_price* cs_quantity", "cs_net_paid
       |group by cc_call_center_id,cc_name,cc_manager,cd_marital_status,cd_education_status
       |order by sum(cr_net_loss) desc""".stripMargin
 
+  // query30.sql / query81.sql: customers whose web / catalog returns
+  // exceed 1.2x their state's average. The correlated average goes
+  // through exact-sum/double-division (the q92 rule).
+  private val q30Body =
+    """with customer_total_return as
+      | (select wr_returning_customer_sk as ctr_customer_sk
+      |        ,ca_state as ctr_state,
+      | 	sum(wr_return_amt) as ctr_total_return
+      | from web_returns
+      |     ,date_dim
+      |     ,customer_address
+      | where wr_returned_date_sk = d_date_sk
+      |   and d_year =2002
+      |   and wr_returning_addr_sk = ca_address_sk
+      | group by wr_returning_customer_sk
+      |         ,ca_state)
+      |  select  c_customer_id,c_salutation,c_first_name,c_last_name,c_preferred_cust_flag
+      |       ,c_birth_day,c_birth_month,c_birth_year,c_birth_country,c_login,c_email_address
+      |       ,c_last_review_date_sk,cast(ctr_total_return as double) ctr_total_return
+      | from customer_total_return ctr1
+      |     ,customer_address
+      |     ,customer
+      | where cast(ctr1.ctr_total_return as double) > (select (cast(sum(ctr_total_return) as double)/count(ctr_total_return))*1.2
+      | 			  from customer_total_return ctr2
+      |                  	  where ctr1.ctr_state = ctr2.ctr_state)
+      |       and ca_address_sk = c_current_addr_sk
+      |       and ca_state = 'IL'
+      |       and ctr1.ctr_customer_sk = c_customer_sk
+      | order by c_customer_id,c_salutation,c_first_name,c_last_name,c_preferred_cust_flag
+      |                  ,c_birth_day,c_birth_month,c_birth_year,c_birth_country,c_login,c_email_address
+      |                  ,c_last_review_date_sk,ctr_total_return
+      |limit 100""".stripMargin
+
+  private val q81Body =
+    """with customer_total_return as
+      | (select cr_returning_customer_sk as ctr_customer_sk
+      |        ,ca_state as ctr_state,
+      | 	sum(cr_return_amt_inc_tax) as ctr_total_return
+      | from catalog_returns
+      |     ,date_dim
+      |     ,customer_address
+      | where cr_returned_date_sk = d_date_sk
+      |   and d_year =1998
+      |   and cr_returning_addr_sk = ca_address_sk
+      | group by cr_returning_customer_sk
+      |         ,ca_state )
+      |  select  c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name
+      |                   ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset
+      |                  ,ca_location_type,cast(ctr_total_return as double) ctr_total_return
+      | from customer_total_return ctr1
+      |     ,customer_address
+      |     ,customer
+      | where cast(ctr1.ctr_total_return as double) > (select (cast(sum(ctr_total_return) as double)/count(ctr_total_return))*1.2
+      | 			  from customer_total_return ctr2
+      |                  	  where ctr1.ctr_state = ctr2.ctr_state)
+      |       and ca_address_sk = c_current_addr_sk
+      |       and ca_state = 'IL'
+      |       and ctr1.ctr_customer_sk = c_customer_sk
+      | order by c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name
+      |                   ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset
+      |                  ,ca_location_type,ctr_total_return
+      | limit 100""".stripMargin
+
+  // query31.sql: county quarter-over-quarter growth, web vs store; the
+  // growth-ratio comparisons and outputs go through double.
+  private val q31Body =
+    """with ss as
+      | (select ca_county,d_qoy, d_year,sum(ss_ext_sales_price) as store_sales
+      | from store_sales,date_dim,customer_address
+      | where ss_sold_date_sk = d_date_sk
+      |  and ss_addr_sk=ca_address_sk
+      | group by ca_county,d_qoy, d_year),
+      | ws as
+      | (select ca_county,d_qoy, d_year,sum(ws_ext_sales_price) as web_sales
+      | from web_sales,date_dim,customer_address
+      | where ws_sold_date_sk = d_date_sk
+      |  and ws_bill_addr_sk=ca_address_sk
+      | group by ca_county,d_qoy, d_year)
+      | select
+      |        ss1.ca_county
+      |       ,ss1.d_year
+      |       ,cast(ws2.web_sales as double)/cast(ws1.web_sales as double) web_q1_q2_increase
+      |       ,cast(ss2.store_sales as double)/cast(ss1.store_sales as double) store_q1_q2_increase
+      |       ,cast(ws3.web_sales as double)/cast(ws2.web_sales as double) web_q2_q3_increase
+      |       ,cast(ss3.store_sales as double)/cast(ss2.store_sales as double) store_q2_q3_increase
+      | from
+      |        ss ss1
+      |       ,ss ss2
+      |       ,ss ss3
+      |       ,ws ws1
+      |       ,ws ws2
+      |       ,ws ws3
+      | where
+      |    ss1.d_qoy = 1
+      |    and ss1.d_year = 2000
+      |    and ss1.ca_county = ss2.ca_county
+      |    and ss2.d_qoy = 2
+      |    and ss2.d_year = 2000
+      | and ss2.ca_county = ss3.ca_county
+      |    and ss3.d_qoy = 3
+      |    and ss3.d_year = 2000
+      |    and ss1.ca_county = ws1.ca_county
+      |    and ws1.d_qoy = 1
+      |    and ws1.d_year = 2000
+      |    and ws1.ca_county = ws2.ca_county
+      |    and ws2.d_qoy = 2
+      |    and ws2.d_year = 2000
+      |    and ws1.ca_county = ws3.ca_county
+      |    and ws3.d_qoy = 3
+      |    and ws3.d_year =2000
+      |    and case when ws1.web_sales > 0 then cast(ws2.web_sales as double)/cast(ws1.web_sales as double) else null end
+      |       > case when ss1.store_sales > 0 then cast(ss2.store_sales as double)/cast(ss1.store_sales as double) else null end
+      |    and case when ws2.web_sales > 0 then cast(ws3.web_sales as double)/cast(ws2.web_sales as double) else null end
+      |       > case when ss2.store_sales > 0 then cast(ss3.store_sales as double)/cast(ss2.store_sales as double) else null end
+      | order by ss1.d_year""".stripMargin
+
+  // query58.sql: items with the same revenue (within 10%) in all three
+  // channels for one week; channel shares through double division (q83
+  // rule). The 0.9x/1.1x band comparisons stay in exact decimal.
+  private val q58Body = {
+    def items(cte: String, fact: String, pfx: String, rev: String) =
+      s"""$cte as
+         | (select i_item_id item_id
+         |        ,sum(${pfx}_ext_sales_price) $rev
+         | from $fact
+         |     ,item
+         |     ,date_dim
+         | where ${pfx}_item_sk = i_item_sk
+         |   and d_date in (select d_date
+         |                  from date_dim
+         |                  where d_week_seq = (select d_week_seq
+         |                                      from date_dim
+         |                                      where d_date = '1998-02-19'))
+         |   and ${pfx}_sold_date_sk   = d_date_sk
+         | group by i_item_id)""".stripMargin
+    s"""with ${items("ss_items", "store_sales", "ss", "ss_item_rev")},
+       | ${items("cs_items", "catalog_sales", "cs", "cs_item_rev")},
+       | ${items("ws_items", "web_sales", "ws", "ws_item_rev")}
+       |  select  ss_items.item_id
+       |       ,cast(ss_item_rev as double) ss_item_rev
+       |       ,cast(ss_item_rev/(ss_item_rev+cs_item_rev+ws_item_rev)/cast(3 as double) * 100 as double) ss_dev
+       |       ,cast(cs_item_rev as double) cs_item_rev
+       |       ,cast(cs_item_rev/(ss_item_rev+cs_item_rev+ws_item_rev)/cast(3 as double) * 100 as double) cs_dev
+       |       ,cast(ws_item_rev as double) ws_item_rev
+       |       ,cast(ws_item_rev/(ss_item_rev+cs_item_rev+ws_item_rev)/cast(3 as double) * 100 as double) ws_dev
+       |       ,cast((ss_item_rev+cs_item_rev+ws_item_rev)/cast(3 as double) as double) average
+       | from ss_items,cs_items,ws_items
+       | where ss_items.item_id=cs_items.item_id
+       |   and ss_items.item_id=ws_items.item_id
+       |   and ss_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev
+       |   and ss_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev
+       |   and cs_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev
+       |   and cs_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev
+       |   and ws_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev
+       |   and ws_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev
+       | order by ss_items.item_id
+       |         ,ss_item_rev
+       | limit 100""".stripMargin
+  }
+
+  // query72.sql: catalog orders that outstripped same-week inventory,
+  // promo vs no-promo. The reference's trailing ORDER BY d_week_seq is
+  // ambiguous across the three date_dim aliases; qualified to d1 (the
+  // grouping column) on both engines.
+  private val q72Body =
+    """select  i_item_desc
+      |      ,w_warehouse_name
+      |      ,d1.d_week_seq
+      |      ,cast(count(case when p_promo_sk is null then 1 else 0 end) as bigint) no_promo
+      |      ,cast(count(case when p_promo_sk is not null then 1 else 0 end) as bigint) promo
+      |      ,cast(count(*) as bigint) total_cnt
+      |from catalog_sales
+      |join inventory on (cs_item_sk = inv_item_sk)
+      |join warehouse on (w_warehouse_sk=inv_warehouse_sk)
+      |join item on (i_item_sk = cs_item_sk)
+      |join customer_demographics on (cs_bill_cdemo_sk = cd_demo_sk)
+      |join household_demographics on (cs_bill_hdemo_sk = hd_demo_sk)
+      |join date_dim d1 on (cs_sold_date_sk = d1.d_date_sk)
+      |join date_dim d2 on (inv_date_sk = d2.d_date_sk)
+      |join date_dim d3 on (cs_ship_date_sk = d3.d_date_sk)
+      |left outer join promotion on (cs_promo_sk=p_promo_sk)
+      |left outer join catalog_returns on (cr_item_sk = cs_item_sk and cr_order_number = cs_order_number)
+      |where d1.d_week_seq = d2.d_week_seq
+      |  and inv_quantity_on_hand < cs_quantity
+      |  and d3.d_date > d1.d_date + interval '5' day
+      |  and hd_buy_potential = '1001-5000'
+      |  and d1.d_year = 2001
+      |  and hd_buy_potential = '1001-5000'
+      |  and cd_marital_status = 'M'
+      |  and d1.d_year = 2001
+      |group by i_item_desc,w_warehouse_name,d1.d_week_seq
+      |order by total_cnt desc, i_item_desc, w_warehouse_name, d1.d_week_seq
+      |limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds30_tpcds_web_return_outliers" -> q30Body,
+    "ds81_tpcds_catalog_return_outliers" -> q81Body,
+    "ds31_tpcds_county_quarter_growth" -> q31Body,
+    "ds58_tpcds_balanced_channel_items" -> q58Body,
+    "ds72_tpcds_inventory_shortfall" -> q72Body,
     "ds18_tpcds_catalog_rollup_averages" -> q18Body,
     "ds49_tpcds_return_ratio_ranks" -> q49Body,
     "ds51_tpcds_cumulative_crossover" -> q51Body,

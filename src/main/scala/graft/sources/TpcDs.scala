@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v17"
+  val dir = "/root/repo/target/tpcds/v18"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
@@ -226,6 +226,10 @@ object TpcDs {
         (lit(1930) + pmod(h(col("c_customer_sk"), 121), lit(63L))).cast("int"))
       .withColumn("c_birth_month",
         (pmod(h(col("c_customer_sk"), 122), lit(12L)) + 1).cast("int"))
+      .withColumn("c_birth_day",
+        (pmod(h(col("c_customer_sk"), 124), lit(28L)) + 1).cast("int"))
+      .withColumn("c_last_review_date_sk",
+        pmod(h(col("c_customer_sk"), 125), lit(Dates)) + 1)
       .withColumn("c_login", concat(lit("login_"), col("c_customer_sk")))
       .withColumn("c_email_address",
         concat(lit("First"), col("c_customer_sk"), lit("@example.com")))
@@ -245,6 +249,15 @@ object TpcDs {
           "Levy County", "Huron County").map(lit): _*),
         (pmod(h(col("ca_address_sk"), 47), lit(5L)) + 1).cast("int")))
       .withColumn("ca_zip", lpad(pmod(h(col("ca_address_sk"), 29), lit(100000L)), 5, "0"))
+      .withColumn("ca_street_number", (pmod(h(col("ca_address_sk"), 126), lit(999L)) + 1).cast("string"))
+      .withColumn("ca_street_name", concat(lit("Street "), pmod(h(col("ca_address_sk"), 127), lit(50L))))
+      .withColumn("ca_street_type", element_at(
+        array(Seq("Ave", "Blvd", "Ct", "Dr", "Ln", "Rd", "St", "Way").map(lit): _*),
+        (pmod(h(col("ca_address_sk"), 128), lit(8L)) + 1).cast("int")))
+      .withColumn("ca_suite_number", concat(lit("Suite "), pmod(h(col("ca_address_sk"), 129), lit(100L))))
+      .withColumn("ca_location_type", element_at(
+        array(Seq("apartment", "condo", "single family").map(lit): _*),
+        (pmod(h(col("ca_address_sk"), 130), lit(3L)) + 1).cast("int")))
       .withColumn("ca_gmt_offset", element_at(
         array(Seq(-5, -6, -7, -8).map(v => lit(v)): _*),
         (pmod(h(col("ca_address_sk"), 41), lit(4L)) + 1).cast("int")).cast("int"))
@@ -320,6 +333,7 @@ object TpcDs {
         col("ord").as("cs_order_number"),
         (pmod(h(col("ord"), 50), lit(Customers)) + 1).as("cs_bill_customer_sk"),
         (pmod(h(col("ord"), 51), lit(CustomerDemos)) + 1).as("cs_bill_cdemo_sk"),
+        (pmod(h(col("ord"), 131), lit(HouseholdDemos)) + 1).as("cs_bill_hdemo_sk"),
         (pmod(h(col("ord"), 52), lit(Addresses)) + 1).as("cs_bill_addr_sk"),
         (pmod(h(col("ord"), 53), lit(Dates)) + 1).as("cs_sold_date_sk"),
         pmod(h(col("ord"), 54), lit(86400L)).as("cs_sold_time_sk"),
@@ -371,6 +385,7 @@ object TpcDs {
         col("cs_order_number").as("cr_order_number"),
         col("cs_item_sk").as("cr_item_sk"),
         col("cs_bill_customer_sk").as("cr_returning_customer_sk"),
+        col("cs_bill_addr_sk").as("cr_returning_addr_sk"),
         col("cs_call_center_sk").as("cr_call_center_sk"),
         col("cs_warehouse_sk").as("cr_warehouse_sk"),
         col("cs_quantity"),
@@ -382,6 +397,9 @@ object TpcDs {
           .cast("int"))
       .withColumn("cr_return_amount",
         (pmod(xxhash64(col("cr_order_number"), col("cr_item_sk"), lit(73)), lit(50000L)) / 100.0)
+          .cast("decimal(7,2)"))
+      .withColumn("cr_return_amt_inc_tax",
+        (pmod(xxhash64(col("cr_order_number"), col("cr_item_sk"), lit(123)), lit(55000L)) / 100.0)
           .cast("decimal(7,2)"))
       .withColumn("cr_refunded_cash",
         (pmod(xxhash64(col("cr_order_number"), col("cr_item_sk"), lit(74)), lit(30000L)) / 100.0)
@@ -445,6 +463,7 @@ object TpcDs {
         col("ws_order_number").as("wr_order_number"),
         col("ws_item_sk").as("wr_item_sk"),
         col("ws_bill_customer_sk").as("wr_returning_customer_sk"),
+        col("ws_bill_addr_sk").as("wr_returning_addr_sk"),
         col("ws_web_page_sk").as("wr_web_page_sk"),
         col("ws_quantity"),
         least(col("ws_ship_date_sk")
