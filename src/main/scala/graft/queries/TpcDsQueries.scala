@@ -3,11 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.TpcDs
 
-/** Eighty-seven queries from the reference's TPC-DS corpus
-  * (sdks/java/testing/tpcds/src/main/resources/queries/query{1,2,3,4,6,7,9,11,12,13,15,16,17,18,
-  * 19,20,21,22,24ab,25,26,27,28,29,30,31,32,33,34,35,36,37,38,40,41,42,43,44,45,46,47,48,49,50,
-  * 51,52,53,55,56,58,59,60,61,62,63,65,66,67,68,69,70,71,72,73,74,76,77,78,79,81,82,83,86,87,88,
-  * 89,90,91,92,93,94,95,96,97,98,99}.sql), run over the
+/** Ninety queries from the reference's TPC-DS corpus
+  * (sdks/java/testing/tpcds/src/main/resources/queries/query{1,2,3,4,6,7,9,10,11,12,13,15,16,17,
+  * 18,19,20,21,22,24ab,25,26,27,28,29,30,31,32,33,34,35,36,37,38,40,41,42,43,44,45,46,47,48,49,
+  * 50,51,52,53,55,56,57,58,59,60,61,62,63,65,66,67,68,69,70,71,72,73,74,75,76,77,78,79,81,82,83,
+  * 86,87,88,89,90,91,92,93,94,95,96,97,98,99}.sql), run over the
   * deterministic multi-channel tables of [[graft.sources.TpcDs]] (store +
   * catalog + web facts and returns, weekly inventory, and their
   * dimensions). The SQL body is SHARED between the
@@ -3228,7 +3228,185 @@ ${q66Half("catalog_sales", "cs", "cs_ext_sales_price* cs_quantity", "cs_net_paid
       |order by total_cnt desc, i_item_desc, w_warehouse_name, d1.d_week_seq
       |limit 100""".stripMargin
 
+  // query10.sql: demographics counts for county customers active in
+  // store AND (web OR catalog) in one quarter — q69's inclusive sibling.
+  private val q10Body =
+    """select
+      |  cd_gender,
+      |  cd_marital_status,
+      |  cd_education_status,
+      |  cast(count(*) as bigint) cnt1,
+      |  cd_purchase_estimate,
+      |  cast(count(*) as bigint) cnt2,
+      |  cd_credit_rating,
+      |  cast(count(*) as bigint) cnt3,
+      |  cd_dep_count,
+      |  cast(count(*) as bigint) cnt4,
+      |  cd_dep_employed_count,
+      |  cast(count(*) as bigint) cnt5,
+      |  cd_dep_college_count,
+      |  cast(count(*) as bigint) cnt6
+      | from
+      |  customer c,customer_address ca,customer_demographics
+      | where
+      |  c.c_current_addr_sk = ca.ca_address_sk and
+      |  ca_county in ('Walker County','Richland County','Gaines County','Douglas County','Dona Ana County') and
+      |  cd_demo_sk = c.c_current_cdemo_sk and
+      |  exists (select *
+      |          from store_sales,date_dim
+      |          where c.c_customer_sk = ss_customer_sk and
+      |                ss_sold_date_sk = d_date_sk and
+      |                d_year = 2002 and
+      |                d_moy between 4 and 4+3) and
+      |   (exists (select *
+      |            from web_sales,date_dim
+      |            where c.c_customer_sk = ws_bill_customer_sk and
+      |                  ws_sold_date_sk = d_date_sk and
+      |                  d_year = 2002 and
+      |                  d_moy between 4 ANd 4+3) or
+      |    exists (select *
+      |            from catalog_sales,date_dim
+      |            where c.c_customer_sk = cs_ship_customer_sk and
+      |                  cs_sold_date_sk = d_date_sk and
+      |                  d_year = 2002 and
+      |                  d_moy between 4 and 4+3))
+      | group by cd_gender,
+      |          cd_marital_status,
+      |          cd_education_status,
+      |          cd_purchase_estimate,
+      |          cd_credit_rating,
+      |          cd_dep_count,
+      |          cd_dep_employed_count,
+      |          cd_dep_college_count
+      | order by cd_gender,
+      |          cd_marital_status,
+      |          cd_education_status,
+      |          cd_purchase_estimate,
+      |          cd_credit_rating,
+      |          cd_dep_count,
+      |          cd_dep_employed_count,
+      |          cd_dep_college_count
+      |limit 100""".stripMargin
+
+  // query57.sql: call-center monthly deviations — q47's catalog twin,
+  // with the same exact-arithmetic rewrites (wtot/wcnt in place of the
+  // windowed AVG, 10*abs(...) > wtot for the 10% deviation filter).
+  private val q57Body =
+    """with v1 as(
+      | select i_category, i_brand,
+      |        cc_name,
+      |        d_year, d_moy,
+      |        sum(cs_sales_price) ssum,
+      |        sum(sum(cs_sales_price)) over
+      |          (partition by i_category, i_brand,
+      |                     cc_name, d_year) wtot,
+      |        count(*) over
+      |          (partition by i_category, i_brand,
+      |                     cc_name, d_year) wcnt,
+      |        rank() over
+      |          (partition by i_category, i_brand,
+      |                     cc_name
+      |           order by d_year, d_moy) rn
+      | from item, catalog_sales, date_dim, call_center
+      | where cs_item_sk = i_item_sk and
+      |       cs_sold_date_sk = d_date_sk and
+      |       cc_call_center_sk= cs_call_center_sk and
+      |       (
+      |         d_year = 2000 or
+      |         ( d_year = 2000-1 and d_moy =12) or
+      |         ( d_year = 2000+1 and d_moy =1)
+      |       )
+      | group by i_category, i_brand,
+      |          cc_name , d_year, d_moy),
+      | v2 as(
+      | select v1.cc_name
+      |        ,v1.d_year, v1.d_moy
+      |        ,v1.wtot, v1.wcnt
+      |        ,v1.ssum, v1_lag.ssum psum, v1_lead.ssum nsum
+      | from v1, v1 v1_lag, v1 v1_lead
+      | where v1.i_category = v1_lag.i_category and
+      |       v1.i_category = v1_lead.i_category and
+      |       v1.i_brand = v1_lag.i_brand and
+      |       v1.i_brand = v1_lead.i_brand and
+      |       v1. cc_name = v1_lag. cc_name and
+      |       v1. cc_name = v1_lead. cc_name and
+      |       v1.rn = v1_lag.rn + 1 and
+      |       v1.rn = v1_lead.rn - 1)
+      |select cc_name, d_year, d_moy
+      |       ,cast(wtot as double) / wcnt as avg_monthly_sales
+      |       ,cast(ssum as double) as sum_sales
+      |       ,cast(psum as double) as psum
+      |       ,cast(nsum as double) as nsum
+      |from v2
+      |where d_year = 2000 and
+      |      wtot > 0 and
+      |      10 * abs(wcnt * ssum - wtot) > wtot
+      |order by cast(ssum as double) - cast(wtot as double) / wcnt, nsum,
+      |         cc_name, d_moy
+      |limit 100""".stripMargin
+
+  // query75.sql: net-of-returns Sports volume, year over year across all
+  // three channels. The <0.9 decimal-ratio filter is rewritten exactly
+  // over integers (10*curr < 9*prev, the q65 rule); the ORDER BY gains
+  // the id columns as tiebreaks under LIMIT (q79 rule).
+  private def q75Channel(fact: String, ret: String, pfx: String, rpfx: String,
+      saleKey: String, retKey: String, retAmt: String): String =
+    s"""       select d_year
+       |             ,i_brand_id
+       |             ,i_class_id
+       |             ,i_category_id
+       |             ,i_manufact_id
+       |             ,${pfx}_quantity - coalesce(${rpfx}_return_quantity,0) as sales_cnt
+       |             ,${pfx}_ext_sales_price - coalesce(${rpfx}_$retAmt,0.0) as sales_amt
+       |       from $fact join item on i_item_sk=${pfx}_item_sk
+       |                          join date_dim on d_date_sk=${pfx}_sold_date_sk
+       |                          left join $ret on ($saleKey=$retKey
+       |                                                    and ${pfx}_item_sk=${rpfx}_item_sk)
+       |       where i_category='Sports'""".stripMargin
+  private val q75Body =
+    s"""with all_sales as (
+       | select d_year
+       |       ,i_brand_id
+       |       ,i_class_id
+       |       ,i_category_id
+       |       ,i_manufact_id
+       |       ,cast(sum(sales_cnt) as bigint) as sales_cnt
+       |       ,sum(sales_amt) as sales_amt
+       | from (${q75Channel("catalog_sales", "catalog_returns", "cs", "cr",
+           "cs_order_number", "cr_order_number", "return_amount")}
+       |       union
+       |${q75Channel("store_sales", "store_returns", "ss", "sr",
+           "ss_ticket_number", "sr_ticket_number", "return_amt")}
+       |       union
+       |${q75Channel("web_sales", "web_returns", "ws", "wr",
+           "ws_order_number", "wr_order_number", "return_amt")}) sales_detail
+       | group by d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+       | select  prev_yr.d_year as prev_year
+       |                          ,curr_yr.d_year as curr_year
+       |                          ,curr_yr.i_brand_id
+       |                          ,curr_yr.i_class_id
+       |                          ,curr_yr.i_category_id
+       |                          ,curr_yr.i_manufact_id
+       |                          ,prev_yr.sales_cnt AS prev_yr_cnt
+       |                          ,curr_yr.sales_cnt AS curr_yr_cnt
+       |                          ,curr_yr.sales_cnt-prev_yr.sales_cnt AS sales_cnt_diff
+       |                          ,cast(curr_yr.sales_amt-prev_yr.sales_amt as double) AS sales_amt_diff
+       | FROM all_sales curr_yr, all_sales prev_yr
+       | where curr_yr.i_brand_id=prev_yr.i_brand_id
+       |   and curr_yr.i_class_id=prev_yr.i_class_id
+       |   and curr_yr.i_category_id=prev_yr.i_category_id
+       |   and curr_yr.i_manufact_id=prev_yr.i_manufact_id
+       |   and curr_yr.d_year=2002
+       |   and prev_yr.d_year=2002-1
+       |   and curr_yr.sales_cnt * 10 < prev_yr.sales_cnt * 9
+       | order by sales_cnt_diff, curr_yr.i_brand_id, curr_yr.i_class_id,
+       |          curr_yr.i_manufact_id
+       | limit 100""".stripMargin
+
   private val bodies: Map[String, String] = Map(
+    "ds10_tpcds_county_demographics" -> q10Body,
+    "ds57_tpcds_call_center_deviation" -> q57Body,
+    "ds75_tpcds_sports_yoy_decline" -> q75Body,
     "ds30_tpcds_web_return_outliers" -> q30Body,
     "ds81_tpcds_catalog_return_outliers" -> q81Body,
     "ds31_tpcds_county_quarter_growth" -> q31Body,
