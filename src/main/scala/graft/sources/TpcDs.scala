@@ -24,14 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v18"
+  val dir = "/root/repo/target/tpcds/v19"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
     "customer_demographics", "promotion", "store_returns",
     "catalog_sales", "catalog_returns", "web_sales", "web_returns",
     "inventory", "warehouse", "call_center", "ship_mode", "web_site",
-    "web_page")
+    "web_page", "catalog_page", "income_band")
 
   private val SalesRows = 1000000L
   private val CatalogRows = 500000L
@@ -49,6 +49,21 @@ object TpcDs {
   private val ShipModes = 8L
   private val WebSites = 4L
   private val WebPages = 20L
+  private val CatalogPages = 40L
+  private val IncomeBands = 20L
+  // q23/q14's "frequent items / best customers" CTEs need real skew: 20%
+  // of fact lines draw from the top-50 items / top-250 customers, the
+  // rest stay uniform (every item/customer still appears). The branch
+  // hash uses its OWN seed — reusing the value hash would correlate the
+  // branch with the drawn id (h≡0 mod 5 constrains h mod 50).
+  private val HotItems = 50L
+  private val HotCustomers = 250L
+  private def skewed(base: org.apache.spark.sql.Column, branchSeed: Int,
+      valueSeed: Int, hot: Long, domain: Long) = {
+    when(pmod(h(base, branchSeed), lit(5L)) === 0,
+      pmod(h(base, valueSeed), lit(hot)) + 1)
+      .otherwise(pmod(h(base, valueSeed), lit(domain)) + 1)
+  }
 
   private def h(c: org.apache.spark.sql.Column, seed: Int) =
     xxhash64(c, lit(seed))
@@ -58,7 +73,7 @@ object TpcDs {
       .withColumn("ticket", col("id") / 3 cast "long")
       .select(
         col("ticket").as("ss_ticket_number"),
-        (pmod(h(col("ticket"), 1), lit(Customers)) + 1).as("ss_customer_sk"),
+        skewed(col("ticket"), 138, 1, HotCustomers, Customers).as("ss_customer_sk"),
         // ~2% null (q76's store-channel null-audit column)
         when(pmod(h(col("ticket"), 77), lit(50L)) === 0, lit(null))
           .otherwise(pmod(h(col("ticket"), 2), lit(1000L)) + 1).as("ss_addr_sk"),
@@ -70,7 +85,7 @@ object TpcDs {
           .otherwise(pmod(h(col("ticket"), 5), lit(HouseholdDemos)) + 1)
           .as("ss_hdemo_sk"),
         (pmod(h(col("ticket"), 6), lit(Stores)) + 1).as("ss_store_sk"),
-        (pmod(h(col("id"), 7), lit(Items)) + 1).as("ss_item_sk"),
+        skewed(col("id"), 137, 7, HotItems, Items).as("ss_item_sk"),
         (pmod(h(col("id"), 8), lit(30L)) + 1).cast("int").as("ss_quantity"),
         col("id"))
       .withColumn("ss_sales_price", // heavy-tailed by item so q65's 10%-of-avg filter selects
@@ -134,7 +149,12 @@ object TpcDs {
       .withColumn("i_brand_id", (pmod(col("i_item_sk"), lit(50L)) + 1).cast("int"))
       .withColumn("i_brand", concat(lit("brand#"), col("i_brand_id")))
       .withColumn("i_class_id", (pmod(col("i_item_sk"), lit(25L)) + 1).cast("int"))
-      .withColumn("i_class", concat(lit("class_"), col("i_class_id")))
+      // class 16 intersects the Jewelry category residue (sk ≡ 40 mod 50,
+      // 40 items) and is named 'consignment' for q54's literal filter;
+      // no other ported query's class IN-list references class_16
+      .withColumn("i_class",
+        when(col("i_class_id") === 16, "consignment")
+          .otherwise(concat(lit("class_"), col("i_class_id"))))
       .withColumn("i_category_id", (pmod(col("i_item_sk"), lit(10L)) + 1).cast("int"))
       .withColumn("i_category", element_at(
         array(Seq("Jewelry", "Sports", "Books", "Home", "Electronics",
@@ -181,8 +201,13 @@ object TpcDs {
       .withColumn("s_market_id",
         when(pmod(col("s_store_sk"), lit(4L)) === 0, 8)
           .otherwise(pmod(h(col("s_store_sk"), 45), lit(7L)) + 1).cast("int"))
-      .withColumn("s_zip",
-        lpad(pmod(h(pmod(col("s_store_sk") * 83, lit(Addresses)) + 1, 29), lit(100000L)), 5, "0"))
+      // fixed zips: the first five stores' 2-char prefixes match the
+      // pooled customer-address zips ('89436','30868','65085','22977',
+      // '83927'), which is what q8's substring(s_zip,1,2) join selects on
+      .withColumn("s_zip", element_at(
+        array(Seq("89401", "30802", "65091", "22910", "83900", "10501",
+          "45866", "57310", "28210", "14609", "77401", "61820").map(lit): _*),
+        col("s_store_sk").cast("int")))
       .withColumn("s_number_employees", (lit(150) + col("s_store_sk") * 10).cast("int"))
       .withColumn("s_gmt_offset", element_at(
         array(Seq(-5, -6, -7, -8).map(v => lit(v)): _*),
@@ -203,6 +228,7 @@ object TpcDs {
       .withColumn("hd_buy_potential", element_at(
         array(Seq(">10000", "Unknown", "1001-5000", "501-1000").map(lit): _*),
         (pmod(col("hd_demo_sk"), lit(4L)) + 1).cast("int")))
+      .withColumn("hd_income_band_sk", pmod(col("hd_demo_sk"), lit(IncomeBands)) + 1)
 
     val customer = spark.range(Customers).select((col("id") + 1).as("c_customer_sk"))
       .withColumn("c_first_name", concat(lit("First"), col("c_customer_sk")))
@@ -230,14 +256,18 @@ object TpcDs {
         (pmod(h(col("c_customer_sk"), 124), lit(28L)) + 1).cast("int"))
       .withColumn("c_last_review_date_sk",
         pmod(h(col("c_customer_sk"), 125), lit(Dates)) + 1)
+      .withColumn("c_first_sales_date_sk",
+        pmod(h(col("c_customer_sk"), 145), lit(Dates)) + 1)
+      .withColumn("c_first_shipto_date_sk",
+        pmod(h(col("c_customer_sk"), 146), lit(Dates)) + 1)
       .withColumn("c_login", concat(lit("login_"), col("c_customer_sk")))
       .withColumn("c_email_address",
         concat(lit("First"), col("c_customer_sk"), lit("@example.com")))
 
     val address = spark.range(Addresses).select((col("id") + 1).as("ca_address_sk"))
       .withColumn("ca_city", element_at(
-        array((Seq("Midway", "Fairview") ++
-          (2 until 20).map(i => s"AddrCity_$i")).map(lit): _*),
+        array((Seq("Midway", "Fairview", "Hopewell") ++
+          (3 until 20).map(i => s"AddrCity_$i")).map(lit): _*),
         (pmod(h(col("ca_address_sk"), 27), lit(20L)) + 1).cast("int")))
       .withColumn("ca_state", element_at(
         array(Seq("CO", "IL", "MN", "OH", "MT", "NM", "TX", "MO", "MI",
@@ -248,7 +278,15 @@ object TpcDs {
         array(Seq("Williamson County", "Walker County", "Ziebach County",
           "Levy County", "Huron County").map(lit): _*),
         (pmod(h(col("ca_address_sk"), 47), lit(5L)) + 1).cast("int")))
-      .withColumn("ca_zip", lpad(pmod(h(col("ca_address_sk"), 29), lit(100000L)), 5, "0"))
+      // ~5% of addresses pool into five fixed zips from q8's 400-zip
+      // IN-list, giving each pooled zip the >10 preferred customers its
+      // HAVING clause demands; the rest stay uniform 5-digit
+      .withColumn("ca_zip",
+        when(pmod(h(col("ca_address_sk"), 150), lit(20L)) === 0,
+          element_at(array(Seq("89436", "30868", "65085", "22977",
+            "83927").map(lit): _*),
+            (pmod(h(col("ca_address_sk"), 151), lit(5L)) + 1).cast("int")))
+          .otherwise(lpad(pmod(h(col("ca_address_sk"), 29), lit(100000L)), 5, "0")))
       .withColumn("ca_street_number", (pmod(h(col("ca_address_sk"), 126), lit(999L)) + 1).cast("string"))
       .withColumn("ca_street_name", concat(lit("Street "), pmod(h(col("ca_address_sk"), 127), lit(50L))))
       .withColumn("ca_street_type", element_at(
@@ -265,13 +303,17 @@ object TpcDs {
     val cdemo = spark.range(CustomerDemos).select((col("id") + 1).as("cd_demo_sk"))
       .withColumn("cd_gender", element_at(array(lit("M"), lit("F")),
         (pmod(h(col("cd_demo_sk"), 30), lit(2L)) + 1).cast("int")))
+      // M/D/U and Primary/4 yr/Advanced are over-weighted: q85's paired
+      // cd1=cd2 marital×education disjuncts select exactly those combos,
+      // and uniform 1/5 × 1/7 densities leave them empty at this scale
       .withColumn("cd_marital_status", element_at(
-        array(Seq("M", "S", "D", "W", "U").map(lit): _*),
-        (pmod(h(col("cd_demo_sk"), 31), lit(5L)) + 1).cast("int")))
+        array(Seq("M", "M", "S", "D", "D", "W", "U", "U").map(lit): _*),
+        (pmod(h(col("cd_demo_sk"), 31), lit(8L)) + 1).cast("int")))
       .withColumn("cd_education_status", element_at(
-        array(Seq("Primary", "Secondary", "2 yr Degree", "4 yr Degree",
+        array(Seq("Primary", "Primary", "Secondary", "2 yr Degree",
+          "4 yr Degree", "4 yr Degree", "Advanced Degree",
           "Advanced Degree", "Unknown", "College").map(lit): _*),
-        (pmod(h(col("cd_demo_sk"), 32), lit(7L)) + 1).cast("int")))
+        (pmod(h(col("cd_demo_sk"), 32), lit(10L)) + 1).cast("int")))
       .withColumn("cd_purchase_estimate",
         ((pmod(h(col("cd_demo_sk"), 49), lit(20L)) + 1) * 500).cast("int"))
       .withColumn("cd_credit_rating", element_at(
@@ -301,6 +343,7 @@ object TpcDs {
         col("ss_ticket_number").as("sr_ticket_number"),
         col("ss_item_sk").as("sr_item_sk"),
         col("ss_customer_sk").as("sr_customer_sk"),
+        col("ss_cdemo_sk").as("sr_cdemo_sk"),
         col("ss_store_sk").as("sr_store_sk"),
         col("ss_quantity"),
         least(col("ss_sold_date_sk")
@@ -331,7 +374,7 @@ object TpcDs {
       .withColumn("ord", (col("id") / 2.5).cast("long"))
       .select(
         col("ord").as("cs_order_number"),
-        (pmod(h(col("ord"), 50), lit(Customers)) + 1).as("cs_bill_customer_sk"),
+        skewed(col("ord"), 140, 50, HotCustomers, Customers).as("cs_bill_customer_sk"),
         (pmod(h(col("ord"), 51), lit(CustomerDemos)) + 1).as("cs_bill_cdemo_sk"),
         (pmod(h(col("ord"), 131), lit(HouseholdDemos)) + 1).as("cs_bill_hdemo_sk"),
         (pmod(h(col("ord"), 52), lit(Addresses)) + 1).as("cs_bill_addr_sk"),
@@ -343,7 +386,8 @@ object TpcDs {
         when(pmod(h(col("id"), 78), lit(50L)) === 0, lit(null))
           .otherwise(pmod(h(col("id"), 57), lit(Warehouses)) + 1).as("cs_warehouse_sk"),
         (pmod(h(col("ord"), 79), lit(Customers)) + 1).as("cs_ship_customer_sk"),
-        (pmod(h(col("id"), 58), lit(Items)) + 1).as("cs_item_sk"),
+        skewed(col("id"), 139, 58, HotItems, Items).as("cs_item_sk"),
+        (pmod(h(col("ord"), 143), lit(CatalogPages)) + 1).as("cs_catalog_page_sk"),
         (pmod(h(col("id"), 59), lit(Promotions)) + 1).as("cs_promo_sk"),
         (pmod(h(col("id"), 60), lit(30L)) + 1).cast("int").as("cs_quantity"),
         col("id"))
@@ -387,6 +431,7 @@ object TpcDs {
         col("cs_bill_customer_sk").as("cr_returning_customer_sk"),
         col("cs_bill_addr_sk").as("cr_returning_addr_sk"),
         col("cs_call_center_sk").as("cr_call_center_sk"),
+        col("cs_catalog_page_sk").as("cr_catalog_page_sk"),
         col("cs_warehouse_sk").as("cr_warehouse_sk"),
         col("cs_quantity"),
         least(col("cs_ship_date_sk")
@@ -407,6 +452,12 @@ object TpcDs {
       .withColumn("cr_net_loss",
         (pmod(xxhash64(col("cr_order_number"), col("cr_item_sk"), lit(75)), lit(20000L)) / 100.0)
           .cast("decimal(7,2)"))
+      .withColumn("cr_reversed_charge",
+        (pmod(xxhash64(col("cr_order_number"), col("cr_item_sk"), lit(152)), lit(10000L)) / 100.0)
+          .cast("decimal(7,2)"))
+      .withColumn("cr_store_credit",
+        (pmod(xxhash64(col("cr_order_number"), col("cr_item_sk"), lit(153)), lit(10000L)) / 100.0)
+          .cast("decimal(7,2)"))
       .drop("cs_quantity")
 
     // ---- web channel (grain: order_number × item, ~2 lines/order)
@@ -414,7 +465,7 @@ object TpcDs {
       .withColumn("ord", (col("id") / 2).cast("long"))
       .select(
         col("ord").as("ws_order_number"),
-        (pmod(h(col("ord"), 80), lit(Customers)) + 1).as("ws_bill_customer_sk"),
+        skewed(col("ord"), 142, 80, HotCustomers, Customers).as("ws_bill_customer_sk"),
         (pmod(h(col("ord"), 81), lit(Addresses)) + 1).as("ws_bill_addr_sk"),
         (pmod(h(col("ord"), 82), lit(Addresses)) + 1).as("ws_ship_addr_sk"),
         (pmod(h(col("ord"), 83), lit(Dates)) + 1).as("ws_sold_date_sk"),
@@ -425,7 +476,7 @@ object TpcDs {
           .otherwise(pmod(h(col("ord"), 86), lit(WebPages)) + 1).as("ws_web_page_sk"),
         (pmod(h(col("id"), 87), lit(Warehouses)) + 1).as("ws_warehouse_sk"),
         (pmod(h(col("id"), 88), lit(ShipModes)) + 1).as("ws_ship_mode_sk"),
-        (pmod(h(col("id"), 89), lit(Items)) + 1).as("ws_item_sk"),
+        skewed(col("id"), 141, 89, HotItems, Items).as("ws_item_sk"),
         (pmod(h(col("id"), 90), lit(Promotions)) + 1).as("ws_promo_sk"),
         (pmod(h(col("ord"), 95), lit(HouseholdDemos)) + 1).as("ws_ship_hdemo_sk"),
         (pmod(h(col("id"), 91), lit(30L)) + 1).cast("int").as("ws_quantity"),
@@ -464,6 +515,7 @@ object TpcDs {
         col("ws_item_sk").as("wr_item_sk"),
         col("ws_bill_customer_sk").as("wr_returning_customer_sk"),
         col("ws_bill_addr_sk").as("wr_returning_addr_sk"),
+        col("ws_bill_addr_sk").as("wr_refunded_addr_sk"),
         col("ws_web_page_sk").as("wr_web_page_sk"),
         col("ws_quantity"),
         least(col("ws_ship_date_sk")
@@ -481,6 +533,20 @@ object TpcDs {
       .withColumn("wr_net_loss",
         (pmod(xxhash64(col("wr_order_number"), col("wr_item_sk"), lit(105)), lit(20000L)) / 100.0)
           .cast("decimal(7,2)"))
+      .withColumn("wr_fee",
+        (pmod(xxhash64(col("wr_order_number"), col("wr_item_sk"), lit(149)), lit(10000L)) / 100.0)
+          .cast("decimal(7,2)"))
+      .withColumn("wr_reason_sk",
+        pmod(xxhash64(col("wr_order_number"), col("wr_item_sk"), lit(148)), lit(35L)) + 1)
+      .withColumn("wr_refunded_cdemo_sk",
+        pmod(xxhash64(col("wr_order_number"), col("wr_item_sk"), lit(147)), lit(CustomerDemos)) + 1)
+      // 80% of returns refund and return under the SAME demographics row:
+      // q85's cd1=cd2 marital/education pairing is empty under independent
+      // draws (P ≈ 1/400 per disjunct before its price/geo filters)
+      .withColumn("wr_returning_cdemo_sk",
+        when(pmod(xxhash64(col("wr_order_number"), col("wr_item_sk"), lit(154)), lit(5L)) === 0,
+          pmod(xxhash64(col("wr_order_number"), col("wr_item_sk"), lit(155)), lit(CustomerDemos)) + 1)
+          .otherwise(col("wr_refunded_cdemo_sk")))
       .drop("ws_quantity")
 
     // ---- weekly inventory snapshots: every 7th calendar day × item ×
@@ -489,9 +555,18 @@ object TpcDs {
       .select((col("id") * 7 + 1).as("inv_date_sk"))
       .crossJoin(spark.range(Items).select((col("id") + 1).as("inv_item_sk")))
       .crossJoin(spark.range(Warehouses).select((col("id") + 1).as("inv_warehouse_sk")))
+      // heavy-tailed: ~1/9 of snapshots spike to 0..9999 over a 0..199
+      // base, so q39's per-month coefficient-of-variation filter
+      // (stdev/mean > 1 over the ~4 weekly samples) selects real rows —
+      // a uniform domain pins cov near 0.6 and returns nothing
       .withColumn("inv_quantity_on_hand",
-        pmod(xxhash64(col("inv_date_sk"), col("inv_item_sk"),
-          col("inv_warehouse_sk"), lit(110)), lit(1000L)).cast("int"))
+        when(pmod(xxhash64(col("inv_date_sk"), col("inv_item_sk"),
+            col("inv_warehouse_sk"), lit(144)), lit(9L)) === 0,
+          pmod(xxhash64(col("inv_date_sk"), col("inv_item_sk"),
+            col("inv_warehouse_sk"), lit(110)), lit(10000L)))
+          .otherwise(pmod(xxhash64(col("inv_date_sk"), col("inv_item_sk"),
+            col("inv_warehouse_sk"), lit(110)), lit(200L)))
+          .cast("int"))
 
     val warehouse = spark.range(Warehouses).select((col("id") + 1).as("w_warehouse_sk"))
       .withColumn("w_warehouse_name", concat(lit("Warehouse_"), col("w_warehouse_sk")))
@@ -533,6 +608,26 @@ object TpcDs {
     val webPage = spark.range(WebPages).select((col("id") + 1).as("wp_web_page_sk"))
       .withColumn("wp_char_count", (lit(2500) + col("wp_web_page_sk") * 135).cast("int"))
 
+    val catalogPage = spark.range(CatalogPages)
+      .select((col("id") + 1).as("cp_catalog_page_sk"))
+      .withColumn("cp_catalog_page_id",
+        concat(lit("CP_"), lpad(col("cp_catalog_page_sk"), 4, "0")))
+      .withColumn("cp_catalog_number",
+        (pmod(col("cp_catalog_page_sk"), lit(4L)) + 1).cast("int"))
+      .withColumn("cp_catalog_page_number", col("cp_catalog_page_sk").cast("int"))
+      .withColumn("cp_description",
+        concat(lit("catalog page "), col("cp_catalog_page_sk")))
+      .withColumn("cp_type", element_at(
+        array(Seq("bi-annual", "quarterly", "monthly").map(lit): _*),
+        (pmod(col("cp_catalog_page_sk"), lit(3L)) + 1).cast("int")))
+
+    // the TPC-DS spec's 20 contiguous $10k bands; q84/q64 join household
+    // demographics through ib_lower/upper_bound range predicates
+    val incomeBand = spark.range(IncomeBands)
+      .select((col("id") + 1).as("ib_income_band_sk"))
+      .withColumn("ib_lower_bound", ((col("ib_income_band_sk") - 1) * 10000 + 1).cast("int"))
+      .withColumn("ib_upper_bound", (col("ib_income_band_sk") * 10000).cast("int"))
+
     val reason = spark.range(35L).select((col("id") + 1).as("r_reason_sk"))
       .withColumn("r_reason_id", concat(lit("R_"), lpad(col("r_reason_sk"), 3, "0")))
       .withColumn("r_reason_desc",
@@ -548,7 +643,8 @@ object TpcDs {
       "web_sales" -> ws, "web_returns" -> wreturns,
       "inventory" -> inventory, "warehouse" -> warehouse,
       "call_center" -> callCenter, "ship_mode" -> shipMode,
-      "web_site" -> webSite, "web_page" -> webPage)
+      "web_site" -> webSite, "web_page" -> webPage,
+      "catalog_page" -> catalogPage, "income_band" -> incomeBand)
   }
 
   /** Generate-once: write each table if its directory isn't committed yet,
