@@ -1556,7 +1556,7 @@ object TpcDsQueries extends QueryModule {
   private val q37Body =
     """select  i_item_id
       |       ,i_item_desc
-      |       ,i_current_price
+      |       ,cast(i_current_price as double) as i_current_price
       | from item, inventory, date_dim, catalog_sales
       | where i_current_price between 22 and 22 + 30
       | and inv_item_sk = i_item_sk
@@ -1573,7 +1573,7 @@ object TpcDsQueries extends QueryModule {
   private val q82Body =
     """select  i_item_id
       |       ,i_item_desc
-      |       ,i_current_price
+      |       ,cast(i_current_price as double) as i_current_price
       | from item, inventory, date_dim, store_sales
       | where i_current_price between 30 and 30+30
       | and inv_item_sk = i_item_sk
@@ -2340,7 +2340,7 @@ ${q66Half("catalog_sales", "cs", "cs_ext_sales_price* cs_quantity", "cs_net_paid
     s"""select  i_item_desc
       |      ,i_category
       |      ,i_class
-      |      ,i_current_price
+      |      ,cast(i_current_price as double) as i_current_price
       |      ,i_item_id
       |      ,cast(sum(${pfx}_ext_sales_price) as double) as itemrevenue
       |      ,cast(sum(${pfx}_ext_sales_price) as double)*100/cast(sum(sum(${pfx}_ext_sales_price)) over
@@ -3174,12 +3174,12 @@ ${q66Half("catalog_sales", "cs", "cs_ext_sales_price* cs_quantity", "cs_net_paid
        | ${items("ws_items", "web_sales", "ws", "ws_item_rev")}
        |  select  ss_items.item_id
        |       ,cast(ss_item_rev as double) ss_item_rev
-       |       ,cast(ss_item_rev/(ss_item_rev+cs_item_rev+ws_item_rev)/cast(3 as double) * 100 as double) ss_dev
+       |       ,round(cast(ss_item_rev as double)/cast(ss_item_rev+cs_item_rev+ws_item_rev as double)/3 * 100, 4) ss_dev
        |       ,cast(cs_item_rev as double) cs_item_rev
-       |       ,cast(cs_item_rev/(ss_item_rev+cs_item_rev+ws_item_rev)/cast(3 as double) * 100 as double) cs_dev
+       |       ,round(cast(cs_item_rev as double)/cast(ss_item_rev+cs_item_rev+ws_item_rev as double)/3 * 100, 4) cs_dev
        |       ,cast(ws_item_rev as double) ws_item_rev
-       |       ,cast(ws_item_rev/(ss_item_rev+cs_item_rev+ws_item_rev)/cast(3 as double) * 100 as double) ws_dev
-       |       ,cast((ss_item_rev+cs_item_rev+ws_item_rev)/cast(3 as double) as double) average
+       |       ,round(cast(ws_item_rev as double)/cast(ss_item_rev+cs_item_rev+ws_item_rev as double)/3 * 100, 4) ws_dev
+       |       ,round(cast(ss_item_rev+cs_item_rev+ws_item_rev as double)/3, 4) average
        | from ss_items,cs_items,ws_items
        | where ss_items.item_id=cs_items.item_id
        |   and ss_items.item_id=ws_items.item_id

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v19"
+  val dir = "/root/repo/target/tpcds/v20"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
@@ -203,10 +203,13 @@ object TpcDs {
           .otherwise(pmod(h(col("s_store_sk"), 45), lit(7L)) + 1).cast("int"))
       // fixed zips: the first five stores' 2-char prefixes match the
       // pooled customer-address zips ('89436','30868','65085','22977',
-      // '83927'), which is what q8's substring(s_zip,1,2) join selects on
+      // '83927'), which is what q8's substring(s_zip,1,2) join selects on.
+      // The market-8 stores (sk 4, 8, 12 — s_market_id=8 above) carry
+      // pooled zips VERBATIM so q24's `s_zip = ca_zip` equality join is
+      // non-empty (sk 4 keeps its '22' prefix for q8's pairing).
       .withColumn("s_zip", element_at(
-        array(Seq("89401", "30802", "65091", "22910", "83900", "10501",
-          "45866", "57310", "28210", "14609", "77401", "61820").map(lit): _*),
+        array(Seq("89401", "30802", "65091", "22977", "83900", "10501",
+          "45866", "30868", "28210", "14609", "77401", "65085").map(lit): _*),
         col("s_store_sk").cast("int")))
       .withColumn("s_number_employees", (lit(150) + col("s_store_sk") * 10).cast("int"))
       .withColumn("s_gmt_offset", element_at(
@@ -296,22 +299,27 @@ object TpcDs {
       .withColumn("ca_location_type", element_at(
         array(Seq("apartment", "condo", "single family").map(lit): _*),
         (pmod(h(col("ca_address_sk"), 130), lit(3L)) + 1).cast("int")))
+      // -7 is over-weighted (2/5): it is the offset q91's filter selects,
+      // stacked on top of its 1/20 demographics × 1/4 buy-potential cuts
       .withColumn("ca_gmt_offset", element_at(
-        array(Seq(-5, -6, -7, -8).map(v => lit(v)): _*),
-        (pmod(h(col("ca_address_sk"), 41), lit(4L)) + 1).cast("int")).cast("int"))
+        array(Seq(-5, -6, -7, -7, -8).map(v => lit(v)): _*),
+        (pmod(h(col("ca_address_sk"), 41), lit(5L)) + 1).cast("int")).cast("int"))
 
     val cdemo = spark.range(CustomerDemos).select((col("id") + 1).as("cd_demo_sk"))
       .withColumn("cd_gender", element_at(array(lit("M"), lit("F")),
         (pmod(h(col("cd_demo_sk"), 30), lit(2L)) + 1).cast("int")))
-      // M/D/U and Primary/4 yr/Advanced are over-weighted: q85's paired
-      // cd1=cd2 marital×education disjuncts select exactly those combos,
-      // and uniform 1/5 × 1/7 densities leave them empty at this scale
+      // M/W/U and Primary/Unknown/Advanced are over-weighted: the paired
+      // marital×education disjuncts of q85/q91/q13-style filters select
+      // exactly those combos, and uniform 1/5 × 1/7 densities leave them
+      // empty at this scale (q91's M×Unknown and W×Advanced disjuncts
+      // additionally pass hd_buy_potential and ca_gmt_offset filters, so
+      // each needs joint density ≥ ~1/20 to stay non-vacuous)
       .withColumn("cd_marital_status", element_at(
-        array(Seq("M", "M", "S", "D", "D", "W", "U", "U").map(lit): _*),
+        array(Seq("M", "M", "S", "D", "W", "W", "U", "U").map(lit): _*),
         (pmod(h(col("cd_demo_sk"), 31), lit(8L)) + 1).cast("int")))
       .withColumn("cd_education_status", element_at(
         array(Seq("Primary", "Primary", "Secondary", "2 yr Degree",
-          "4 yr Degree", "4 yr Degree", "Advanced Degree",
+          "4 yr Degree", "Unknown", "Advanced Degree",
           "Advanced Degree", "Unknown", "College").map(lit): _*),
         (pmod(h(col("cd_demo_sk"), 32), lit(10L)) + 1).cast("int")))
       .withColumn("cd_purchase_estimate",
@@ -622,10 +630,13 @@ object TpcDs {
         (pmod(col("cp_catalog_page_sk"), lit(3L)) + 1).cast("int")))
 
     // the TPC-DS spec's 20 contiguous $10k bands; q84/q64 join household
-    // demographics through ib_lower/upper_bound range predicates
+    // demographics through ib_lower/upper_bound range predicates. Band 1
+    // spans 0..10000 (the spec starts at 0), later bands 10001..20000 etc.
     val incomeBand = spark.range(IncomeBands)
       .select((col("id") + 1).as("ib_income_band_sk"))
-      .withColumn("ib_lower_bound", ((col("ib_income_band_sk") - 1) * 10000 + 1).cast("int"))
+      .withColumn("ib_lower_bound",
+        ((col("ib_income_band_sk") - 1) * 10000
+          + when(col("ib_income_band_sk") > 1, 1).otherwise(0)).cast("int"))
       .withColumn("ib_upper_bound", (col("ib_income_band_sk") * 10000).cast("int"))
 
     val reason = spark.range(35L).select((col("id") + 1).as("r_reason_sk"))

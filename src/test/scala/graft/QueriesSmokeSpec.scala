@@ -9,6 +9,19 @@ class QueriesSmokeSpec extends GraftSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no query outputs a raw DECIMAL column (portable-hash rule)") {
+    // The driver's oracle compare hashes decimal text differently per
+    // engine (trailing zeros), so every DECIMAL must be cast to DOUBLE at
+    // the output edge — the q03 rule. Analysis-only: no query executes.
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, "/root/testdata/sf0.001").schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+          s"$name.${f.name}"
+      }.toSeq
+    }
+    assert(offenders.isEmpty, s"raw DECIMAL output columns: $offenders")
+  }
+
   test("every query has matching oracle keys and runs at sf0.001") {
     val qs = SparkEntry.queries
     val missing = SparkEntry.oracleSql.keySet -- qs.keySet
