@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v20"
+  val dir = "/root/repo/target/tpcds/v21"
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
@@ -608,6 +608,7 @@ object TpcDs {
         col("sm_ship_mode_sk").cast("int")))
 
     val webSite = spark.range(WebSites).select((col("id") + 1).as("web_site_sk"))
+      .withColumn("web_site_id", concat(lit("WEB_"), lpad(col("web_site_sk"), 3, "0")))
       .withColumn("web_name", concat(lit("site_"), col("web_site_sk") - 1))
       .withColumn("web_company_name", lit("pri"))
 

@@ -335,6 +335,117 @@ object Stateful {
       onTimer = (_, _, _) => (None, Seq.empty))
   }
 
+  /** Per-(key, window) pane state for [[lateFiringPanes]]. */
+  final case class WindowPanes[A](acc: A, paneIndex: Long, onTimeFired: Boolean)
+
+  /** AfterWatermark.pastEndOfWindow().withLateFirings(AfterPane
+    * .elementCountAtLeast(1)) with allowed lateness — the reference's
+    * on-time + late pane semantics (transforms/windowing/AfterWatermark
+    * .java, ReduceFnRunner's onTrigger/onGc paths), which plain Structured
+    * Streaming aggregation cannot express (it DROPS post-watermark rows;
+    * no late pane exists). Rebuilt on flatMapGroupsWithState with an
+    * EVENT-time timeout: FMGWS receives late rows (only aggregations
+    * filter them), so the window's state is held past the watermark for
+    * `allowedLatenessMs` and late arrivals re-fire the pane.
+    *
+    * Per (key, tumbling window): elements accumulate until the watermark
+    * passes the window end, which fires the ON_TIME pane (FIRE_IF_NON_EMPTY,
+    * the reference default); each late element batch then fires a LATE pane
+    * with the updated accumulating value and a rising pane index (≙
+    * PaneInfo.getIndex/getTiming); past end + allowedLateness the state is
+    * garbage-collected and further elements are dropped — exactly the
+    * reference's window-expiry contract. A pending unfired pane at GC is
+    * flushed, never silently dropped.
+    *
+    * Output rows: (key, windowStartMs, value, paneIndex, timing) with
+    * timing ∈ {ON_TIME, LATE}.
+    *
+    * Implementation note: Spark's flatMapGroupsWithState under
+    * EventTimeTimeout FILTERS input rows older than the watermark —
+    * exactly the drop this operator exists to avoid — so the event-time
+    * logic runs on `getCurrentWatermarkMs()` with a PROCESSING-time
+    * timeout serving only as the liveness poll that notices watermark
+    * crossings for quiet keys (Spark itself evaluates event-time timeouts
+    * once per batch; the poll is the same cadence made explicit).
+    *
+    * At scale: state is one accumulator per open (key, window), partitioned
+    * by the grouping key in the executor state store; the watermark GC
+    * bounds the open-window count exactly as the reference's
+    * ReduceFnRunner does. */
+  def lateFiringPanes[K, V, A](
+      ds: Dataset[(K, java.sql.Timestamp, V)],
+      windowMs: Long, allowedLatenessMs: Long, watermarkDelay: String,
+      zero: A, add: (A, V) => A, pollMs: Long = 500L)(
+      implicit kwEnc: Encoder[(K, Long)],
+      rowEnc: Encoder[(K, java.sql.Timestamp, V)],
+      outEnc: Encoder[(K, Long, A, Long, String)],
+      sEnc: Encoder[WindowPanes[A]]): Dataset[(K, Long, A, Long, String)] = {
+
+    def advance(key: (K, Long), rows: Iterator[(K, java.sql.Timestamp, V)],
+        state: GroupState[WindowPanes[A]]): Iterator[(K, Long, A, Long, String)] = {
+      val (k, winStart) = key
+      val winEnd = winStart + windowMs
+      val gcAt = winEnd + allowedLatenessMs
+      val wm = state.getCurrentWatermarkMs()
+      if (state.hasTimedOut) {
+        state.getOption match {
+          case None => Iterator.empty
+          case Some(st) if wm >= gcAt =>
+            // window expiry: flush a pending unfired pane, then GC the state
+            val out = if (!st.onTimeFired)
+              Iterator((k, winStart, st.acc, st.paneIndex, "ON_TIME"))
+            else Iterator.empty
+            state.remove()
+            out
+          case Some(st) =>
+            // poll tick: fire ON_TIME once the watermark crosses the end
+            val out = if (wm >= winEnd && !st.onTimeFired) {
+              state.update(WindowPanes(st.acc, st.paneIndex + 1, onTimeFired = true))
+              Iterator((k, winStart, st.acc, st.paneIndex, "ON_TIME"))
+            } else Iterator.empty
+            state.setTimeoutDuration(pollMs)
+            out
+        }
+      } else if (wm >= gcAt) {
+        Iterator.empty // expired window: element past allowed lateness, drop
+      } else if (wm < winEnd) {
+        // open window: accumulate; the poll notices the on-time crossing
+        val st = state.getOption.getOrElse(WindowPanes(zero, 0L, onTimeFired = false))
+        state.update(st.copy(acc = rows.foldLeft(st.acc)((a, r) => add(a, r._3))))
+        state.setTimeoutDuration(pollMs)
+        Iterator.empty
+      } else {
+        // late data (wm past end, within lateness). A hot key's poll may
+        // not have run yet, so fire the overdue ON_TIME pane here first
+        // (with only its pre-watermark accumulation), then this batch's
+        // stragglers as a LATE pane — ReduceFnRunner's timer-before-bundle
+        // ordering.
+        val had = state.exists
+        var st = state.getOption.getOrElse(WindowPanes(zero, 0L, onTimeFired = false))
+        val out = Seq.newBuilder[(K, Long, A, Long, String)]
+        if (!st.onTimeFired) {
+          if (had) { // pre-watermark data exists: its ON_TIME pane is overdue
+            out += ((k, winStart, st.acc, st.paneIndex, "ON_TIME"))
+            st = WindowPanes(st.acc, st.paneIndex + 1, onTimeFired = true)
+          } else st = st.copy(onTimeFired = true) // FIRE_IF_NON_EMPTY: no empty pane
+        }
+        val acc = rows.foldLeft(st.acc)((a, r) => add(a, r._3))
+        out += ((k, winStart, acc, st.paneIndex, "LATE"))
+        state.update(WindowPanes(acc, st.paneIndex + 1, onTimeFired = true))
+        state.setTimeoutDuration(pollMs)
+        out.result().iterator
+      }
+    }
+
+    import org.apache.spark.sql.functions.col
+    ds.toDF("k", "event_time", "v")
+      .withWatermark("event_time", watermarkDelay)
+      .as[(K, java.sql.Timestamp, V)]
+      .groupByKey(r => (r._1, Math.floorDiv(r._2.getTime, windowMs) * windowMs))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout())(advance)
+  }
+
   /** GroupIntoBatches (transforms/GroupIntoBatches.java:59): per-key
     * batches of `batchSize`, flushed early after `maxWaitMs` of
     * inactivity (the flush timer is the reference's buffering timer). */

@@ -70,6 +70,44 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("late-firing panes: a late element fires a LATE pane instead of dropping") {
+    // reference AfterWatermark.pastEndOfWindow().withLateFirings(
+    // AfterPane.elementCountAtLeast(1)) + allowed lateness: the on-time
+    // pane fires when the watermark crosses the window end; a late element
+    // within allowed lateness RE-FIRES the (accumulating) pane as LATE;
+    // past end + lateness the window is expired and elements drop.
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Int)]
+    val panes = Stateful.lateFiringPanes(
+      input.toDS(), windowMs = 60000L, allowedLatenessMs = 120000L,
+      watermarkDelay = "0 seconds", zero = 0, add = (a: Int, v: Int) => a + v)
+    val q = panes.writeStream.format("memory").queryName("late_panes")
+      .outputMode("append").trigger(Trigger.ProcessingTime(200)).start()
+    try {
+      input.addData(("a", ts("2024-01-01 00:00:10"), 1), ("a", ts("2024-01-01 00:00:40"), 2))
+      // advance the watermark past the window end -> ON_TIME pane (value 3)
+      input.addData(("b", ts("2024-01-01 00:02:00"), 0))
+      awaitRows("late_panes", 1)
+      // late element within allowed lateness -> LATE pane (value 3 + 5)
+      input.addData(("a", ts("2024-01-01 00:00:50"), 5))
+      awaitRows("late_panes", 2)
+      // advance past end + lateness -> window GC'd (also closes b's first
+      // window, whose own expiry flushes its pending pane: row 3)...
+      input.addData(("b", ts("2024-01-01 00:10:00"), 0))
+      awaitRows("late_panes", 3)
+      // ...so a too-late element is dropped, not re-fired
+      input.addData(("a", ts("2024-01-01 00:00:55"), 9))
+      Thread.sleep(3000) // several poll cycles: a drop emits nothing
+      val aPanes = spark.table("late_panes")
+        .as[(String, Long, Int, Long, String)].collect()
+        .filter(_._1 == "a").sortBy(_._4).toSeq
+      val winStart = ts("2024-01-01 00:00:00").getTime
+      assert(aPanes == Seq(
+        ("a", winStart, 3, 0L, "ON_TIME"),
+        ("a", winStart, 8, 1L, "LATE")), s"got $aPanes")
+    } finally q.stop()
+  }
+
   test("groupIntoBatches flushes full batches immediately") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
