@@ -18,6 +18,8 @@ object Bench {
         // runs in 6s fresh). 4MB keeps every real dimension broadcast and
         // is the plan shape a 100TB cluster needs anyway.
         .config("spark.sql.autoBroadcastJoinThreshold", (4 * 1024 * 1024).toString)
+        // the full SQL surface (tumble/hop/session, TVFs, MATCH_RECOGNIZE)
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

@@ -15,6 +15,8 @@ object Verify {
       // same threshold as Bench: dims broadcast, facts shuffle-join (see
       // the Bench scaladoc note on pruned-estimate fact broadcasts)
       .config("spark.sql.autoBroadcastJoinThreshold", (4 * 1024 * 1024).toString)
+      // the full SQL surface (tumble/hop/session, TVFs, MATCH_RECOGNIZE)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

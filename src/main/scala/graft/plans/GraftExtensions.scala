@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(tdigestMerge)
     e.injectFunction(tdigestQuantile)
     e.injectTableFunction(seqgenTvf)
+    // SQL MATCH_RECOGNIZE (reference BeamMatchRel.java:67): recognized by
+    // a delegating parser and rewritten onto the graft.cep engine
+    e.injectParser((session, delegate) => new MatchRecognizeParser(session, delegate))
   }
 }
 

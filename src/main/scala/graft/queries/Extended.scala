@@ -193,6 +193,25 @@ object Extended extends QueryModule {
       |FROM runs WHERE event_type = 'purchase' AND n_clicks >= 1
       |ORDER BY user_id, purchase_event_id""".stripMargin
 
+  // q58's SQL form: the standard MATCH_RECOGNIZE clause through spark.sql
+  // (reference BeamMatchRel.java:67 exposes the engine via Calcite SQL; the
+  // graft parser extension rewrites the clause onto the same cep.Pattern
+  // matcher q58 drives through the Scala API). Same oracle as q58.
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    s.sql(
+      """SELECT user_id, purchase_event_id, n_clicks
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES LAST(P.event_id) AS purchase_event_id, COUNT(C.*) AS n_clicks
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (C+ P)
+        |  DEFINE C AS C.event_type = 'click', P AS P.event_type = 'purchase'
+        |)
+        |ORDER BY user_id, purchase_event_id""".stripMargin)
+  }
+
   // Arbitrary merging windows (WindowFn.mergeWindows): each event claims
   // [ts, ts+30min); overlapping/touching claims merge per user into
   // maximal windows — the oracle rebuilds the islands independently.
@@ -328,6 +347,7 @@ object Extended extends QueryModule {
     "q56_sql_tumble" -> q56,
     "q57_sql_frontend" -> q57,
     "q58_cep_match_recognize" -> q58,
+    "q81_sql_match_recognize" -> q81,
     "q59_merging_windows" -> q59)
 
   override val oracles: Map[String, String] = Map(
@@ -344,5 +364,6 @@ object Extended extends QueryModule {
     "q56_sql_tumble" -> q56Sql,
     "q57_sql_frontend" -> q57Text,
     "q58_cep_match_recognize" -> q58Sql,
+    "q81_sql_match_recognize" -> q58Sql,
     "q59_merging_windows" -> q59Sql)
 }

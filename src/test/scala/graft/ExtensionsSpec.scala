@@ -77,6 +77,59 @@ class ExtensionsSpec extends GraftSpec {
     assert(r == (("616263", "abc", 3)))
   }
 
+  test("SQL MATCH_RECOGNIZE runs through spark.sql via the parser extension") {
+    // reference BeamMatchRel.java:67 — the standard clause over the graft
+    // CEP engine (session built with spark.sql.extensions=GraftExtensions)
+    Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "click"), (1L, 4L, "purchase"),
+      (1L, 5L, "click"), (2L, 6L, "purchase"), (2L, 7L, "click"), (2L, 8L, "purchase"))
+      .toDF("user_id", "event_id", "event_type").createOrReplaceTempView("mr_events")
+    val out = spark.sql(
+      """SELECT user_id, purchase_event_id, n_clicks
+        |FROM mr_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  MEASURES LAST(P.event_id) AS purchase_event_id, COUNT(C.*) AS n_clicks
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (C+ P)
+        |  DEFINE C AS C.event_type = 'click', P AS P.event_type = 'purchase'
+        |) ORDER BY user_id""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSeq
+    // user 1: clicks 2,3 -> purchase 4 (the trailing click 5 never completes);
+    // user 2: purchase 6 has no preceding click; click 7 -> purchase 8
+    assert(out == Seq((1L, 4L, 2L), (2L, 8L, 1L)), out.toString)
+  }
+
+  test("MATCH_RECOGNIZE composes with an outer WHERE and a subquery source") {
+    Seq((1L, 1L, "click"), (1L, 2L, "purchase"), (2L, 3L, "click"), (2L, 4L, "purchase"))
+      .toDF("user_id", "event_id", "event_type").createOrReplaceTempView("mr_events2")
+    val out = spark.sql(
+      """SELECT user_id, n_clicks FROM
+        |  (SELECT * FROM mr_events2 WHERE event_id <= 4) MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  MEASURES user_id AS uid, COUNT(*) AS total, COUNT(C.*) AS n_clicks
+        |  PATTERN (C+ P)
+        |  DEFINE C AS event_type = 'click', P AS event_type = 'purchase'
+        |) WHERE user_id > 1 ORDER BY user_id""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L)), out.toString)
+  }
+
+  test("MATCH_RECOGNIZE rejects out-of-subset constructs loudly") {
+    Seq((1L, 1L, "click")).toDF("user_id", "event_id", "event_type")
+      .createOrReplaceTempView("mr_events3")
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM mr_events3 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY event_id
+          |  MEASURES COUNT(*) AS n
+          |  ALL ROWS PER MATCH
+          |  PATTERN (A) DEFINE A AS true)""".stripMargin)
+    }
+    assert(e.getMessage.contains("ALL ROWS PER MATCH"))
+  }
+
   test("CREATE EXTERNAL TABLE DDL registers a readable view") {
     val df = Ddl.execute(spark,
       "CREATE EXTERNAL TABLE ext_nation TYPE parquet LOCATION '/root/testdata/sf0.001/nation.parquet'")

@@ -21,6 +21,9 @@ object GraftSpec {
       // (the Hadoop local adapter costs ~130 ms per checkpoint file)
       .config("spark.sql.streaming.checkpointFileManagerClass",
         "graft.streaming.LocalCheckpointFileManager")
+      // dogfood the SQL-surface extensions (incl. the MATCH_RECOGNIZE
+      // parser) in every suite
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
