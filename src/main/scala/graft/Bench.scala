@@ -53,12 +53,14 @@ object Bench {
       .map(_.split(",").map(_.trim).toSeq)
       .map(fs => SparkEntry.queries.filter { case (n, _) => fs.exists(n.contains) })
       .getOrElse(SparkEntry.queries)
-    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       queries.foreach { case (name, fn) =>
         System.err.println(s"==== $name ====")
         try fn(spark, sfDir).explain("formatted")
         catch { case e: Throwable => System.err.println(s"explain failed: $e") }
       }
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("only")) { spark.stop(); return }
+    }
     // Measurement integrity: run in SORTED name order (a Map iterates in
     // hash order, so WHICH query absorbed accumulated-JVM-state cliffs was
     // arbitrary per round) and recycle the SparkSession every 40 queries —
@@ -74,15 +76,21 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       (System.nanoTime() - t0) / 1e9
     }
+    def recycle(): Unit = {
+      spark.stop(); spark = newSession()
+      // corpus view registration is setup, not query time (same hygiene as
+      // the initial warmup) — don't let the first post-recycle ds query pay it
+      try graft.sources.TpcDs.ensure(spark) catch { case _: Throwable => }
+    }
     val results = queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
-      if (i > 0 && i % recycleEvery == 0) { spark.stop(); spark = newSession() }
+      if (i > 0 && i % recycleEvery == 0) recycle()
       name -> timeOne(name, fn)
     }.toMap
     // Re-time the 5 slowest on a fresh session: a slow first measurement on
     // an aged JVM is a harness artifact, not a plan cost — the judge (and
     // BENCH_r{N} readers) should see both numbers side by side.
     val slowest5 = results.toSeq.sortBy(-_._2).take(5).map(_._1)
-    spark.stop(); spark = newSession()
+    recycle()
     val fresh5 = slowest5.map(n => n -> timeOne(n, queries(n)))
     // The driver captures only a bounded tail of this process's output, so
     // the reported JSON line must stay small: headline queries only, values
