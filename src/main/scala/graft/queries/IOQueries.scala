@@ -118,15 +118,45 @@ object IOQueries extends QueryModule {
       |  min(n_name) AS first_name, max(n_name) AS last_name
       |FROM nation""".stripMargin
 
+  // Thrift roundtrip (sdks/java/io/thrift/ThriftIO.java): orders →
+  // sharded compact-protocol .thrift files → schema-declared DSv2
+  // read-back → aggregate. i64 + date-as-i32 + double + varint string
+  // fidelity is what the oracle hash checks.
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft-thrift-gate").resolve("orders").toString
+    val src = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .repartition(4)
+    FileIO.writeThrift(src, path)
+    FileIO.readThrift(s, path, src.schema)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"),
+        max("o_orderkey").as("max_key"),
+        countDistinct("o_orderpriority").cast("long").as("n_prio"))
+      .orderBy("y")
+  }
+
+  private val q82Sql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  max(o_orderkey) AS max_key,
+      |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+      |FROM orders GROUP BY 1 ORDER BY y""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_avro_roundtrip" -> q76,
     "q77_seekable_lookup_join" -> q77,
     "q78_tfrecord_roundtrip" -> q78,
-    "q79_xml_roundtrip" -> q79)
+    "q79_xml_roundtrip" -> q79,
+    "q82_thrift_roundtrip" -> q82)
 
   override val oracles: Map[String, String] = Map(
     "q76_avro_roundtrip" -> q76Sql,
     "q77_seekable_lookup_join" -> q77Sql,
     "q78_tfrecord_roundtrip" -> q78Sql,
-    "q79_xml_roundtrip" -> q79Sql)
+    "q79_xml_roundtrip" -> q79Sql,
+    "q82_thrift_roundtrip" -> q82Sql)
 }

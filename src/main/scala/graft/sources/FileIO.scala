@@ -53,6 +53,15 @@ object FileIO {
   def readXml(spark: SparkSession, path: String, rowTag: String): DataFrame =
     spark.read.format("xml").option("rowTag", rowTag).load(path)
 
+  /** ThriftIO.read (sdks/java/io/thrift/ThriftIO.java): concatenated
+    * thrift structs decoded against a caller-declared schema (thrift
+    * files carry none — the reference takes the generated class);
+    * 'compact' or 'binary' protocol, one file per task. */
+  def readThrift(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      protocol: String = "compact"): DataFrame =
+    graft.sources.thrift.ThriftIO.read(spark, path, schema, protocol)
+
   /** Streaming file watch (≙ TextIO.watchForNewFiles / Watch.growthOf):
     * Spark's file stream source natively polls for new files. */
   def watchText(spark: SparkSession, dir: String): DataFrame =
@@ -87,6 +96,10 @@ object FileIO {
   /** TFRecordIO.write: sharded record files from a binary column. */
   def writeTFRecord(df: DataFrame, path: String, recordCol: String = "value"): Unit =
     graft.sources.tfrecord.TFRecordIO.write(df, path, recordCol)
+
+  /** ThriftIO.write: sharded files of concatenated thrift structs. */
+  def writeThrift(df: DataFrame, path: String, protocol: String = "compact"): Unit =
+    graft.sources.thrift.ThriftIO.write(df, path, protocol)
 
   /** XmlIO.write: one XML document per shard with `rowTag` records. */
   def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
