@@ -46,7 +46,15 @@ import graft.sources.TpcDs
   * count aggregates (`count(case when ... end)`). Both single-pass
   * rewrites are ordinary graft aggregations (see q37/q55-style
   * conditional aggs); the corpus entries deliberately keep the reference
-  * text to compare engine behavior on the same shape.
+  * text to compare engine behavior on the same shape. Same class of
+  * note for the round-4 monsters: q14a/b and q23a/b re-scan the three
+  * fact tables for their cross_items / avg_sales / frequent-items CTEs
+  * (Catalyst plans one scan per consumer — no cross-subquery
+  * materialization); at 100 TB the production form materializes each CTE
+  * once (`.persist` or a staged table) and the IN-subqueries stay
+  * semi-joins, which is how Catalyst already plans them here (verified:
+  * SortMergeJoin LeftSemi on the fact side, dims broadcast, zero
+  * cartesian products across ds05/ds14/ds23/ds64/ds80).
   */
 object TpcDsQueries extends QueryModule {
 

@@ -116,6 +116,21 @@ class ExtensionsSpec extends GraftSpec {
     assert(out == Seq((2L, 1L)), out.toString)
   }
 
+  test("MATCH_RECOGNIZE plans one hash exchange (predicates in the scan stage)") {
+    Seq((1L, 1L, "click"), (1L, 2L, "purchase"))
+      .toDF("user_id", "event_id", "event_type").createOrReplaceTempView("mr_plan")
+    val df = spark.sql(
+      """SELECT * FROM mr_plan MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES COUNT(C.*) AS n_clicks
+        |  PATTERN (C+ P)
+        |  DEFINE C AS event_type = 'click', P AS event_type = 'purchase')""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString()
+    // one shuffle on the partition key; the DEFINE predicates are plain
+    // boolean projections below it, not per-row lambdas above it
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1, plan)
+  }
+
   test("MATCH_RECOGNIZE rejects out-of-subset constructs loudly") {
     Seq((1L, 1L, "click")).toDF("user_id", "event_id", "event_type")
       .createOrReplaceTempView("mr_events3")
