@@ -30,8 +30,24 @@ object Pattern extends Serializable {
   case object Star extends Quant
   case object Opt extends Quant
 
-  /** One pattern symbol: name, row predicate, quantifier. */
-  final case class Sym[E](name: String, pred: E => Boolean, quant: Quant = One)
+  /** One pattern symbol: name, row predicate, quantifier. `prevPred`,
+    * when set, replaces `pred` with a predicate that also sees the
+    * PHYSICAL previous event in the key's ordered sequence (None at the
+    * sequence start) — the Scala-API form of SQL PREV navigation
+    * (reference impl/cep/CEPCall.java PREV operator). */
+  final case class Sym[E](name: String, pred: E => Boolean, quant: Quant = One,
+      prevPred: (Option[E], E) => Boolean = null) {
+    private[cep] def eval(events: IndexedSeq[E], idx: Int): Boolean =
+      if (prevPred ne null)
+        prevPred(if (idx > 0) Some(events(idx - 1)) else None, events(idx))
+      else pred(events(idx))
+  }
+
+  object Sym {
+    /** A symbol whose predicate navigates to the physical previous row. */
+    def withPrev[E](name: String, pred: (Option[E], E) => Boolean,
+        quant: Quant = One): Sym[E] = Sym(name, (_: E) => false, quant, pred)
+  }
 
   /** A complete match: the consumed events tagged with their symbol name,
     * in order. */
@@ -70,7 +86,7 @@ object Pattern extends Serializable {
           }
           // longest run of consecutive events satisfying the predicate
           var run = 0
-          while (run < maxRep && ei + run < n && sym.pred(events(ei + run))) run += 1
+          while (run < maxRep && ei + run < n && sym.eval(events, ei + run)) run += 1
           // greedy: prefer the longest repetition, backtrack on failure
           var len = math.min(run, maxRep)
           var res: Option[(Int, Vector[(String, E)])] = None

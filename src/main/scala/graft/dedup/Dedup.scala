@@ -142,16 +142,35 @@ object Dedup {
       .filter(col("jaccard_sim") > threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 6).as("jaccard_sim"))
 
-  /** SimHash near-dup pairs: 64-bit fingerprints, banded into four 16-bit
-    * pieces (pigeonhole: any pair within Hamming distance 3 shares at least
-    * one exact 16-bit band), verified by exact Hamming ≤ maxHamming. */
+  /** SimHash near-dup pairs: 64-bit fingerprints banded into
+    * `maxHamming + 1` pieces — by pigeonhole, any pair within Hamming
+    * distance `maxHamming` differs in at most `maxHamming` bands and so
+    * shares at least one band EXACTLY — then verified by exact Hamming ≤
+    * maxHamming. (A fixed 4-band split is only complete for h ≤ 3: a
+    * distance-5 pair can touch all four 16-bit bands and silently vanish.)
+    *
+    * At scale the band width 64/(h+1) bits sets join selectivity: h=3 →
+    * 16-bit bands (65k buckets), h=8 → 7-bit bands (128 buckets). For
+    * large h on a huge corpus, shrink h or move to a wider fingerprint —
+    * the candidate join degrades gracefully (more pairs pre-filtered by
+    * the codegen'd Hamming check) but never misses. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands <= 64, s"maxHamming=$maxHamming needs $nBands bands > 64 bits")
+    // band b covers bits [b*64/nBands, (b+1)*64/nBands) — widths differ by
+    // at most one bit when 64 % nBands != 0; completeness only needs the
+    // bands to tile the 64 bits disjointly
+    val bounds = (0 to nBands).map(b => b * 64 / nBands)
     val fp = df.select(col(idCol).as("id"),
       simhash64(lower(col(textCol))).as("fp"))
+    val pieces = (0 until nBands).map { b =>
+      val lo = bounds(b); val width = bounds(b + 1) - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      call_function("shiftright", col("fp"), lit(lo)).bitwiseAND(lit(mask))
+    }
     val banded = fp.select(col("id"), col("fp"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL))))
+      posexplode(array(pieces: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "piece")
     val a = banded.select(col("band"), col("piece"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band"), col("piece"), col("id").as("id_b"), col("fp").as("fp_b"))

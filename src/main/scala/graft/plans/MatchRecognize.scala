@@ -31,17 +31,30 @@ import graft.cep.Pattern
   * }}}
   *
   * DEFINE predicates may qualify columns with their own symbol name
-  * (`P.event_type = 'purchase'`); PREV/NEXT navigation and ALL ROWS PER
-  * MATCH are not supported (rejected with a clear error).
+  * (`P.event_type = 'purchase'`) and may navigate physically with
+  * `PREV(col [, n])` / `NEXT(col [, n])` (SQL-standard physical
+  * navigation over the partition's ORDER BY sequence, the semantics of
+  * the reference's Calcite planner — impl/cep/CEPCall.java operators).
+  * A DEFINE referencing ANOTHER symbol's binding (`B AS B.price >
+  * A.price`) and ALL ROWS PER MATCH are not supported — rejected with a
+  * clear error, never silently mis-executed.
   *
   * Execution: the clause is rewritten at parse time — the source relation
-  * gets one codegen'd boolean column per DEFINE symbol (predicates run in
-  * the scan stage), rows shuffle ONCE on the partition key, each key's
-  * rows are sorted in-task and scanned by the backtracking matcher, and
-  * the measures project per match. The rewritten query then parses
-  * normally with the match output standing in for the clause, so arbitrary
-  * outer SELECT/JOIN/ORDER BY compose. At 100 TB this is the same plan
-  * shape as any keyed stateful op: one hash exchange + per-key work.
+  * is hash-repartitioned ONCE on the partition key and sorted in-task by
+  * (partition, order) keys; PREV/NEXT become lag/lead window columns whose
+  * exchange+sort requirements are already satisfied (no second shuffle);
+  * each DEFINE becomes one codegen'd boolean column (predicates run in the
+  * scan stage); and a per-partition grouped scan runs the backtracking
+  * matcher key-run by key-run, projecting the measures per match. The
+  * rewritten query then parses normally with the match output standing in
+  * for the clause, so arbitrary outer SELECT/JOIN/ORDER BY compose. At
+  * 100 TB this is the same plan shape as any keyed stateful op: one hash
+  * exchange + per-key work.
+  *
+  * EXPLAIN caveat: because the clause is resolved by executing the match
+  * stage at parse time (Spark's parser interface offers no lazy hook for a
+  * foreign clause), `EXPLAIN` on a MATCH_RECOGNIZE query runs the match
+  * stage and explains only the outer query over its materialized view.
   */
 object MatchRecognize {
 
@@ -72,11 +85,23 @@ object MatchRecognize {
   private val MeasureCountAll = "(?i)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
   private val PatternSym = "(\\w+)([+*?]?)".r
 
-  /** If `sqlText` contains a MATCH_RECOGNIZE clause, execute it against
-    * the active session, register the match output as a temp view, and
-    * return the query text with the clause replaced by that view. */
+  /** True iff position `pos` falls inside a single-quoted SQL string
+    * literal (quotes escape by doubling, so parity of the quote count
+    * before `pos` decides). */
+  private def inLiteral(text: String, pos: Int): Boolean = {
+    var quotes = 0; var i = 0
+    while (i < pos) { if (text.charAt(i) == '\'') quotes += 1; i += 1 }
+    quotes % 2 == 1
+  }
+
+  /** If `sqlText` contains a MATCH_RECOGNIZE clause (outside string
+    * literals), execute it against the active session, register the match
+    * output as a temp view, and return the query text with the clause
+    * replaced by that view. Repeats until no clause remains, so a query
+    * with several MATCH_RECOGNIZE clauses rewrites each of them. */
   def rewrite(spark: SparkSession, sqlText: String): Option[String] =
-    ClauseStart.findFirstMatchIn(sqlText).map { m =>
+    ClauseStart.findAllMatchIn(sqlText)
+      .find(m => !inLiteral(sqlText, m.start)).map { m =>
       val (body, afterClause) = balanced(sqlText, m.end - 1)
       val (source, beforeSource) = sourceOperand(sqlText, m.start)
       val clause = parseClause(body)
@@ -95,7 +120,8 @@ object MatchRecognize {
       out.createOrReplaceTempView(view)
       // drop an optional `AS? alias` after the clause and alias the view
       val (alias, rest) = trailingAlias(afterClause)
-      beforeSource + view + alias.map(a => s" AS $a").getOrElse("") + rest
+      val once = beforeSource + view + alias.map(a => s" AS $a").getOrElse("") + rest
+      rewrite(spark, once).getOrElse(once) // further clauses, if any
     }
 
   private val viewCounter = new java.util.concurrent.atomic.AtomicLong()
@@ -149,7 +175,9 @@ object MatchRecognize {
     val m = "(?is)^\\s+(?:AS\\s+)?([a-zA-Z_]\\w*)".r.findFirstMatchIn(rest)
     // don't eat keywords that legally follow a FROM operand
     val keywords = Set("where", "group", "order", "limit", "having", "union",
-      "intersect", "except", "join", "inner", "left", "right", "full", "cross", "on")
+      "intersect", "except", "join", "inner", "left", "right", "full", "cross",
+      "on", "window", "lateral", "sort", "cluster", "distribute", "semi",
+      "anti", "natural", "using", "select", "from", "qualify")
     m match {
       case Some(mm) if !keywords.contains(mm.group(1).toLowerCase) =>
         (Some(mm.group(1)), rest.substring(mm.end))
@@ -217,36 +245,125 @@ object MatchRecognize {
     out.result().filter(_.nonEmpty)
   }
 
-  /** Execute the clause: symbol predicates as codegen'd boolean columns,
-    * one shuffle on the partition key, in-task sort + backtracking scan,
-    * one output row per match. */
+  /** Case-insensitive field resolution (spark.sql.caseSensitive=false
+    * semantics, matching the rest of the SQL surface). */
+  private def fieldIndexCI(schema: StructType, name: String): Int = {
+    val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+    if (i < 0) throw new IllegalArgumentException(
+      s"MATCH_RECOGNIZE: column '$name' not found in ${schema.fieldNames.mkString(", ")}")
+    i
+  }
+
+  /** A physical-navigation call in a DEFINE: PREV/NEXT of a source column
+    * at `offset`, materialized as a lag/lead window column `genName`. */
+  private case class Nav(isPrev: Boolean, offset: Int, column: String) {
+    def genName: String = s"__nav_${if (isPrev) "prev" else "next"}_${offset}_${column.toLowerCase}"
+  }
+
+  private val NavCall = "(?i)\\b(PREV|NEXT)\\s*\\(".r
+  private val NavArgs = "(?is)^\\s*(?:(\\w+)\\s*\\.\\s*)?(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?$".r
+
+  /** Rewrite PREV/NEXT calls in one DEFINE predicate to generated nav
+    * column references, validating the subset (simple column operand,
+    * optionally qualified by the defining symbol, optional int offset). */
+  private def rewriteNav(sym: String, pred: String, schema: StructType,
+      symNames: Seq[String]): (String, Seq[Nav]) = {
+    val navs = Seq.newBuilder[Nav]
+    var text = pred
+    var m = NavCall.findFirstMatchIn(text)
+    while (m.isDefined) {
+      val mm = m.get
+      val (inner, _) = balanced(text, mm.end - 1)
+      inner match {
+        case NavArgs(qual, column, off) =>
+          if (qual != null && !qual.equalsIgnoreCase(sym))
+            throw new IllegalArgumentException(
+              s"MATCH_RECOGNIZE: DEFINE $sym navigates '$qual.$column' — PREV/NEXT may " +
+                "only reference the defining symbol (physical navigation)")
+          val offset = Option(off).map(_.toInt).getOrElse(1)
+          val nav = Nav(mm.group(1).equalsIgnoreCase("PREV"), offset,
+            schema.fieldNames(fieldIndexCI(schema, column)))
+          navs += nav
+          val close = mm.end + inner.length // balanced close paren position
+          text = text.substring(0, mm.start) + nav.genName + text.substring(close + 1)
+        case other => throw new IllegalArgumentException(
+          s"MATCH_RECOGNIZE: unsupported ${mm.group(1).toUpperCase} operand '$other' " +
+            "(only PREV/NEXT(col [, n]) over a source column is supported)")
+      }
+      m = NavCall.findFirstMatchIn(text)
+    }
+    (text, navs.result())
+  }
+
+  /** Execute the clause: PREV/NEXT as lag/lead columns and symbol
+    * predicates as codegen'd boolean columns — all inside ONE hash
+    * exchange on the partition key (the window's distribution and sort
+    * requirements are pre-satisfied by repartition + sortWithinPartitions)
+    * — then a per-partition grouped backtracking scan, one output row per
+    * match. */
   private[plans] def run(src: DataFrame, c: Clause): DataFrame = {
     val srcSchema = src.schema
     val symNames = c.pattern.map(_._1).distinct
-    // strip own-symbol qualifiers: `P.event_type` → `event_type`
-    val symPrefix = ("(?i)\\b(" + symNames.mkString("|") + ")\\s*\\.").r
     val defMap = c.defines.toMap
-    val predCols = symNames.map { s =>
-      val pred = defMap.getOrElse(s, "true")
-      expr(symPrefix.replaceAllIn(pred, "")).cast("boolean").as(s"__sym_$s")
-    }
-    val base = src.select(srcSchema.fieldNames.map(col).toSeq ++ predCols: _*)
+    val allNavs = scala.collection.mutable.LinkedHashSet[Nav]()
+    val rewritten: Map[String, String] = symNames.map { s =>
+      val raw = defMap.getOrElse(s, "true")
+      val (navFree, navs) = rewriteNav(s, raw, srcSchema, symNames)
+      allNavs ++= navs
+      // a qualifier of ANOTHER pattern symbol is a cross-symbol reference
+      // (DEFINE B AS B.price > A.price) — out of subset, reject loudly
+      // rather than silently binding both to the current row
+      "\\b(\\w+)\\s*\\.".r.findAllMatchIn(navFree).foreach { q =>
+        val qual = q.group(1)
+        if (symNames.exists(_.equalsIgnoreCase(qual)) && !qual.equalsIgnoreCase(s))
+          throw new IllegalArgumentException(
+            s"MATCH_RECOGNIZE: DEFINE $s references $qual's binding ('${q.matched}') — " +
+              "cross-symbol references are not supported (use PREV/NEXT physical navigation)")
+      }
+      // strip the defining symbol's OWN qualifier only: `P.x` → `x`
+      s -> ("(?i)\\b" + java.util.regex.Pattern.quote(s) + "\\s*\\.").r
+        .replaceAllIn(navFree, "")
+    }.toMap
+
+    val partNames = c.partitionCols.map(p => srcSchema.fieldNames(fieldIndexCI(srcSchema, p)))
+    val orderNames = c.orderCols.map(o => srcSchema.fieldNames(fieldIndexCI(srcSchema, o)))
+
+    // One exchange: hash-repartition on the partition key, then an in-task
+    // sort on (partition, order) — which also pre-satisfies the lag/lead
+    // window's requirements, so PREV/NEXT add NO extra shuffle or sort.
+    val partitioned = src
+      .repartition(partNames.map(col): _*)
+      .sortWithinPartitions((partNames ++ orderNames).map(col): _*)
+    val withNav =
+      if (allNavs.isEmpty) partitioned
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(partNames.map(col): _*).orderBy(orderNames.map(col): _*)
+        allNavs.foldLeft(partitioned) { (df, nav) =>
+          val fn = if (nav.isPrev) org.apache.spark.sql.functions.lag(col(nav.column), nav.offset)
+                   else org.apache.spark.sql.functions.lead(col(nav.column), nav.offset)
+          df.withColumn(nav.genName, fn.over(w))
+        }
+      }
+    val predCols = symNames.map(s =>
+      expr(rewritten(s)).cast("boolean").as(s"__sym_$s"))
+    val base = withNav.select(srcSchema.fieldNames.map(col).toSeq ++ predCols: _*)
 
     val n = srcSchema.length
     val symIdx = symNames.zipWithIndex.map { case (s, i) => s -> (n + i) }.toMap
-    val partIdx = c.partitionCols.map(srcSchema.fieldIndex)
-    val orderIdx = c.orderCols.map(srcSchema.fieldIndex)
-    val keySchema = StructType(partIdx.map(srcSchema(_)))
+    val partIdx = partNames.map(srcSchema.fieldIndex)
     // ONE ROW PER MATCH output = PARTITION BY columns + MEASURES (standard)
+    def srcField(f: String) = srcSchema(fieldIndexCI(srcSchema, f))
     val outSchema = StructType(
       partIdx.map(srcSchema(_)) ++ c.measures.map {
-        case (First(_, f), name) => StructField(name, srcSchema(f).dataType)
-        case (Last(_, f), name) => StructField(name, srcSchema(f).dataType)
+        case (First(_, f), name) => StructField(name, srcField(f).dataType)
+        case (Last(_, f), name) => StructField(name, srcField(f).dataType)
         case (CountSym(_), name) => StructField(name, LongType, nullable = false)
         case (CountAll, name) => StructField(name, LongType, nullable = false)
-        case (PartCol(p), name) => StructField(name, srcSchema(srcSchema.fieldIndex(p)).dataType)
+        case (PartCol(p), name) => StructField(name, srcField(p).dataType)
       })
-    val fieldIdx: Map[String, Int] = srcSchema.fieldNames.zipWithIndex.toMap
+    val fieldIdx: Map[String, Int] =
+      srcSchema.fieldNames.zipWithIndex.map { case (f, i) => f.toLowerCase -> i }.toMap
     val partPos: Map[String, Int] =
       c.partitionCols.zipWithIndex.map { case (p, i) => p.toLowerCase -> i }.toMap
 
@@ -255,39 +372,38 @@ object MatchRecognize {
       Pattern.Sym[Row](s, r => !r.isNullAt(i) && r.getBoolean(i), q)
     }.toIndexedSeq
 
-    // ORDER BY comparison: natural per-column ordering, nulls first (ASC)
-    val ordering: Ordering[Row] = (a: Row, b: Row) => {
-      var cmp = 0; var i = 0
-      while (cmp == 0 && i < orderIdx.length) {
-        val (x, y) = (a.get(orderIdx(i)), b.get(orderIdx(i)))
-        cmp =
-          if (x == null && y == null) 0
-          else if (x == null) -1
-          else if (y == null) 1
-          else x.asInstanceOf[Comparable[Any]].compareTo(y)
-        i += 1
-      }
-      cmp
-    }
-
-    def measureValue(m: Measure, key: Row, mm: Pattern.Match[Row]): Any = m match {
+    def measureValue(m: Measure, key: IndexedSeq[Any], mm: Pattern.Match[Row]): Any = m match {
       case First(s, f) =>
-        mm.bindings.collectFirst { case (n2, r) if n2 == s => r.get(fieldIdx(f)) }.orNull
+        mm.bindings.collectFirst { case (n2, r) if n2 == s => r.get(fieldIdx(f.toLowerCase)) }.orNull
       case Last(s, f) =>
-        mm.bindings.reverseIterator.collectFirst { case (n2, r) if n2 == s => r.get(fieldIdx(f)) }.orNull
+        mm.bindings.reverseIterator.collectFirst { case (n2, r) if n2 == s => r.get(fieldIdx(f.toLowerCase)) }.orNull
       case CountSym(s) => mm.bindings.count(_._1 == s).toLong
       case CountAll => mm.bindings.length.toLong
-      case PartCol(p) => key.get(partPos(p.toLowerCase))
+      case PartCol(p) => key(partPos(p.toLowerCase))
     }
+    val measures = c.measures
 
-    base.groupByKey(r => Row.fromSeq(partIdx.map(r.get)))(Encoders.row(keySchema))
-      .flatMapGroups { (key: Row, it: Iterator[Row]) =>
-        val evs = it.toIndexedSeq.sorted(ordering)
-        Pattern.matchAll(evs, pat).iterator.map { mm =>
-          Row.fromSeq(key.toSeq ++
-            c.measures.map { case (m, _) => measureValue(m, key, mm) })
-        }
-      }(Encoders.row(outSchema))
+    // Grouped scan: rows arrive partition-clustered and (part, order)-
+    // sorted, so each key's events are a contiguous sorted run — buffer
+    // one run at a time (memory bound: max events per key, the bound every
+    // MATCH_RECOGNIZE engine carries) and emit its matches.
+    base.mapPartitions { rows =>
+      new Iterator[Row] {
+        private val in = rows.buffered
+        private var pending: Iterator[Row] = Iterator.empty
+        private def fill(): Unit =
+          while (!pending.hasNext && in.hasNext) {
+            val key: IndexedSeq[Any] = partIdx.map(in.head.get).toIndexedSeq
+            val buf = scala.collection.mutable.ArrayBuffer[Row]()
+            while (in.hasNext && partIdx.map(in.head.get).toIndexedSeq == key) buf += in.next()
+            pending = Pattern.matchAll(buf.toIndexedSeq, pat).iterator.map { mm =>
+              Row.fromSeq(key ++ measures.map { case (m, _) => measureValue(m, key, mm) })
+            }
+          }
+        override def hasNext: Boolean = { fill(); pending.hasNext }
+        override def next(): Row = { fill(); pending.next() }
+      }
+    }(Encoders.row(outSchema))
   }
 }
 

@@ -219,7 +219,7 @@ object Analytics extends QueryModule {
 
   // Exact percentiles (the reference's ApproximateQuantiles contract,
   // ApproximateQuantiles.java:61, verified here against DuckDB's exact
-  // quantile_cont; the approx variant is q40, rows-only).
+  // quantile_cont; the approx variant is q40, accuracy-gated).
   private def q39(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -239,16 +239,35 @@ object Analytics extends QueryModule {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // Approximate aggregates (ApproximateUnique / HllCount / percentile_approx)
-  // — sketch-based, no exact oracle: rows-only check. At scale these are
-  // the ones to reach for: mergeable, single-pass, fixed memory.
+  // — sketch bytes are engine-local, so the gate is a checked ACCURACY
+  // contract (reference analog: extensions/sketching accuracy-bounded
+  // tests): per group, both HLL estimators within 2% relative error of the
+  // exact distinct count, approx p50 within 1% of the exact median. The
+  // oracle re-derives the exact counts and pins the booleans TRUE. At
+  // scale these sketches are the ones to reach for: mergeable,
+  // single-pass, fixed memory.
   private def q40(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(
+        countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id")).as("approx_users"),
-        round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4).as("approx_p50"),
-        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"))
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
+        expr("percentile(value, 0.5)").as("exact_p50"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.02).as("approx_users_ok"),
+        (abs(col("hll_users") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.02).as("hll_users_ok"),
+        (abs(col("approx_p50") - col("exact_p50"))
+          / abs(col("exact_p50")) <= 0.01).as("p50_ok"))
       .orderBy("event_type")
+
+  private val q40Sql =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS approx_users_ok, TRUE AS hll_users_ok, TRUE AS p50_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ROLLUP — not supported by the reference's SQL (SURVEY §2.4 notes it's
   // free via Catalyst); exposed as a capability superset.
@@ -354,7 +373,7 @@ object Analytics extends QueryModule {
     "q37_stat_aggs" -> q37Sql,
     "q38_array_string_agg" -> q38Sql,
     "q39_percentiles" -> q39Sql,
-    // q40 approx: rows-only by design
+    "q40_approx_aggs" -> q40Sql,
     "q41_rollup" -> q41Sql,
     "q42_cube" -> q42Sql,
     "q43_group_into_batches" -> q43Sql)

@@ -212,6 +212,41 @@ object Extended extends QueryModule {
         |ORDER BY user_id, purchase_event_id""".stripMargin)
   }
 
+  // PREV physical navigation in DEFINE (reference impl/cep/CEPCall.java
+  // PREV operator, NFA takeToNextRow semantics): per user, maximal runs of
+  // strictly-decreasing event values — PATTERN (D+) with D defined against
+  // the physical previous row. Oracle: lag() + gaps-and-islands SQL.
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    s.sql(
+      """SELECT user_id, first_event_id, last_event_id, n_drops
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(D.event_id) AS first_event_id,
+        |           LAST(D.event_id) AS last_event_id,
+        |           COUNT(D.*) AS n_drops
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (D+)
+        |  DEFINE D AS D.value < PREV(value)
+        |)
+        |ORDER BY user_id, first_event_id""".stripMargin)
+  }
+
+  private val q83Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |d AS (SELECT * FROM e WHERE pv IS NOT NULL AND value < pv),
+      |g AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      |      FROM d)
+      |SELECT user_id, min_by(event_id, rn) AS first_event_id,
+      |  max_by(event_id, rn) AS last_event_id, count(*) AS n_drops
+      |FROM g GROUP BY user_id, grp
+      |ORDER BY user_id, first_event_id""".stripMargin
+
   // Arbitrary merging windows (WindowFn.mergeWindows): each event claims
   // [ts, ts+30min); overlapping/touching claims merge per user into
   // maximal windows — the oracle rebuilds the islands independently.
@@ -348,6 +383,7 @@ object Extended extends QueryModule {
     "q57_sql_frontend" -> q57,
     "q58_cep_match_recognize" -> q58,
     "q81_sql_match_recognize" -> q81,
+    "q83_match_recognize_prev" -> q83,
     "q59_merging_windows" -> q59)
 
   override val oracles: Map[String, String] = Map(
@@ -365,5 +401,6 @@ object Extended extends QueryModule {
     "q57_sql_frontend" -> q57Text,
     "q58_cep_match_recognize" -> q58Sql,
     "q81_sql_match_recognize" -> q58Sql,
+    "q83_match_recognize_prev" -> q83Sql,
     "q59_merging_windows" -> q59Sql)
 }

@@ -29,11 +29,24 @@ import org.apache.spark.sql.streaming.Trigger
   *  - q12: processing-time tumbling windows (watermark on a
   *    current_timestamp ingest column).
   *
-  * Not streamable on Spark's engine (documented divergence, batch-only):
-  * q4/q6/q9 chain a non-windowed aggregation after a stream-stream join,
-  * which Structured Streaming cannot run in append mode; the reference
-  * reaches them with retractions, which Beam itself marks unsupported on
-  * several runners (SURVEY §2.9 / VERDICT 2.9 retractions row).
+  * q4/q6 (non-windowed aggregation after a stream-stream join — the
+  * reference reaches these with retractions, which Beam itself marks
+  * unsupported on several runners) run as a foreachBatch TWO-STAGE plan:
+  * the stream-stream join streams in append mode, and each micro-batch's
+  * join output folds into a running per-auction winning-bid state
+  * (`max(price)` is associative, so batch-wise merge ≡ global max); the
+  * final non-windowed average reads the merged state once at stream end.
+  * This is the standard foreachBatch incremental-MERGE pattern (on a
+  * cluster the state frame would be a Delta/Iceberg MERGE target keyed by
+  * auction id; here it is an in-memory frame re-persisted per batch,
+  * bounded by the live-auction count). Result equality with the batch
+  * plans is pinned in NexmarkStreamingSpec.
+  *
+  * Still batch-only (documented divergence): q9 — its output is the
+  * full winning-bid ROW per auction (argmax with tie-breaks), which a
+  * later bid can retract; without retractions an append stream cannot
+  * emit it incrementally, and a foreachBatch keyed-argmax state would be
+  * the same two-stage shape as q4/q6 with nothing new to show.
   */
 object NexmarkStreaming {
 
@@ -101,7 +114,56 @@ object NexmarkStreaming {
   }
 
   val queryNames: Seq[String] =
-    Seq("q0", "q1", "q2", "q3", "q5", "q7", "q8", "q10", "q11", "q12")
+    Seq("q0", "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q10", "q11", "q12")
+
+  /** q4/q6 two-stage: stream the bids⋈auctions join in append mode, fold
+    * each micro-batch into the running per-auction winning-bid state, and
+    * compute the global average from the state at stream end. Returns the
+    * final frame so the spec can pin equality with the batch plan. */
+  private[graft] def twoStage(spark: SparkSession, name: String, ev: DataFrame,
+      ckpt: String, timeoutMs: Long): Option[DataFrame] = {
+    import org.apache.spark.storage.StorageLevel
+    val a = Nexmark.auctionsFrom(ev).withColumnRenamed("ts", "a_ts")
+    val b = Nexmark.bidsFrom(ev).withColumnRenamed("ts", "b_ts")
+    // incremental inner equi-join (the q3 shape) + the expiry bound; the
+    // winning-bid key is (a_id, category) for q4, (a_id, seller) for q6
+    val key = if (name == "q4") "category" else "seller"
+    val joined = b.join(a,
+      col("auction") === col("a_id") && col("b_ts") <= col("expires"))
+      .select(col("a_id"), col(key), col("price"))
+    var state: Option[DataFrame] = None
+    val q = joined.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // stage 2a: per-batch partial argmax, merged into the running
+        // state — max is associative, so fold order is irrelevant
+        val partial = batch.groupBy(col("a_id"), col(key))
+          .agg(max(col("price")).as("final_price"))
+        val merged = state.fold(partial)(s => s.union(partial)
+            .groupBy(col("a_id"), col(key))
+            .agg(max(col("final_price")).as("final_price")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        merged.count() // materialize before dropping the predecessor
+        state.foreach(_.unpersist())
+        state = Some(merged)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(timeoutMs)) { q.stop(); return None }
+    // stage 2b: the non-windowed global aggregate over the merged state —
+    // materialized (it is one row per category/seller) so the batch-wise
+    // state cache can be released before returning
+    state.map { s =>
+      val agg =
+        if (name == "q4")
+          s.groupBy(col("category")).agg(round(avg(col("final_price")), 2).as("avg_price"))
+        else
+          s.groupBy(col("seller")).agg(round(avg(col("final_price")), 2).as("avg_sell_price"))
+      val rows = agg.collect().toSeq
+      s.unpersist()
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    }
+  }
 
   /** Run one query to completion under Trigger.AvailableNow; returns
     * events/sec, or None if this query isn't streaming-expressible or the
@@ -145,6 +207,12 @@ object NexmarkStreaming {
     val ev = stream(spark, n, batchRows)
     try {
       val t0 = System.nanoTime()
+      if (name == "q4" || name == "q6") {
+        val out = twoStage(spark, name, ev, ckpt, timeoutMs)
+        if (out.isEmpty) return None
+        out.get.write.format("noop").mode("overwrite").save() // final agg is part of the cost
+        return Some(n / ((System.nanoTime() - t0) / 1e9))
+      }
       val q = if (name == "q10") {
         val outPath = Files.createTempDirectory("graft-q10-stream").resolve("logs").toString
         val out = Nexmark.bidsFrom(ev)

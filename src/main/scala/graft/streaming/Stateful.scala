@@ -407,7 +407,21 @@ object Stateful {
             out
         }
       } else if (wm >= gcAt) {
-        Iterator.empty // expired window: element past allowed lateness, drop
+        // Expired window: the elements themselves are past allowed lateness
+        // and dropped, but any existing state must still be GC'd here —
+        // Spark clears the timeout on every invocation, so if this branch
+        // returned without acting the poll would never fire again and the
+        // (key, window) entry would leak. Mirror the timed-out GC path:
+        // flush a pending unfired ON_TIME pane, then remove.
+        state.getOption match {
+          case Some(st) =>
+            val out = if (!st.onTimeFired)
+              Iterator((k, winStart, st.acc, st.paneIndex, "ON_TIME"))
+            else Iterator.empty
+            state.remove()
+            out
+          case None => Iterator.empty
+        }
       } else if (wm < winEnd) {
         // open window: accumulate; the poll notices the on-time crossing
         val st = state.getOption.getOrElse(WindowPanes(zero, 0L, onTimeFired = false))

@@ -43,6 +43,14 @@ class ExtendedOpsSpec extends GraftSpec {
     assert(ms.head.measures("t").mkString == "x")
   }
 
+  test("cep: prev-aware predicates see the physical previous event") {
+    // strictly-decreasing runs: 9 8 7 | 9 5 → runs (8,7) and (5)
+    val pat = IndexedSeq(Sym.withPrev[Int]("d",
+      (prev, cur) => prev.exists(cur < _), Plus))
+    val ms = Pattern.matchAll(IndexedSeq(9, 8, 7, 9, 5), pat)
+    assert(ms.map(_.events) == Seq(IndexedSeq(8, 7), IndexedSeq(5)))
+  }
+
   test("cep: distributed matchPattern groups by key and orders by time") {
     val evs = Seq(
       (1L, 1L, "a"), (1L, 2L, "b"), // key 1: ab

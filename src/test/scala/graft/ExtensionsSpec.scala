@@ -145,6 +145,65 @@ class ExtensionsSpec extends GraftSpec {
     assert(e.getMessage.contains("ALL ROWS PER MATCH"))
   }
 
+  test("MATCH_RECOGNIZE PREV navigates the physical previous row") {
+    // price drops: 10 > 8 > 7 is one maximal D+ run; 9 resets; 9 > 5 a second
+    Seq((1L, 1L, 10.0), (1L, 2L, 8.0), (1L, 3L, 7.0), (1L, 4L, 9.0), (1L, 5L, 5.0))
+      .toDF("user_id", "event_id", "price").createOrReplaceTempView("mr_prev")
+    val out = spark.sql(
+      """SELECT * FROM mr_prev MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES FIRST(D.event_id) AS first_id, LAST(D.event_id) AS last_id,
+        |           COUNT(D.*) AS n
+        |  PATTERN (D+)
+        |  DEFINE D AS D.price < PREV(price)
+        |) ORDER BY first_id""".stripMargin)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 3L, 2L), (1L, 5L, 5L, 1L)), out.toString)
+  }
+
+  test("MATCH_RECOGNIZE PREV with offset and one exchange") {
+    Seq((1L, 1L, 10.0), (1L, 2L, 9.0), (1L, 3L, 8.0), (1L, 4L, 20.0))
+      .toDF("user_id", "event_id", "price").createOrReplaceTempView("mr_prev2")
+    val df = spark.sql(
+      """SELECT * FROM mr_prev2 MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES LAST(D.event_id) AS last_id
+        |  PATTERN (D)
+        |  DEFINE D AS D.price < PREV(D.price, 2))""".stripMargin)
+    // lag/lead reuse the match stage's exchange + sort: still exactly one
+    assert(df.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange")) == 1)
+    val out = df.as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L)), out.toString) // 8.0 < lag2=10.0 only
+  }
+
+  test("MATCH_RECOGNIZE rejects cross-symbol DEFINE references loudly") {
+    Seq((1L, 1L, 10.0)).toDF("user_id", "event_id", "price")
+      .createOrReplaceTempView("mr_cross")
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM mr_cross MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY event_id
+          |  MEASURES COUNT(*) AS n
+          |  PATTERN (A B)
+          |  DEFINE A AS A.price > 0, B AS B.price > A.price)""".stripMargin)
+    }
+    assert(e.getMessage.contains("cross-symbol"), e.getMessage)
+  }
+
+  test("MATCH_RECOGNIZE resolves columns case-insensitively") {
+    Seq((1L, 1L, "click"), (1L, 2L, "purchase"))
+      .toDF("user_id", "event_id", "event_type").createOrReplaceTempView("mr_ci")
+    val out = spark.sql(
+      """SELECT * FROM mr_ci MATCH_RECOGNIZE (
+        |  PARTITION BY USER_ID ORDER BY EVENT_ID
+        |  MEASURES LAST(P.EVENT_ID) AS pid
+        |  PATTERN (C P)
+        |  DEFINE C AS C.EVENT_TYPE = 'click', P AS P.event_type = 'purchase')""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)), out.toString)
+  }
+
   test("CREATE EXTERNAL TABLE DDL registers a readable view") {
     val df = Ddl.execute(spark,
       "CREATE EXTERNAL TABLE ext_nation TYPE parquet LOCATION '/root/testdata/sf0.001/nation.parquet'")

@@ -108,6 +108,51 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("late-firing panes: too-late element GCs state and flushes the pending pane") {
+    // Regression: a too-late element arriving BEFORE the poll timer notices
+    // the watermark crossed end+lateness must not leak state or drop the
+    // pending unfired ON_TIME pane. pollMs is set to an hour so the poll
+    // never runs in-test: the too-late element's own batch is the only
+    // code path that can flush — exercising the wm >= gcAt data branch.
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Int)]
+    val panes = Stateful.lateFiringPanes(
+      input.toDS(), windowMs = 60000L, allowedLatenessMs = 60000L,
+      watermarkDelay = "0 seconds", zero = 0, add = (a: Int, v: Int) => a + v,
+      pollMs = 3600000L)
+    val q = panes.writeStream.format("memory").queryName("late_gc")
+      .outputMode("append").trigger(Trigger.ProcessingTime(200)).start()
+    // FMGWS + ProcessingTimeTimeout queries never quiesce (see awaitRows
+    // note) — poll the query's watermark instead of processAllAvailable.
+    def awaitWatermark(atLeast: Timestamp, timeoutMs: Long = 60000): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      def wm: Long = Option(q.lastProgress)
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .map(java.time.Instant.parse(_).toEpochMilli).getOrElse(0L)
+      while (wm < atLeast.getTime && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(wm >= atLeast.getTime, s"watermark stuck at $wm")
+    }
+    try {
+      input.addData(("a", ts("2024-01-01 00:00:10"), 7)) // accumulates, pane unfired
+      // jump the watermark straight past end (00:01) + lateness (00:02)
+      input.addData(("b", ts("2024-01-01 00:30:00"), 0))
+      awaitWatermark(ts("2024-01-01 00:30:00"))
+      // too-late element: value 9 must be dropped, but the pending pane
+      // (value 7) must flush and the state entry must be removed
+      input.addData(("a", ts("2024-01-01 00:00:20"), 9))
+      awaitRows("late_gc", 1)
+      // a second too-late element must now find no state → emit nothing
+      input.addData(("a", ts("2024-01-01 00:00:30"), 11))
+      Thread.sleep(2000)
+      val aPanes = spark.table("late_gc")
+        .as[(String, Long, Int, Long, String)].collect()
+        .filter(_._1 == "a").toSeq
+      val winStart = ts("2024-01-01 00:00:00").getTime
+      assert(aPanes == Seq(("a", winStart, 7, 0L, "ON_TIME")), s"got $aPanes")
+    } finally q.stop()
+  }
+
   test("groupIntoBatches flushes full batches immediately") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Int)]

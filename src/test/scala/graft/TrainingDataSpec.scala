@@ -39,6 +39,23 @@ class TrainingDataSpec extends GraftSpec {
     assert(pairs((0L, 3L)) == 0L)
   }
 
+  test("simhash banding is complete: banded pairs ≡ brute-force at the bound") {
+    // regression: a fixed 4-band split misses distance-4..8 pairs whose
+    // differing bits touch all four bands; maxHamming+1 bands (pigeonhole)
+    // must reproduce the exact all-pairs answer
+    import graft.functions._
+    for (h <- Seq(3, 5, 8)) {
+      val banded = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = h)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val fp = docs.select(col("doc_id"), simhash64(lower(col("text"))).as("fp"))
+      val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming", hamming64(col("a.fp"), col("b.fp")))
+        .filter(col("hamming") <= h)
+        .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+      assert(banded == brute, s"maxHamming=$h: banded ${banded.size} vs brute ${brute.size}")
+    }
+  }
+
   test("brute-force cosine topk ranks the closest vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
