@@ -113,6 +113,28 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val tpcdsTotal = results.collect { case (k, v) if k.startsWith("ds") => v }.sum
+    // 10x TPC-DS scale proof: when the x10 corpus exists (pre-generated in
+    // its own JVM via SPARK_GRAFT_TPCDS_SCALE=10 — facts and customers
+    // x10, dims fixed), swap the corpus views and time the full 103-query
+    // sweep again. This is the direct check that the gate-suite plans
+    // survive a scale-up: fact shuffles grow 10x, dims stay broadcast.
+    // Skipped (empty map) when the corpus is absent, so driver runs
+    // without the pre-generated directory are unaffected.
+    val dsBodies = graft.queries.TpcDsQueries.bodies.toSeq.sortBy(_._1)
+    def recycle10(): Boolean = {
+      spark.stop(); spark = newSession()
+      graft.sources.TpcDs.registerAt(spark, 10)
+    }
+    val scale10: Map[String, Double] =
+      if (sys.env.contains("SPARK_GRAFT_ONLY") || !recycle10()) Map.empty // subset iteration: skip the tier
+      else dsBodies.zipWithIndex.map { case ((name, body), i) =>
+        if (i > 0 && i % recycleEvery == 0) require(recycle10())
+        val t0 = System.nanoTime()
+        try spark.sql(body).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench-x10] $name: $e") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+
     // Nexmark SMOKE analog: 100k generated events (BASELINE.md's config),
     // reported as events/sec per query for direct baseline comparison.
     // Fresh session first: this tier used to run right after the recycled
@@ -154,8 +176,11 @@ object Bench {
       .mkString("{", ",", "}")
     val inRunDisclosed = suspects.map(k => s"\"" + k + "\":" + fmt(inRun(k)))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"tpcds_total_sec":${fmt(tpcdsTotal)},"queries":$qs,"in_run_sec":$inRunDisclosed,"nexmark_events_per_sec":$nx,"nexmark_num_events":$nexmarkEvents,"nexmark_streaming_events_per_sec":$nxStream,"nexmark_streaming_num_events":$streamEvents,"stress_events_per_sec":$nxStress,"stress_num_events":$stressEvents,"sf":"$sfDir"}"""
-    val full = line.dropRight(1) + s""","all_queries":$fullQs}"""
+    val s10Total = fmt(scale10.values.sum)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"tpcds_total_sec":${fmt(tpcdsTotal)},"tpcds_scale10_total_sec":$s10Total,"tpcds_scale10_n":${scale10.size},"queries":$qs,"in_run_sec":$inRunDisclosed,"nexmark_events_per_sec":$nx,"nexmark_num_events":$nexmarkEvents,"nexmark_streaming_events_per_sec":$nxStream,"nexmark_streaming_num_events":$streamEvents,"stress_events_per_sec":$nxStress,"stress_num_events":$stressEvents,"sf":"$sfDir"}"""
+    val s10Qs = scale10.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val full = line.dropRight(1) + s""","all_queries":$fullQs,"scale10_queries":$s10Qs}"""
     Files.write(Paths.get("target/bench_full.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)

@@ -23,12 +23,17 @@ import graft.cep.Pattern
   *   ORDER BY c1 [, c2 ...]          -- ASC only
   *   MEASURES m1 AS a1 [, ...]       -- FIRST(S.c) | LAST(S.c) |
   *                                   -- COUNT(S.*) | COUNT(*) | partition col
-  *   [ONE ROW PER MATCH]
+  *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW]
   *   PATTERN (S1[+*?] S2[+*?] ...)
   *   DEFINE S1 AS <predicate>, ...   -- current-row predicates; symbols
   * ) [AS alias] ...                  -- without DEFINE default to TRUE
   * }}}
+  *
+  * ONE ROW PER MATCH (default) emits partition columns + measures with
+  * FINAL semantics; ALL ROWS PER MATCH emits every source column +
+  * measures with RUNNING semantics (the standard's default there), and
+  * CLASSIFIER() reports the matched row's symbol.
   *
   * DEFINE predicates may qualify columns with their own symbol name
   * (`P.event_type = 'purchase'`) and may navigate physically with
@@ -62,7 +67,8 @@ object MatchRecognize {
       partitionCols: Seq[String], orderCols: Seq[String],
       measures: Seq[(Measure, String)],
       pattern: Seq[(String, Pattern.Quant)],
-      defines: Seq[(String, String)])
+      defines: Seq[(String, String)],
+      allRows: Boolean)
 
   private[plans] sealed trait Measure
   private case class First(sym: String, field: String) extends Measure
@@ -70,19 +76,21 @@ object MatchRecognize {
   private case class CountSym(sym: String) extends Measure // COUNT(S.*)
   private case object CountAll extends Measure             // COUNT(*)
   private case class PartCol(name: String) extends Measure
+  private case object Classifier extends Measure           // CLASSIFIER()
 
   // `FROM <operand> MATCH_RECOGNIZE ( ... ) [AS? alias]`
   private val ClauseStart = "(?i)MATCH_RECOGNIZE\\s*\\(".r
 
   private val Sections =
     ("(?is)^\\s*PARTITION\\s+BY\\s+(.*?)\\s+ORDER\\s+BY\\s+(.*?)\\s+MEASURES\\s+(.*?)\\s+" +
-      "(?:ONE\\s+ROW\\s+PER\\s+MATCH\\s+)?(?:AFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW\\s+)?" +
+      "(?:(ONE\\s+ROW|ALL\\s+ROWS)\\s+PER\\s+MATCH\\s+)?(?:AFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW\\s+)?" +
       "PATTERN\\s*\\((.*?)\\)\\s*DEFINE\\s+(.*?)\\s*$").r
 
   private val MeasureFirst = "(?i)^FIRST\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*\\)$".r
   private val MeasureLast = "(?i)^LAST\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*\\)$".r
   private val MeasureCountSym = "(?i)^COUNT\\s*\\(\\s*(\\w+)\\s*\\.\\s*\\*\\s*\\)$".r
   private val MeasureCountAll = "(?i)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
+  private val MeasureClassifier = "(?i)^CLASSIFIER\\s*\\(\\s*\\)$".r
   private val PatternSym = "(\\w+)([+*?]?)".r
 
   /** True iff position `pos` falls inside a single-quoted SQL string
@@ -106,9 +114,6 @@ object MatchRecognize {
       val (source, beforeSource) = sourceOperand(sqlText, m.start)
       val clause = parseClause(body)
       // reject out-of-subset constructs loudly rather than mis-executing
-      if ("(?i)ALL\\s+ROWS\\s+PER\\s+MATCH".r.findFirstIn(body).isDefined)
-        throw new IllegalArgumentException(
-          "MATCH_RECOGNIZE: ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)")
       if ("(?i)SKIP\\s+TO".r.findFirstIn(body).isDefined)
         throw new IllegalArgumentException(
           "MATCH_RECOGNIZE: only AFTER MATCH SKIP PAST LAST ROW is supported")
@@ -186,7 +191,7 @@ object MatchRecognize {
   }
 
   private[plans] def parseClause(body: String): Clause = body.trim match {
-    case Sections(part, order, measures, pattern, defines) =>
+    case Sections(part, order, measures, rowsPerMatch, pattern, defines) =>
       val pat = PatternSym.findAllMatchIn(pattern).map { m =>
         val q = m.group(2) match {
           case "+" => Pattern.Plus
@@ -212,15 +217,17 @@ object MatchRecognize {
           case MeasureLast(s, f) => Last(s.toUpperCase, f)
           case MeasureCountSym(s) => CountSym(s.toUpperCase)
           case MeasureCountAll() => CountAll
+          case MeasureClassifier() => Classifier
           case c if partCols.exists(_.equalsIgnoreCase(c)) => PartCol(c)
           case other => throw new IllegalArgumentException(
             s"MATCH_RECOGNIZE: unsupported measure '$other' " +
-              "(FIRST/LAST(sym.col), COUNT(sym.*), COUNT(*), or a partition column)")
+              "(FIRST/LAST(sym.col), COUNT(sym.*), COUNT(*), CLASSIFIER(), or a partition column)")
         }
         (measure: Measure, name)
       }
       Clause(partCols, order.split(",").map(_.trim.replaceAll("(?i)\\s+ASC$", "")).toSeq,
-        ms, pat, defs)
+        ms, pat, defs,
+        allRows = rowsPerMatch != null && rowsPerMatch.toUpperCase.startsWith("ALL"))
     case other => throw new IllegalArgumentException(
       s"MATCH_RECOGNIZE: expected PARTITION BY ... ORDER BY ... MEASURES ... " +
         s"PATTERN (...) DEFINE ..., got: $other")
@@ -352,16 +359,21 @@ object MatchRecognize {
     val n = srcSchema.length
     val symIdx = symNames.zipWithIndex.map { case (s, i) => s -> (n + i) }.toMap
     val partIdx = partNames.map(srcSchema.fieldIndex)
-    // ONE ROW PER MATCH output = PARTITION BY columns + MEASURES (standard)
+    // Output shape (standard): ONE ROW PER MATCH = PARTITION BY columns +
+    // MEASURES; ALL ROWS PER MATCH = every source column + MEASURES, one
+    // row per matched input row with RUNNING measure semantics.
     def srcField(f: String) = srcSchema(fieldIndexCI(srcSchema, f))
-    val outSchema = StructType(
-      partIdx.map(srcSchema(_)) ++ c.measures.map {
-        case (First(_, f), name) => StructField(name, srcField(f).dataType)
-        case (Last(_, f), name) => StructField(name, srcField(f).dataType)
-        case (CountSym(_), name) => StructField(name, LongType, nullable = false)
-        case (CountAll, name) => StructField(name, LongType, nullable = false)
-        case (PartCol(p), name) => StructField(name, srcField(p).dataType)
-      })
+    val measureFields = c.measures.map {
+      case (First(_, f), name) => StructField(name, srcField(f).dataType)
+      case (Last(_, f), name) => StructField(name, srcField(f).dataType)
+      case (CountSym(_), name) => StructField(name, LongType, nullable = false)
+      case (CountAll, name) => StructField(name, LongType, nullable = false)
+      case (Classifier, name) => StructField(name, org.apache.spark.sql.types.StringType)
+      case (PartCol(p), name) => StructField(name, srcField(p).dataType)
+    }
+    val outSchema =
+      if (c.allRows) StructType(srcSchema.fields.toSeq ++ measureFields)
+      else StructType(partIdx.map(srcSchema(_)) ++ measureFields)
     val fieldIdx: Map[String, Int] =
       srcSchema.fieldNames.zipWithIndex.map { case (f, i) => f.toLowerCase -> i }.toMap
     val partPos: Map[String, Int] =
@@ -372,16 +384,24 @@ object MatchRecognize {
       Pattern.Sym[Row](s, r => !r.isNullAt(i) && r.getBoolean(i), q)
     }.toIndexedSeq
 
-    def measureValue(m: Measure, key: IndexedSeq[Any], mm: Pattern.Match[Row]): Any = m match {
+    // Measure over the bindings PREFIX [0..upTo] — RUNNING semantics (the
+    // standard's default in ALL ROWS PER MATCH); at upTo = last index this
+    // is exactly the FINAL value ONE ROW PER MATCH reports.
+    def measureValue(m: Measure, key: IndexedSeq[Any],
+        mm: Pattern.Match[Row], upTo: Int): Any = m match {
       case First(s, f) =>
-        mm.bindings.collectFirst { case (n2, r) if n2 == s => r.get(fieldIdx(f.toLowerCase)) }.orNull
+        mm.bindings.iterator.take(upTo + 1)
+          .collectFirst { case (n2, r) if n2 == s => r.get(fieldIdx(f.toLowerCase)) }.orNull
       case Last(s, f) =>
-        mm.bindings.reverseIterator.collectFirst { case (n2, r) if n2 == s => r.get(fieldIdx(f.toLowerCase)) }.orNull
-      case CountSym(s) => mm.bindings.count(_._1 == s).toLong
-      case CountAll => mm.bindings.length.toLong
+        mm.bindings.take(upTo + 1).reverseIterator
+          .collectFirst { case (n2, r) if n2 == s => r.get(fieldIdx(f.toLowerCase)) }.orNull
+      case CountSym(s) => mm.bindings.iterator.take(upTo + 1).count(_._1 == s).toLong
+      case CountAll => (upTo + 1).toLong
+      case Classifier => mm.bindings(upTo)._1
       case PartCol(p) => key(partPos(p.toLowerCase))
     }
     val measures = c.measures
+    val allRows = c.allRows
 
     // Grouped scan: rows arrive partition-clustered and (part, order)-
     // sorted, so each key's events are a contiguous sorted run — buffer
@@ -396,8 +416,14 @@ object MatchRecognize {
             val key: IndexedSeq[Any] = partIdx.map(in.head.get).toIndexedSeq
             val buf = scala.collection.mutable.ArrayBuffer[Row]()
             while (in.hasNext && partIdx.map(in.head.get).toIndexedSeq == key) buf += in.next()
-            pending = Pattern.matchAll(buf.toIndexedSeq, pat).iterator.map { mm =>
-              Row.fromSeq(key ++ measures.map { case (m, _) => measureValue(m, key, mm) })
+            pending = Pattern.matchAll(buf.toIndexedSeq, pat).iterator.flatMap { mm =>
+              if (allRows)
+                mm.bindings.indices.iterator.map { i =>
+                  Row.fromSeq(mm.bindings(i)._2.toSeq.take(n) ++
+                    measures.map { case (m, _) => measureValue(m, key, mm, i) })
+                }
+              else Iterator.single(Row.fromSeq(key ++ measures.map { case (m, _) =>
+                measureValue(m, key, mm, mm.bindings.length - 1) }))
             }
           }
         override def hasNext: Boolean = { fill(); pending.hasNext }

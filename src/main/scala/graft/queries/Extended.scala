@@ -247,6 +247,38 @@ object Extended extends QueryModule {
       |FROM g GROUP BY user_id, grp
       |ORDER BY user_id, first_event_id""".stripMargin
 
+  // ALL ROWS PER MATCH with RUNNING measures (reference BeamMatchRel
+  // emits per-row output when Calcite plans ALL ROWS): every row of each
+  // decreasing run, with the running drop count. Oracle: row_number()
+  // within the lag() islands.
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    s.sql(
+      """SELECT user_id, event_id, n_sofar
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES COUNT(D.*) AS n_sofar
+        |  ALL ROWS PER MATCH
+        |  PATTERN (D+)
+        |  DEFINE D AS D.value < PREV(value)
+        |)
+        |ORDER BY user_id, event_id""".stripMargin)
+  }
+
+  private val q84Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |d AS (SELECT * FROM e WHERE pv IS NOT NULL AND value < pv),
+      |g AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      |      FROM d)
+      |SELECT user_id, event_id,
+      |  row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) AS n_sofar
+      |FROM g ORDER BY user_id, event_id""".stripMargin
+
   // Arbitrary merging windows (WindowFn.mergeWindows): each event claims
   // [ts, ts+30min); overlapping/touching claims merge per user into
   // maximal windows — the oracle rebuilds the islands independently.
@@ -384,6 +416,7 @@ object Extended extends QueryModule {
     "q58_cep_match_recognize" -> q58,
     "q81_sql_match_recognize" -> q81,
     "q83_match_recognize_prev" -> q83,
+    "q84_match_recognize_all_rows" -> q84,
     "q59_merging_windows" -> q59)
 
   override val oracles: Map[String, String] = Map(
@@ -402,5 +435,6 @@ object Extended extends QueryModule {
     "q58_cep_match_recognize" -> q58Sql,
     "q81_sql_match_recognize" -> q58Sql,
     "q83_match_recognize_prev" -> q83Sql,
+    "q84_match_recognize_all_rows" -> q84Sql,
     "q59_merging_windows" -> q59Sql)
 }

@@ -4312,7 +4312,9 @@ ${q66Half("catalog_sales", "cs", "cs_ext_sales_price* cs_quantity", "cs_net_paid
       |        ,avg_fee
       |limit 100""".stripMargin
 
-  private val bodies: Map[String, String] = Map(
+  // private[graft]: Bench's 10x scale tier times the raw bodies against
+  // re-registered corpus views (entries' run() would re-pin scale 1)
+  private[graft] val bodies: Map[String, String] = Map(
     "ds05_tpcds_channel_sales_returns" -> q5Body,
     "ds08_tpcds_zip_prefix_profit" -> q8Body,
     "ds14a_tpcds_cross_channel_rollup" -> q14aBody,

@@ -24,7 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object TpcDs {
 
-  val dir = "/root/repo/target/tpcds/v21"
+  /** Corpus scale multiplier (SPARK_GRAFT_TPCDS_SCALE, default 1). The
+    * fact tables and the customer population scale linearly; items and
+    * the other dimensions stay fixed — TPC-DS's own shape (facts ∝ SF,
+    * dimensions sub-linear), and exactly what the 10x scale-proof needs:
+    * fact shuffles grow 10x while every dimension stays broadcastable.
+    * Each scale generates into its own versioned directory. */
+  val scale: Int = sys.env.getOrElse("SPARK_GRAFT_TPCDS_SCALE", "1").toInt
+
+  private val base = "/root/repo/target/tpcds/v21"
+  def dirFor(s: Int): String = if (s == 1) base else s"$base-x$s"
+  val dir: String = dirFor(scale)
 
   val tables = Seq("store_sales", "date_dim", "time_dim", "item", "store",
     "household_demographics", "customer", "reason", "customer_address",
@@ -33,11 +43,11 @@ object TpcDs {
     "inventory", "warehouse", "call_center", "ship_mode", "web_site",
     "web_page", "catalog_page", "income_band")
 
-  private val SalesRows = 1000000L
-  private val CatalogRows = 500000L
-  private val WebRows = 400000L
+  private val SalesRows = 1000000L * scale
+  private val CatalogRows = 500000L * scale
+  private val WebRows = 400000L * scale
   private val Items = 2000L
-  private val Customers = 5000L
+  private val Customers = 5000L * scale
   private val Dates = 1826L // 1998-01-01 .. 2002-12-31
   private val Stores = 12L
   private val HouseholdDemos = 720L
@@ -667,12 +677,25 @@ object TpcDs {
     val shards = Map("store_sales" -> 8, "catalog_sales" -> 4,
       "web_sales" -> 4, "inventory" -> 4)
     frames.foreach(_.foreach { case (name, df) =>
-      df.repartition(shards.getOrElse(name, 1))
+      df.repartition(shards.getOrElse(name, 1) * scale) // ~constant bytes/file across scales
         .write.mode("overwrite").parquet(s"$dir/$name")
     })
     tables.foreach { t =>
       spark.read.parquet(s"$dir/$t").createOrReplaceTempView(t)
     }
+  }
+
+  /** Register the temp views from a PRE-GENERATED corpus at `s` (no
+    * generation — returns false when that scale's directory is absent).
+    * Lets one JVM time several scales: generate each scale in its own JVM
+    * via SPARK_GRAFT_TPCDS_SCALE, then swap the views here. */
+  def registerAt(spark: SparkSession, s: Int): Boolean = synchronized {
+    val d = dirFor(s)
+    val ready = tables.forall(t => new File(s"$d/$t/_SUCCESS").exists())
+    if (ready) tables.foreach { t =>
+      spark.read.parquet(s"$d/$t").createOrReplaceTempView(t)
+    }
+    ready
   }
 
   /** DuckDB oracle prefix: the same tables as WITH-views over the SAME

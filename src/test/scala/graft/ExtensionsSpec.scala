@@ -139,10 +139,26 @@ class ExtensionsSpec extends GraftSpec {
         """SELECT * FROM mr_events3 MATCH_RECOGNIZE (
           |  PARTITION BY user_id ORDER BY event_id
           |  MEASURES COUNT(*) AS n
-          |  ALL ROWS PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
           |  PATTERN (A) DEFINE A AS true)""".stripMargin)
     }
-    assert(e.getMessage.contains("ALL ROWS PER MATCH"))
+    assert(e.getMessage.contains("SKIP PAST LAST ROW"))
+  }
+
+  test("MATCH_RECOGNIZE ALL ROWS PER MATCH emits running measures + CLASSIFIER") {
+    Seq((1L, 1L, "click"), (1L, 2L, "click"), (1L, 3L, "purchase"), (1L, 4L, "view"))
+      .toDF("user_id", "event_id", "event_type").createOrReplaceTempView("mr_allrows")
+    val out = spark.sql(
+      """SELECT event_id, n_sofar, sym FROM mr_allrows MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES COUNT(*) AS n_sofar, CLASSIFIER() AS sym
+        |  ALL ROWS PER MATCH
+        |  PATTERN (C+ P)
+        |  DEFINE C AS C.event_type = 'click', P AS P.event_type = 'purchase'
+        |) ORDER BY event_id""".stripMargin)
+      .as[(Long, Long, String)].collect().toSeq
+    // one row per matched input row (3), running count, per-row symbol
+    assert(out == Seq((1L, 1L, "C"), (2L, 2L, "C"), (3L, 3L, "P")), out.toString)
   }
 
   test("MATCH_RECOGNIZE PREV navigates the physical previous row") {
