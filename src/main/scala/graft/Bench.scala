@@ -141,6 +141,12 @@ object Bench {
     // gate suite and inherited its JVM aging (r4's 15-35% batch drift).
     recycle()
     val nexmarkEvents = sys.env.getOrElse("SPARK_GRAFT_NEXMARK_EVENTS", "100000").toLong
+    // untimed tier warmup: a fresh session's first query would otherwise
+    // pay generator codegen + C1/C2 compilation of the whole scan/agg
+    // stack inside its timed run
+    try graft.queries.Nexmark.q0(spark, nexmarkEvents)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
     val nexmark = graft.queries.Nexmark.all.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, nexmarkEvents).write.format("noop").mode("overwrite").save()
@@ -158,8 +164,13 @@ object Bench {
     val nxStream = graft.queries.NexmarkStreaming.queryNames.flatMap { name =>
       // untimed warmup run (same hygiene as the batch suite's noop warmup):
       // pays the query's codegen/JIT once so the timed run measures the
-      // engine's steady-state micro-batch throughput, not class loading
-      graft.queries.NexmarkStreaming.run(spark, name, 5000)
+      // engine's steady-state micro-batch throughput, not class loading.
+      // Streaming jobs run for days in production, so steady state is the
+      // honest number — 30k warmup events get the micro-batch machinery
+      // into C2-compiled code on this now-fresh session (5k did not: the
+      // tier's move off the aged batch session halved reported throughput
+      // purely from lost JIT warmth)
+      graft.queries.NexmarkStreaming.run(spark, name, 30000)
       graft.queries.NexmarkStreaming.run(spark, name, streamEvents)
         .map(eps => s"\"" + name + "\":" + math.round(eps))
     }.mkString("{", ",", "}")

@@ -29,24 +29,20 @@ import org.apache.spark.sql.streaming.Trigger
   *  - q12: processing-time tumbling windows (watermark on a
   *    current_timestamp ingest column).
   *
-  * q4/q6 (non-windowed aggregation after a stream-stream join — the
+  * q4/q6/q9 (non-windowed aggregation after a stream-stream join — the
   * reference reaches these with retractions, which Beam itself marks
   * unsupported on several runners) run as a foreachBatch TWO-STAGE plan:
   * the stream-stream join streams in append mode, and each micro-batch's
-  * join output folds into a running per-auction winning-bid state
-  * (`max(price)` is associative, so batch-wise merge ≡ global max); the
-  * final non-windowed average reads the merged state once at stream end.
-  * This is the standard foreachBatch incremental-MERGE pattern (on a
-  * cluster the state frame would be a Delta/Iceberg MERGE target keyed by
-  * auction id; here it is an in-memory frame re-persisted per batch,
-  * bounded by the live-auction count). Result equality with the batch
-  * plans is pinned in NexmarkStreamingSpec.
-  *
-  * Still batch-only (documented divergence): q9 — its output is the
-  * full winning-bid ROW per auction (argmax with tie-breaks), which a
-  * later bid can retract; without retractions an append stream cannot
-  * emit it incrementally, and a foreachBatch keyed-argmax state would be
-  * the same two-stage shape as q4/q6 with nothing new to show.
+  * join output folds into a running per-auction winning-bid state —
+  * `max(price)` for q4/q6, argmax of (price desc, ts asc) for q9; both
+  * folds are associative, so batch-wise merge ≡ the global answer. The
+  * final projection (q4/q6: non-windowed average; q9: the winning rows
+  * themselves) reads the merged state once at stream end. This is the
+  * standard foreachBatch incremental-MERGE pattern (on a cluster the
+  * state frame would be a Delta/Iceberg MERGE target keyed by auction id;
+  * here it is an in-memory frame re-persisted per batch, bounded by the
+  * live-auction count). Result equality with the batch plans is pinned
+  * in NexmarkStreamingSpec — the batch-only divergence list is empty.
   */
 object NexmarkStreaming {
 
@@ -114,34 +110,54 @@ object NexmarkStreaming {
   }
 
   val queryNames: Seq[String] =
-    Seq("q0", "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q10", "q11", "q12")
+    Seq("q0", "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11", "q12")
 
-  /** q4/q6 two-stage: stream the bids⋈auctions join in append mode, fold
-    * each micro-batch into the running per-auction winning-bid state, and
-    * compute the global average from the state at stream end. Returns the
-    * final frame so the spec can pin equality with the batch plan. */
+  /** q4/q6/q9 two-stage: stream the bids⋈auctions join in append mode,
+    * fold each micro-batch into the running per-auction winning-bid
+    * state, and project the final answer from the state at stream end.
+    * Returns the final frame so the spec can pin equality with the batch
+    * plan. */
   private[graft] def twoStage(spark: SparkSession, name: String, ev: DataFrame,
       ckpt: String, timeoutMs: Long): Option[DataFrame] = {
     import org.apache.spark.storage.StorageLevel
     val a = Nexmark.auctionsFrom(ev).withColumnRenamed("ts", "a_ts")
     val b = Nexmark.bidsFrom(ev).withColumnRenamed("ts", "b_ts")
-    // incremental inner equi-join (the q3 shape) + the expiry bound; the
-    // winning-bid key is (a_id, category) for q4, (a_id, seller) for q6
+    // incremental inner equi-join (the q3 shape) + the expiry bound
     val key = if (name == "q4") "category" else "seller"
-    val joined = b.join(a,
-      col("auction") === col("a_id") && col("b_ts") <= col("expires"))
-      .select(col("a_id"), col(key), col("price"))
+    val joined =
+      if (name == "q9")
+        b.join(a, col("auction") === col("a_id") && col("b_ts") <= col("expires"))
+          .select(col("a_id"), col("category"), col("bidder"), col("price"), col("b_ts"))
+      else
+        b.join(a, col("auction") === col("a_id") && col("b_ts") <= col("expires"))
+          .select(col("a_id"), col(key), col("price"))
+    // the associative per-auction fold: max(price) for q4/q6; for q9 the
+    // full winning ROW by (price desc, earliest bid) — batch q9's
+    // row_number tie-break, associative because bid timestamps are unique
+    // q9's fold is shape-preserving (winning row per auction), so it
+    // merges with itself; q4/q6 rename price → final_price, so the merge
+    // re-maximizes final_price over state ∪ partial
+    def fold(df: DataFrame): DataFrame =
+      if (name == "q9")
+        df.groupBy(col("a_id"))
+          .agg(max_by(
+            struct(col("category"), col("bidder"), col("price"), col("b_ts")),
+            struct(col("price"), (-unix_micros(col("b_ts"))).as("nt"))).as("w"))
+          .select(col("a_id"), col("w.category").as("category"),
+            col("w.bidder").as("bidder"), col("w.price").as("price"),
+            col("w.b_ts").as("b_ts"))
+      else
+        df.groupBy(col("a_id"), col(key)).agg(max(col("price")).as("final_price"))
+    def merge(df: DataFrame): DataFrame =
+      if (name == "q9") fold(df)
+      else df.groupBy(col("a_id"), col(key)).agg(max(col("final_price")).as("final_price"))
     var state: Option[DataFrame] = None
     val q = joined.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // stage 2a: per-batch partial argmax, merged into the running
-        // state — max is associative, so fold order is irrelevant
-        val partial = batch.groupBy(col("a_id"), col(key))
-          .agg(max(col("price")).as("final_price"))
-        val merged = state.fold(partial)(s => s.union(partial)
-            .groupBy(col("a_id"), col(key))
-            .agg(max(col("final_price")).as("final_price")))
+        // stage 2a: per-batch partial fold, merged into the running state
+        val partial = fold(batch)
+        val merged = state.fold(partial)(s => merge(s.union(partial)))
           .persist(StorageLevel.MEMORY_AND_DISK)
         merged.count() // materialize before dropping the predecessor
         state.foreach(_.unpersist())
@@ -150,18 +166,20 @@ object NexmarkStreaming {
       }
       .trigger(Trigger.AvailableNow()).start()
     if (!q.awaitTermination(timeoutMs)) { q.stop(); return None }
-    // stage 2b: the non-windowed global aggregate over the merged state —
-    // materialized (it is one row per category/seller) so the batch-wise
-    // state cache can be released before returning
+    // stage 2b: the final projection over the merged state — materialized
+    // (one row per category/seller/auction) so the batch-wise state cache
+    // can be released before returning
     state.map { s =>
-      val agg =
-        if (name == "q4")
+      val out = name match {
+        case "q4" =>
           s.groupBy(col("category")).agg(round(avg(col("final_price")), 2).as("avg_price"))
-        else
+        case "q6" =>
           s.groupBy(col("seller")).agg(round(avg(col("final_price")), 2).as("avg_sell_price"))
-      val rows = agg.collect().toSeq
+        case _ => s // q9: the winning rows ARE the answer
+      }
+      val rows = out.collect().toSeq
       s.unpersist()
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
     }
   }
 
@@ -207,7 +225,7 @@ object NexmarkStreaming {
     val ev = stream(spark, n, batchRows)
     try {
       val t0 = System.nanoTime()
-      if (name == "q4" || name == "q6") {
+      if (name == "q4" || name == "q6" || name == "q9") {
         val out = twoStage(spark, name, ev, ckpt, timeoutMs)
         if (out.isEmpty) return None
         out.get.write.format("noop").mode("overwrite").save() // final agg is part of the cost

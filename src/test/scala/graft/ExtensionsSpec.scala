@@ -207,6 +207,25 @@ class ExtensionsSpec extends GraftSpec {
     assert(e.getMessage.contains("cross-symbol"), e.getMessage)
   }
 
+  test("MATCH_RECOGNIZE rewrites multiple clauses in one statement") {
+    Seq((1L, 1L, "click"), (1L, 2L, "purchase"))
+      .toDF("user_id", "event_id", "event_type").createOrReplaceTempView("mr_multi")
+    val out = spark.sql(
+      """SELECT a.user_id, a.n + b.n AS total FROM
+        |  (SELECT * FROM mr_multi MATCH_RECOGNIZE (
+        |     PARTITION BY user_id ORDER BY event_id
+        |     MEASURES COUNT(*) AS n PATTERN (C P)
+        |     DEFINE C AS event_type = 'click', P AS event_type = 'purchase')) a
+        |  JOIN
+        |  (SELECT * FROM mr_multi MATCH_RECOGNIZE (
+        |     PARTITION BY user_id ORDER BY event_id
+        |     MEASURES COUNT(P.*) AS n PATTERN (C P)
+        |     DEFINE C AS event_type = 'click', P AS event_type = 'purchase')) b
+        |  ON a.user_id = b.user_id""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L)), out.toString) // 2 rows + 1 purchase
+  }
+
   test("MATCH_RECOGNIZE resolves columns case-insensitively") {
     Seq((1L, 1L, "click"), (1L, 2L, "purchase"))
       .toDF("user_id", "event_id", "event_type").createOrReplaceTempView("mr_ci")

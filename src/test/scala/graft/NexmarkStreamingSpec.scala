@@ -45,17 +45,20 @@ class NexmarkStreamingSpec extends GraftSpec {
     assert(missing.isEmpty, s"rows not in batch answer: ${missing.take(5)}")
   }
 
-  test("q4/q6 foreachBatch two-stage equals the batch plan exactly") {
-    // the two-stage fold (per-batch partial max merged into running state,
-    // global avg at stream end) must reproduce the one-shot batch answer
-    for (name <- Seq("q4", "q6")) {
+  test("q4/q6/q9 foreachBatch two-stage equals the batch plan exactly") {
+    // the two-stage fold (per-batch partial max/argmax merged into running
+    // state, final projection at stream end) must reproduce the one-shot
+    // batch answer; q9 compares the full winning ROWS (argmax tie-breaks)
+    val batchPlans = Map[String, org.apache.spark.sql.DataFrame](
+      "q4" -> Nexmark.q4(spark, N), "q6" -> Nexmark.q6(spark, N),
+      "q9" -> Nexmark.q9(spark, N))
+    for (name <- Seq("q4", "q6", "q9")) {
       val ckpt = java.nio.file.Files.createTempDirectory(s"nxs2-$name").toString
       val ev = NexmarkStreaming.stream(spark, N, rowsPerBatch = N / 5)
       val out = NexmarkStreaming.twoStage(spark, name, ev, ckpt, 120000)
         .getOrElse(fail(s"$name two-stage did not finish"))
         .collect().map(_.toString).toSet
-      val batch = (if (name == "q4") Nexmark.q4(spark, N) else Nexmark.q6(spark, N))
-        .collect().map(_.toString).toSet
+      val batch = batchPlans(name).collect().map(_.toString).toSet
       assert(out == batch, s"$name: stream-only=${(out -- batch).take(3)} " +
         s"batch-only=${(batch -- out).take(3)}")
     }
