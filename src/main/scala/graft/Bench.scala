@@ -2,6 +2,93 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The training-data-pipeline scale tier: generate (once) the
+    * [[graft.sources.PipelineCorpus]] at `scale`, time the dedup/text/ANN
+    * operators on it, and measure the accuracy contracts at scale —
+    * minhash recall vs the planted pairs whose exact shingle Jaccard
+    * clears the 0.7 threshold, and LSH/IVF ANN recall@10 vs the exact
+    * brute-force top-k on the same queries. Returns (seconds, recalls).
+    * Callable standalone (spark-shell) for iteration. */
+  def pipelineTier(spark: SparkSession,
+      scale: Int): (Map[String, Double], Map[String, Double]) = {
+    import org.apache.spark.sql.functions._
+    graft.sources.PipelineCorpus.ensure(spark, scale) // generate-once, untimed
+    val docs = spark.table("pipeline_documents")
+    val emb = spark.table("pipeline_embeddings")
+    val nVec = graft.sources.PipelineCorpus.vecsFor(scale)
+    val qVecs = emb.filter(col("vec_id") % lit(math.max(nVec / 200L, 1L)) === 0)
+      .persist()
+    qVecs.count()
+    var times = Map.empty[String, Double]
+    var recalls = Map.empty[String, Double]
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      times += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+    timed("exact_dedup") {
+      graft.dedup.Dedup.exact(docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val found = timed("minhash_lsh_neardups") {
+      val f = graft.dedup.Dedup.minhashNearDups(docs, "doc_id", "text").persist()
+      f.count(); f
+    }
+    // recall vs planted pairs whose exact shingle Jaccard clears the
+    // 0.7 query threshold (the denominator is known by construction)
+    val planted = docs.filter(col("dup_of") >= 0)
+      .select(col("dup_of").as("id_a"), col("doc_id").as("id_b"))
+    val sh = docs.select(col("doc_id"),
+      graft.functions.charShingleHashes(col("text"), 5).as("sh"))
+    val plantedTrue = planted
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(graft.dedup.Dedup.jaccard(col("sh_a"), col("sh_b")) > 0.7)
+      .select("id_a", "id_b").persist()
+    val denom = plantedTrue.count()
+    val hit = plantedTrue.join(found, Seq("id_a", "id_b"), "left_semi").count()
+    if (denom > 0) recalls += "minhash_planted" -> hit.toDouble / denom
+    plantedTrue.unpersist(); found.unpersist()
+    timed("simhash_neardups") {
+      graft.dedup.Dedup.simhashNearDups(docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("text_features") {
+      graft.text.TextAnalysis.withTextFeatures(docs, "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("repetition_features") {
+      graft.text.TextAnalysis.withRepetitionFeatures(docs, "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val brute = timed("ann_brute_force") {
+      val b = graft.similarity.Similarity
+        .bruteForceTopK(emb, qVecs, "vec_id", "embedding", 10).persist()
+      b.count(); b
+    }
+    def annRecall(name: String)(run: => org.apache.spark.sql.DataFrame): Unit = {
+      val approx = timed(name) { val a = run.persist(); a.count(); a }
+      val inter = brute.select("query_id", "nn_id")
+        .join(approx.select("query_id", "nn_id"), Seq("query_id", "nn_id"), "left_semi")
+        .count()
+      val total = brute.count()
+      if (total > 0) recalls += s"${name}@10" -> inter.toDouble / total
+      approx.unpersist()
+    }
+    annRecall("ann_lsh") {
+      graft.similarity.Similarity.lshTopK(emb, qVecs, "vec_id", "embedding",
+        10, nBits = 6, tables = 16)
+    }
+    annRecall("ann_ivf") {
+      graft.similarity.Similarity.ivfTopK(emb, qVecs, "vec_id", "embedding",
+        10, nlist = 64, nprobe = 8)
+    }
+    brute.unpersist(); qVecs.unpersist()
+    (times, recalls)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -44,6 +131,18 @@ object Bench {
         val eps = graft.queries.NexmarkStreaming.run(spark, q.trim, nEv, rpb)
         println(s"[stream-only] $q events/s = ${eps.map(_.round).getOrElse(-1L)}")
       }
+      spark.stop()
+      return
+    }
+    // iteration aid: SPARK_GRAFT_PIPELINE_ONLY=scale runs just the
+    // pipeline scale tier and exits
+    if (sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) {
+      val sc = sys.env("SPARK_GRAFT_PIPELINE_ONLY").toInt
+      val (sec, rec) = pipelineTier(spark, sc)
+      println("[pipeline-only] sec " +
+        sec.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+      println("[pipeline-only] recall " +
+        rec.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
       spark.stop()
       return
     }
@@ -135,6 +234,27 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
 
+    // Training-data-pipeline scale proof: the dedup/ANN/text operators on
+    // the generated PipelineCorpus (default 10x = 1M documents with
+    // planted near-dup pairs + 2M clustered 64-dim embeddings — 200x /
+    // 1000x the sf0.1 gate tables). Generation is untimed and cached in
+    // target/ across runs. Beyond wall-clock, the tier reports CHECKED
+    // accuracy at scale: minhash recall vs the planted pairs that clear
+    // the Jaccard threshold, and LSH/IVF ANN recall@10 vs the exact
+    // brute-force top-k on the same queries — the small-SF accuracy gates
+    // re-measured at 200x the corpus.
+    val pipelineScale = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_SCALE", "10").toInt
+    val (pipelineSec, pipelineRecall): (Map[String, Double], Map[String, Double]) =
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) (Map.empty, Map.empty)
+      else try {
+        spark.stop(); spark = newSession()
+        pipelineTier(spark, pipelineScale)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-pipeline] $e")
+          (Map.empty[String, Double], Map.empty[String, Double])
+      }
+
     // Nexmark SMOKE analog: 100k generated events (BASELINE.md's config),
     // reported as events/sec per query for direct baseline comparison.
     // Fresh session first: this tier used to run right after the recycled
@@ -157,7 +277,7 @@ object Bench {
     val nx = nexmark.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Structured Streaming micro-batch runs (Trigger.AvailableNow over the
-    // graft-seqgen source); q4/q6/q9 are batch-only (see NexmarkStreaming).
+    // graft-seqgen source); q4/q6/q9 run the foreachBatch two-stage fold.
     val streamEvents = sys.env.getOrElse("SPARK_GRAFT_NEXMARK_STREAM_EVENTS",
       nexmarkEvents.toString).toLong
     recycle() // streaming tier on its own fresh session, same hygiene
@@ -188,7 +308,11 @@ object Bench {
     val inRunDisclosed = suspects.map(k => s"\"" + k + "\":" + fmt(inRun(k)))
       .mkString("{", ",", "}")
     val s10Total = fmt(scale10.values.sum)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"tpcds_total_sec":${fmt(tpcdsTotal)},"tpcds_scale10_total_sec":$s10Total,"tpcds_scale10_n":${scale10.size},"queries":$qs,"in_run_sec":$inRunDisclosed,"nexmark_events_per_sec":$nx,"nexmark_num_events":$nexmarkEvents,"nexmark_streaming_events_per_sec":$nxStream,"nexmark_streaming_num_events":$streamEvents,"stress_events_per_sec":$nxStress,"stress_num_events":$stressEvents,"sf":"$sfDir"}"""
+    def jmap(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val pipe = s""""pipeline_scale":$pipelineScale,"pipeline_docs":${graft.sources.PipelineCorpus.docsFor(pipelineScale)},"pipeline_vecs":${graft.sources.PipelineCorpus.vecsFor(pipelineScale)},"pipeline_sec":${jmap(pipelineSec)},"pipeline_recall":${jmap(pipelineRecall)}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"tpcds_total_sec":${fmt(tpcdsTotal)},"tpcds_scale10_total_sec":$s10Total,"tpcds_scale10_n":${scale10.size},"queries":$qs,"in_run_sec":$inRunDisclosed,$pipe,"nexmark_events_per_sec":$nx,"nexmark_num_events":$nexmarkEvents,"nexmark_streaming_events_per_sec":$nxStream,"nexmark_streaming_num_events":$streamEvents,"stress_events_per_sec":$nxStress,"stress_num_events":$stressEvents,"sf":"$sfDir"}"""
     val s10Qs = scale10.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val full = line.dropRight(1) + s""","all_queries":$fullQs,"scale10_queries":$s10Qs}"""

@@ -30,6 +30,14 @@ object Pattern extends Serializable {
   case object Star extends Quant
   case object Opt extends Quant
 
+  /** AFTER MATCH SKIP strategies (reference NFA.java match-resumption):
+    * PastLastRow (default) resumes after the match — non-overlapping;
+    * ToNextRow resumes at the row after the match START — overlapping
+    * matches, the standard's sliding-scan mode. */
+  sealed trait Skip
+  case object PastLastRow extends Skip
+  case object ToNextRow extends Skip
+
   /** One pattern symbol: name, row predicate, quantifier. `prevPred`,
     * when set, replaces `pred` with a predicate that also sees the
     * PHYSICAL previous event in the key's ordered sequence (None at the
@@ -58,15 +66,17 @@ object Pattern extends Serializable {
   }
 
   /** Match one key's ordered event sequence against the pattern.
-    * Greedy with backtracking; non-overlapping (skip past last row). */
-  def matchAll[E](events: IndexedSeq[E], pattern: IndexedSeq[Sym[E]]): Seq[Match[E]] =
-    matchScan(events, pattern)._1
+    * Greedy with backtracking; match resumption per `skip`. */
+  def matchAll[E](events: IndexedSeq[E], pattern: IndexedSeq[Sym[E]],
+      skip: Skip = PastLastRow): Seq[Match[E]] =
+    matchScan(events, pattern, skip)._1
 
   /** As matchAll, additionally returning the indices of events NOT
     * consumed by any match (needed by the streaming matcher to retain
     * events that may yet participate when later input arrives). */
   def matchScan[E](events: IndexedSeq[E],
-      pattern: IndexedSeq[Sym[E]]): (Seq[Match[E]], Seq[Int]) = {
+      pattern: IndexedSeq[Sym[E]],
+      skip: Skip = PastLastRow): (Seq[Match[E]], Seq[Int]) = {
     val n = events.length
 
     // Try to match the full pattern starting at event index `start`;
@@ -100,26 +110,44 @@ object Pattern extends Serializable {
     }
 
     val out = Seq.newBuilder[Match[E]]
-    val unconsumed = Seq.newBuilder[Int]
     var i = 0
-    while (i < n) {
-      tryFrom(i) match {
-        case Some((end, binds)) if end > i => // non-empty match: skip past it
-          out += Match(binds.toIndexedSeq); i = end
-        case _ => unconsumed += i; i += 1 // no match (or zero-width): advance
-      }
+    skip match {
+      case PastLastRow =>
+        val unconsumed = Seq.newBuilder[Int]
+        while (i < n) {
+          tryFrom(i) match {
+            case Some((end, binds)) if end > i => // non-empty match: skip past it
+              out += Match(binds.toIndexedSeq); i = end
+            case _ => unconsumed += i; i += 1 // no match (or zero-width): advance
+          }
+        }
+        (out.result(), unconsumed.result())
+      case ToNextRow =>
+        // overlapping: resume at start+1; an event is unconsumed iff it
+        // appears in NO match
+        val consumed = new Array[Boolean](n)
+        while (i < n) {
+          tryFrom(i) match {
+            case Some((end, binds)) if end > i =>
+              out += Match(binds.toIndexedSeq)
+              var j = i; while (j < end) { consumed(j) = true; j += 1 }
+            case _ =>
+          }
+          i += 1
+        }
+        (out.result(), (0 until n).filterNot(consumed))
     }
-    (out.result(), unconsumed.result())
   }
 
   /** Distributed MATCH_RECOGNIZE: partition by `key`, order by `order`,
     * emit one output row per match via `emit`. */
   def matchPattern[E, K: Encoder, S: Ordering, O: Encoder](
       ds: Dataset[E], key: E => K, order: E => S,
-      pattern: Seq[Sym[E]])(emit: (K, Match[E]) => O): Dataset[O] =
+      pattern: Seq[Sym[E]], skip: Skip = PastLastRow)(
+      emit: (K, Match[E]) => O): Dataset[O] =
     ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
       val evs = it.toIndexedSeq.sortBy(order)
-      matchAll(evs, pattern.toIndexedSeq).iterator.map(m => emit(k, m))
+      matchAll(evs, pattern.toIndexedSeq, skip).iterator.map(m => emit(k, m))
     }
 
   /** STREAMING MATCH_RECOGNIZE: per-key pattern matching on an unbounded

@@ -234,11 +234,15 @@ package object functions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  /** Cosine similarity (0 when either vector is all-zero). */
-  def cosineSim(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
-  }
+  /** Cosine similarity (0 when either vector is all-zero). Native fused
+    * kernel (graft.plans.CosineSim): dot + both norms in one codegen'd
+    * loop — the declarative `dot(a,b) / (l2Norm(a) * l2Norm(b))` pays
+    * three interpreted lambda folds and an array allocation per pair. */
+  def cosineSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.CosineSim(
+        org.apache.spark.sql.graftbridge.expression(a),
+        org.apache.spark.sql.graftbridge.expression(b)))
 
   /** Multi-table random-hyperplane LSH signatures for cosine distance:
     * array of `tables` signatures, each `nBits` sign bits of projections

@@ -289,6 +289,68 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native cosine similarity of two numeric array columns: one fused loop
+  * computes dot product and both norms — no intermediate array. The
+  * declarative zip_with+aggregate formulation allocates a 64-element
+  * array and runs three interpreted lambda folds PER PAIR (~3µs);
+  * measured 140s → ~4s on the 40M-pair brute-force ANN scan. Formula
+  * matches the declarative version exactly: sqrt(na)*sqrt(nb) denom,
+  * 0.0 when either vector is all-zero. Accepts array<double|float> on
+  * either side (mixed ok). */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def elem(t: DataType): Option[Boolean] = t match {
+    case ArrayType(DoubleType, _) => Some(false)
+    case ArrayType(FloatType, _) => Some(true)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elem(left.dataType).isDefined && elem(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires two array<double|float> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private lazy val leftFloat = elem(left.dataType).get
+  private lazy val rightFloat = elem(right.dataType).get
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.CosineSim.compute($a, $b, $leftFloat, $rightFloat);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    val k = math.min(n, m)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < k) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    while (i < n) { val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i); na += x * x; i += 1 }
+    i = k
+    while (i < m) { val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i); nb += y * y; i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
 object SortedJaccard {
   def compute(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()

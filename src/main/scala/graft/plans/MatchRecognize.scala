@@ -24,7 +24,7 @@ import graft.cep.Pattern
   *   MEASURES m1 AS a1 [, ...]       -- FIRST(S.c) | LAST(S.c) |
   *                                   -- COUNT(S.*) | COUNT(*) | partition col
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
-  *   [AFTER MATCH SKIP PAST LAST ROW]
+  *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
   *   PATTERN (S1[+*?] S2[+*?] ...)
   *   DEFINE S1 AS <predicate>, ...   -- current-row predicates; symbols
   * ) [AS alias] ...                  -- without DEFINE default to TRUE
@@ -40,9 +40,12 @@ import graft.cep.Pattern
   * `PREV(col [, n])` / `NEXT(col [, n])` (SQL-standard physical
   * navigation over the partition's ORDER BY sequence, the semantics of
   * the reference's Calcite planner — impl/cep/CEPCall.java operators).
-  * A DEFINE referencing ANOTHER symbol's binding (`B AS B.price >
-  * A.price`) and ALL ROWS PER MATCH are not supported — rejected with a
-  * clear error, never silently mis-executed.
+  * AFTER MATCH SKIP PAST LAST ROW (default) emits non-overlapping
+  * matches; SKIP TO NEXT ROW resumes at the row after the match start —
+  * overlapping (sliding) matches. A DEFINE referencing ANOTHER symbol's
+  * binding (`B AS B.price > A.price`) and SKIP TO FIRST/LAST <symbol>
+  * are not supported — rejected with a clear error, never silently
+  * mis-executed.
   *
   * Execution: the clause is rewritten at parse time — the source relation
   * is hash-repartitioned ONCE on the partition key and sorted in-task by
@@ -68,7 +71,8 @@ object MatchRecognize {
       measures: Seq[(Measure, String)],
       pattern: Seq[(String, Pattern.Quant)],
       defines: Seq[(String, String)],
-      allRows: Boolean)
+      allRows: Boolean,
+      skip: Pattern.Skip)
 
   private[plans] sealed trait Measure
   private case class First(sym: String, field: String) extends Measure
@@ -83,7 +87,8 @@ object MatchRecognize {
 
   private val Sections =
     ("(?is)^\\s*PARTITION\\s+BY\\s+(.*?)\\s+ORDER\\s+BY\\s+(.*?)\\s+MEASURES\\s+(.*?)\\s+" +
-      "(?:(ONE\\s+ROW|ALL\\s+ROWS)\\s+PER\\s+MATCH\\s+)?(?:AFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW\\s+)?" +
+      "(?:(ONE\\s+ROW|ALL\\s+ROWS)\\s+PER\\s+MATCH\\s+)?" +
+      "(?:AFTER\\s+MATCH\\s+SKIP\\s+(PAST\\s+LAST\\s+ROW|TO\\s+NEXT\\s+ROW)\\s+)?" +
       "PATTERN\\s*\\((.*?)\\)\\s*DEFINE\\s+(.*?)\\s*$").r
 
   private val MeasureFirst = "(?i)^FIRST\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*\\)$".r
@@ -114,9 +119,11 @@ object MatchRecognize {
       val (source, beforeSource) = sourceOperand(sqlText, m.start)
       val clause = parseClause(body)
       // reject out-of-subset constructs loudly rather than mis-executing
-      if ("(?i)SKIP\\s+TO".r.findFirstIn(body).isDefined)
+      // (SKIP TO NEXT ROW is supported; SKIP TO FIRST/LAST <symbol> is not)
+      if ("(?i)SKIP\\s+TO(?!\\s+NEXT\\s+ROW)".r.findFirstIn(body).isDefined)
         throw new IllegalArgumentException(
-          "MATCH_RECOGNIZE: only AFTER MATCH SKIP PAST LAST ROW is supported")
+          "MATCH_RECOGNIZE: AFTER MATCH SKIP supports PAST LAST ROW and TO NEXT ROW " +
+            "(SKIP TO FIRST/LAST <symbol> is not supported)")
       val src =
         if (source.startsWith("(")) spark.sql(source.stripPrefix("(").stripSuffix(")"))
         else spark.table(source)
@@ -191,7 +198,7 @@ object MatchRecognize {
   }
 
   private[plans] def parseClause(body: String): Clause = body.trim match {
-    case Sections(part, order, measures, rowsPerMatch, pattern, defines) =>
+    case Sections(part, order, measures, rowsPerMatch, skipSpec, pattern, defines) =>
       val pat = PatternSym.findAllMatchIn(pattern).map { m =>
         val q = m.group(2) match {
           case "+" => Pattern.Plus
@@ -227,7 +234,9 @@ object MatchRecognize {
       }
       Clause(partCols, order.split(",").map(_.trim.replaceAll("(?i)\\s+ASC$", "")).toSeq,
         ms, pat, defs,
-        allRows = rowsPerMatch != null && rowsPerMatch.toUpperCase.startsWith("ALL"))
+        allRows = rowsPerMatch != null && rowsPerMatch.toUpperCase.startsWith("ALL"),
+        skip = if (skipSpec != null && skipSpec.toUpperCase.startsWith("TO"))
+          Pattern.ToNextRow else Pattern.PastLastRow)
     case other => throw new IllegalArgumentException(
       s"MATCH_RECOGNIZE: expected PARTITION BY ... ORDER BY ... MEASURES ... " +
         s"PATTERN (...) DEFINE ..., got: $other")
@@ -402,6 +411,7 @@ object MatchRecognize {
     }
     val measures = c.measures
     val allRows = c.allRows
+    val skipMode = c.skip
 
     // Grouped scan: rows arrive partition-clustered and (part, order)-
     // sorted, so each key's events are a contiguous sorted run — buffer
@@ -416,7 +426,7 @@ object MatchRecognize {
             val key: IndexedSeq[Any] = partIdx.map(in.head.get).toIndexedSeq
             val buf = scala.collection.mutable.ArrayBuffer[Row]()
             while (in.hasNext && partIdx.map(in.head.get).toIndexedSeq == key) buf += in.next()
-            pending = Pattern.matchAll(buf.toIndexedSeq, pat).iterator.flatMap { mm =>
+            pending = Pattern.matchAll(buf.toIndexedSeq, pat, skipMode).iterator.flatMap { mm =>
               if (allRows)
                 mm.bindings.indices.iterator.map { i =>
                   Row.fromSeq(mm.bindings(i)._2.toSeq.take(n) ++

@@ -279,6 +279,35 @@ object Extended extends QueryModule {
       |  row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) AS n_sofar
       |FROM g ORDER BY user_id, event_id""".stripMargin
 
+  // AFTER MATCH SKIP TO NEXT ROW (reference NFA match-resumption modes):
+  // overlapping pairs — every row followed by a higher value starts its
+  // own (A B) match, so consecutive rises yield matches sharing a row,
+  // which PAST LAST ROW would suppress. Oracle: a lead() self-pair.
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    s.sql(
+      """SELECT user_id, a_id, b_id
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B)
+        |  DEFINE B AS B.value > PREV(value)
+        |)
+        |ORDER BY user_id, a_id""".stripMargin)
+  }
+
+  private val q85Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |    lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nv,
+      |    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nid
+      |  FROM events)
+      |SELECT user_id, event_id AS a_id, nid AS b_id
+      |FROM e WHERE nv > value
+      |ORDER BY user_id, a_id""".stripMargin
+
   // Arbitrary merging windows (WindowFn.mergeWindows): each event claims
   // [ts, ts+30min); overlapping/touching claims merge per user into
   // maximal windows — the oracle rebuilds the islands independently.
@@ -417,6 +446,7 @@ object Extended extends QueryModule {
     "q81_sql_match_recognize" -> q81,
     "q83_match_recognize_prev" -> q83,
     "q84_match_recognize_all_rows" -> q84,
+    "q85_match_recognize_skip_next" -> q85,
     "q59_merging_windows" -> q59)
 
   override val oracles: Map[String, String] = Map(
@@ -436,5 +466,6 @@ object Extended extends QueryModule {
     "q81_sql_match_recognize" -> q58Sql,
     "q83_match_recognize_prev" -> q83Sql,
     "q84_match_recognize_all_rows" -> q84Sql,
+    "q85_match_recognize_skip_next" -> q85Sql,
     "q59_merging_windows" -> q59Sql)
 }

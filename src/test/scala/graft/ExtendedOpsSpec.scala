@@ -51,6 +51,17 @@ class ExtendedOpsSpec extends GraftSpec {
     assert(ms.map(_.events) == Seq(IndexedSeq(8, 7), IndexedSeq(5)))
   }
 
+  test("cep: SKIP TO NEXT ROW yields overlapping matches; unconsumed = in no match") {
+    val pat = IndexedSeq(Sym[Char]("a", _ != 'x'), Sym[Char]("b", _ != 'x'))
+    // "abcx": windows ab, bc overlap on b; x and the c stranded before it
+    // join no pair-with-next
+    val (ms, un) = Pattern.matchScan(syms("abcx"), pat, Pattern.ToNextRow)
+    assert(ms.map(_.events.mkString) == Seq("ab", "bc"))
+    assert(un == Seq(3)) // only x is in no match
+    val (ms2, _) = Pattern.matchScan(syms("abcx"), pat, Pattern.PastLastRow)
+    assert(ms2.map(_.events.mkString) == Seq("ab")) // c has no partner left
+  }
+
   test("cep: distributed matchPattern groups by key and orders by time") {
     val evs = Seq(
       (1L, 1L, "a"), (1L, 2L, "b"), // key 1: ab

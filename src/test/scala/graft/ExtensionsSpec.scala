@@ -139,10 +139,27 @@ class ExtensionsSpec extends GraftSpec {
         """SELECT * FROM mr_events3 MATCH_RECOGNIZE (
           |  PARTITION BY user_id ORDER BY event_id
           |  MEASURES COUNT(*) AS n
-          |  AFTER MATCH SKIP TO NEXT ROW
+          |  AFTER MATCH SKIP TO LAST A
           |  PATTERN (A) DEFINE A AS true)""".stripMargin)
     }
-    assert(e.getMessage.contains("SKIP PAST LAST ROW"))
+    assert(e.getMessage.contains("SKIP TO FIRST/LAST"), e.getMessage)
+  }
+
+  test("MATCH_RECOGNIZE SKIP TO NEXT ROW emits overlapping matches") {
+    // values 1,3,5,2: rises (1,3) and (3,5) SHARE row 2 — PAST LAST ROW
+    // would consume rows 1-2 and miss the (3,5) pair
+    Seq((1L, 1L, 1.0), (1L, 2L, 3.0), (1L, 3L, 5.0), (1L, 4L, 2.0))
+      .toDF("user_id", "event_id", "value").createOrReplaceTempView("mr_skipnext")
+    def q(skip: String) = spark.sql(
+      s"""SELECT a_id, b_id FROM mr_skipnext MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY event_id
+         |  MEASURES FIRST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+         |  AFTER MATCH SKIP $skip
+         |  PATTERN (A B)
+         |  DEFINE B AS B.value > PREV(value)
+         |) ORDER BY a_id""".stripMargin).as[(Long, Long)].collect().toSeq
+    assert(q("TO NEXT ROW") == Seq((1L, 2L), (2L, 3L)))
+    assert(q("PAST LAST ROW") == Seq((1L, 2L)))
   }
 
   test("MATCH_RECOGNIZE ALL ROWS PER MATCH emits running measures + CLASSIFIER") {

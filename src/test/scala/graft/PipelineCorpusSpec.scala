@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.sources.PipelineCorpus
+
+/** The scaled pipeline corpus (Bench's dedup/ANN scale-proof tier) at
+  * miniature size: the planted-near-dup construction and the recall
+  * measurement must hold before the 10x tier's numbers mean anything. */
+class PipelineCorpusSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val nDocs = 2000L
+  private lazy val docs = PipelineCorpus.genDocuments(spark, nDocs).persist()
+
+  test("document generation is deterministic and planted pairs are marked") {
+    assert(PipelineCorpus.docText(123L) == PipelineCorpus.docText(123L))
+    assert(docs.count() == nDocs)
+    val planted = docs.filter(col("dup_of") >= 0)
+    assert(planted.count() == nDocs / 10)
+    // a mutated copy differs from its base but shares most of its text
+    val pair = docs.filter(col("doc_id").isin(8L, 9L))
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(pair(0) != pair(1))
+  }
+
+  test("planted pairs land above the dedup threshold and minhash finds them") {
+    val sh = docs.select(col("doc_id"), graft.functions.charShingleHashes(col("text"), 5).as("sh"))
+    val plantedTrue = docs.filter(col("dup_of") >= 0)
+      .select(col("dup_of").as("id_a"), col("doc_id").as("id_b"))
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+    // the mutation rate must land the BULK of planted pairs above the 0.7
+    // Jaccard threshold — otherwise the scale tier's recall denominator
+    // collapses and the measurement is vacuous
+    val total = plantedTrue.count()
+    val above = plantedTrue.filter(col("j") > 0.7).select("id_a", "id_b").persist()
+    val denom = above.count()
+    assert(denom >= total * 4 / 10, s"only $denom/$total planted pairs above 0.7")
+    val found = Dedup.minhashNearDups(docs, "doc_id", "text")
+    val hit = above.join(found, Seq("id_a", "id_b"), "left_semi").count()
+    val recall = hit.toDouble / denom
+    assert(recall >= 0.95, s"planted recall $recall = $hit/$denom")
+    above.unpersist()
+  }
+
+  test("embeddings cluster structure is real (ANN recall is measurable)") {
+    val nVecs = 10000L
+    val emb = PipelineCorpus.genEmbeddings(spark, nVecs).persist()
+    assert(emb.count() == nVecs)
+    assert(emb.select(size(col("embedding"))).distinct().as[Int].collect().toSeq == Seq(PipelineCorpus.Dim))
+    // queries drawn from the corpus: exact top-1 neighbors should land in
+    // the query's own generator cluster almost always — the structure IVF
+    // k-means is supposed to recover
+    val q = emb.filter(col("vec_id") % 200 === 0)
+    val top1 = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 1)
+    val joined = top1
+      .join(emb.select(col("vec_id").as("query_id"), col("cluster").as("qc")), "query_id")
+      .join(emb.select(col("vec_id").as("nn_id"), col("cluster").as("nc")), "nn_id")
+    val same = joined.filter(col("qc") === col("nc")).count()
+    val total = joined.count()
+    assert(total > 0 && same.toDouble / total >= 0.9,
+      s"top-1 neighbor in query's cluster only $same/$total")
+    emb.unpersist()
+  }
+}

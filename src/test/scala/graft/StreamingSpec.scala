@@ -483,6 +483,50 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stateful queries run unchanged on the RocksDB state store") {
+    // At 100 TB of stream state the per-key map outgrows executor heaps —
+    // RocksDB is the disk-backed provider Spark ships for exactly that.
+    // The whole stateful substrate (windowed aggs AND the
+    // flatMapGroupsWithState state/timer machinery) must be
+    // provider-agnostic: identical results to the default in-memory
+    // HDFSBackedStateStore, only the state-store plumbing changes.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      // windowed agg with watermark (StateStoreSave exec)
+      val aggIn = MemoryStream[(String, Timestamp)]
+      val agg = aggIn.toDF().toDF("k", "event_time")
+        .withWatermark("event_time", "10 seconds")
+        .groupBy(window(col("event_time"), "1 minute"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("k"), col("n"))
+      val q1 = agg.writeStream.format("memory").queryName("rocks_agg")
+        .outputMode("append").start()
+      // custom state cells + batching (FlatMapGroupsWithState exec)
+      val batchIn = MemoryStream[(String, Int)]
+      val batched = Stateful.groupIntoBatches(batchIn.toDS(), batchSize = 2,
+        maxWaitMs = 3600000)
+      val q2 = batched.writeStream.format("memory").queryName("rocks_batched")
+        .outputMode("append").trigger(Trigger.ProcessingTime(200)).start()
+      try {
+        aggIn.addData(("a", ts("2024-01-01 00:00:10")), ("a", ts("2024-01-01 00:00:20")),
+          ("b", ts("2024-01-01 00:00:30")))
+        q1.processAllAvailable()
+        aggIn.addData(("a", ts("2024-01-01 00:05:00"))) // advance watermark past the window
+        q1.processAllAvailable()
+        val counts = spark.table("rocks_agg").as[(String, Long)].collect().toSet
+        assert(counts == Set(("a", 2L), ("b", 1L)), counts.toString)
+        batchIn.addData(("a", 1), ("a", 2), ("a", 3), ("b", 9))
+        awaitRows("rocks_batched", 1)
+        val out = spark.table("rocks_batched").as[(String, Seq[Int])].collect()
+        assert(out.toSeq == Seq(("a", Seq(1, 2))), out.toSeq.toString)
+      } finally { q1.stop(); q2.stop() }
+    } finally old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("windows DSL assigns identical structs on batch frames") {
     val df = Seq(ts("2024-01-01 00:00:30")).toDF("event_time")
     val fixed = Windows.windowed(df, Windows.Fixed("1 minute"), col("event_time"))

@@ -94,6 +94,25 @@ class TrainingDataSpec extends GraftSpec {
     assert(fp == feats(0L)._3)
   }
 
+  test("repetition features flag boilerplate, keep prose") {
+    val rep = Seq(
+      (0L, "buy now buy now buy now buy now buy now buy now"), // pure boilerplate
+      (1L, "the quick brown fox jumps over the lazy dog today")) // no repeated n-grams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetitionFeatures(rep, "text")
+      .select("doc_id", "n_bigrams", "dup_bigram_ratio", "dup_trigram_ratio")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // doc 0: 11 bigrams, only 2 distinct ("buy now"/"now buy") → ratio 9/11
+    assert(out(0)._2 == 11L && out(0)._3 > 0.8 && out(0)._4 > 0.7, out(0).toString)
+    assert(out(1)._3 == 0.0 && out(1)._4 == 0.0, out(1).toString)
+    val kept = TextAnalysis.repetitionFilter(rep, "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+    // short docs (fewer tokens than the n-gram width) are kept, not crashed
+    val short = Seq((9L, "one")).toDF("doc_id", "text")
+    assert(TextAnalysis.repetitionFilter(short, "text").count() == 1L)
+  }
+
   test("IVF ANN with full probing equals brute force; partial probing is a subset") {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
