@@ -17,6 +17,9 @@ object Bench {
     val docs = spark.table("pipeline_documents")
     val emb = spark.table("pipeline_embeddings")
     val nVec = graft.sources.PipelineCorpus.vecsFor(scale)
+    // ~200 query vectors at any scale: a stable recall@10 estimate (2000
+    // neighbor labels) while the brute-force baseline — linear in
+    // queries × corpus — stays minutes, not hours, at scale 10+
     val qVecs = emb.filter(col("vec_id") % lit(math.max(nVec / 200L, 1L)) === 0)
       .persist()
     qVecs.count()
@@ -50,7 +53,38 @@ object Bench {
     val denom = plantedTrue.count()
     val hit = plantedTrue.join(found, Seq("id_a", "id_b"), "left_semi").count()
     if (denom > 0) recalls += "minhash_planted" -> hit.toDouble / denom
-    plantedTrue.unpersist(); found.unpersist()
+    plantedTrue.unpersist()
+    // cluster resolution over the found pairs: the large-star/small-star
+    // fixpoint at real pair volume (planted chains make multi-doc
+    // components, so rounds > 1)
+    timed("dup_clusters") {
+      graft.dedup.DupClusters.connectedComponents(
+        found.select("id_a", "id_b"), "id_a", "id_b")
+        .write.format("noop").mode("overwrite").save()
+    }
+    found.unpersist()
+    timed("pii_redact") {
+      graft.text.TextAnalysis.redactPii(docs, "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("weighted_mix") {
+      graft.api.Sampling.weightedMix(
+        docs.withColumn("source", (col("doc_id") % 16).cast("string")),
+        "source", "doc_id",
+        Map("0" -> 1.0, "1" -> 0.5), defaultRate = 0.1)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val docsTok = docs.withColumn("tok", length(col("text")))
+    timed("pack_chunk") {
+      graft.pack.Packing.concatAndChunk(docsTok, "doc_id", "tok",
+        budget = 4096L, streams = 64)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("pack_greedy") {
+      graft.pack.Packing.greedyPack(docsTok, "doc_id", "tok",
+        budget = 4096L, streams = 64)
+        .write.format("noop").mode("overwrite").save()
+    }
     timed("simhash_neardups") {
       graft.dedup.Dedup.simhashNearDups(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
@@ -77,13 +111,17 @@ object Bench {
       if (total > 0) recalls += s"${name}@10" -> inter.toDouble / total
       approx.unpersist()
     }
+    // index granularity must scale with the corpus: bucket/cell population
+    // (n/2^bits, n/nlist) is what bounds per-query work, so at 2M vectors
+    // 64 cells means ~31k candidates per probe — slower than brute force.
+    // 1024 LSH buckets / 256 IVF cells keep candidates in the hundreds.
     annRecall("ann_lsh") {
       graft.similarity.Similarity.lshTopK(emb, qVecs, "vec_id", "embedding",
-        10, nBits = 6, tables = 16)
+        10, nBits = 10, tables = 12)
     }
     annRecall("ann_ivf") {
       graft.similarity.Similarity.ivfTopK(emb, qVecs, "vec_id", "embedding",
-        10, nlist = 64, nprobe = 8)
+        10, nlist = 256, nprobe = 16)
     }
     brute.unpersist(); qVecs.unpersist()
     (times, recalls)
@@ -234,27 +272,6 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
 
-    // Training-data-pipeline scale proof: the dedup/ANN/text operators on
-    // the generated PipelineCorpus (default 10x = 1M documents with
-    // planted near-dup pairs + 2M clustered 64-dim embeddings — 200x /
-    // 1000x the sf0.1 gate tables). Generation is untimed and cached in
-    // target/ across runs. Beyond wall-clock, the tier reports CHECKED
-    // accuracy at scale: minhash recall vs the planted pairs that clear
-    // the Jaccard threshold, and LSH/IVF ANN recall@10 vs the exact
-    // brute-force top-k on the same queries — the small-SF accuracy gates
-    // re-measured at 200x the corpus.
-    val pipelineScale = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_SCALE", "10").toInt
-    val (pipelineSec, pipelineRecall): (Map[String, Double], Map[String, Double]) =
-      if (sys.env.contains("SPARK_GRAFT_ONLY")) (Map.empty, Map.empty)
-      else try {
-        spark.stop(); spark = newSession()
-        pipelineTier(spark, pipelineScale)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench-pipeline] $e")
-          (Map.empty[String, Double], Map.empty[String, Double])
-      }
-
     // Nexmark SMOKE analog: 100k generated events (BASELINE.md's config),
     // reported as events/sec per query for direct baseline comparison.
     // Fresh session first: this tier used to run right after the recycled
@@ -303,6 +320,29 @@ object Bench {
       graft.queries.NexmarkStreaming.run(spark, name, stressEvents)
         .map(eps => s"\"" + name + "\":" + math.round(eps))
     }.mkString("{", ",", "}")
+    // Training-data-pipeline scale proof: the dedup/ANN/text operators on
+    // the generated PipelineCorpus (default 10x = 1M documents with
+    // planted near-dup pairs + 2M clustered 64-dim embeddings — 200x /
+    // 1000x the sf0.1 gate tables). Generation is untimed and cached in
+    // target/ across runs. Beyond wall-clock, the tier reports CHECKED
+    // accuracy at scale: minhash recall vs the planted pairs that clear
+    // the Jaccard threshold, and LSH/IVF ANN recall@10 vs the exact
+    // brute-force top-k on the same queries — the small-SF accuracy gates
+    // re-measured at 200x the corpus. Runs LAST: its multi-hundred-MB
+    // persists age the shared driver JVM, and running it before the
+    // Nexmark tiers cost them 3-10x in measured throughput (the
+    // within-JVM aging artifact, at tier granularity).
+    val pipelineScale = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_SCALE", "10").toInt
+    val (pipelineSec, pipelineRecall): (Map[String, Double], Map[String, Double]) =
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) (Map.empty, Map.empty)
+      else try {
+        spark.stop(); spark = newSession()
+        pipelineTier(spark, pipelineScale)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-pipeline] $e")
+          (Map.empty[String, Double], Map.empty[String, Double])
+      }
     val fullQs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val inRunDisclosed = suspects.map(k => s"\"" + k + "\":" + fmt(inRun(k)))

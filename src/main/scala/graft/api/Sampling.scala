@@ -39,4 +39,27 @@ object Sampling {
         row_number().over(Window.partitionBy(keyCol).orderBy(hashRank(idCol))))
       .filter(col("__rank") <= n)
       .drop("__rank")
+
+  /** The 4-hex-char keep threshold for a rate: a row survives when the
+    * md5 prefix of its id sorts strictly below it. "g" > every hex char,
+    * so rate ≥ 1 keeps all; "0000" (rate ≤ 0) keeps none. */
+  def rateThreshold(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else f"${math.max((rate * 65536).round.toInt, 0)}%04x"
+
+  /** Training-mix construction: deterministic per-key weighted sampling
+    * ("keep 100% of wiki, 30% of web, 10% of the rest"). A row is kept iff
+    * `md5(id)[0..4) < threshold(rate(key))` — a pure scan-stage filter:
+    * no shuffle, no RNG state, independent of partitioning, identical
+    * across runs and engines (md5 is portable), and exactly restartable —
+    * the reproducibility contract a 100 TB corpus-mix job needs. Rate
+    * precision is 1/65536; sampled fractions concentrate tightly around
+    * the rate (Chernoff) at any real corpus size. */
+  def weightedMix(df: DataFrame, keyCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val thr = rates.foldRight(lit(rateThreshold(defaultRate)): Column) {
+      case ((k, r), els) => when(col(keyCol) === k, lit(rateThreshold(r))).otherwise(els)
+    }
+    df.filter(substring(hashRank(col(idCol)), 1, 4) < thr)
+  }
 }

@@ -3,8 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, DupClusters}
 import graft.similarity.Similarity
+import graft.api.Sampling
+import graft.pack.Packing
 import graft.text.TextAnalysis
 import graft.multimodal.Multimodal
 import graft.functions._
@@ -337,6 +339,152 @@ object TrainingData extends QueryModule {
       |    greatest(strlen(text) // 64 - 1, 0))) AS k)
       |WHERE doc_id < 50 ORDER BY asset_id, frame_idx""".stripMargin
 
+  // Duplicate-CLUSTER resolution: connected components over the minhash
+  // near-dup pairs (the d62 pair list, which is oracle-equal to the exact
+  // all-pairs answer), labeling every dup-involved doc with its
+  // component's minimum doc_id. The oracle re-derives the components in
+  // DuckDB with a recursive reachability CTE over the same exact pairs —
+  // a fully independent algorithm (transitive closure + min) checking the
+  // large-star/small-star fixpoint.
+  private def d87(s: SparkSession, dir: String): DataFrame =
+    DupClusters.connectedComponents(
+      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.7, shingleN = 5, numHashes = 200, bands = 50)
+        .select(col("id_a"), col("id_b")),
+      "id_a", "id_b")
+      .orderBy("doc_id")
+
+  private val pairsCte =
+    """WITH RECURSIVE d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) t
+      |           FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         generate_series(1, greatest(len(t) - 4, 1)), i -> t[i:i+4])) s
+      |       FROM d),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |          WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |                / len(list_distinct(list_concat(a.s, b.s))) > 0.7),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |walk(id, comp) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id),
+      |labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)""".stripMargin
+
+  private val d87Sql = pairsCte +
+    "\nSELECT id AS doc_id, comp AS cluster_id FROM labels ORDER BY doc_id"
+
+  // Canonical-per-cluster dedup: the corpus after dropping every cluster
+  // member except the component minimum — the step that turns pair lists
+  // into an actually deduplicated training corpus.
+  private def d88(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    DupClusters.dedupKeepCanonical(docs, "doc_id",
+      Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.7, shingleN = 5, numHashes = 200, bands = 50)
+        .select(col("id_a"), col("id_b")),
+      "id_a", "id_b")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val d88Sql = pairsCte +
+    """
+      |SELECT doc_id, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)
+      |ORDER BY doc_id""".stripMargin
+
+  // PII scrub + audit counts. The synthetic corpus carries no PII, so the
+  // query plants a deterministic contact line derived from doc_id on BOTH
+  // sides; the oracle derives the expected redaction *constructively*
+  // (string concat of the replacement tokens), fully independent of any
+  // regex engine — a literal value compare of the scrubbed text.
+  private def t89(s: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call 555-123-4567 ssn 123-45-6789")).as("text"))
+    TextAnalysis.redactPii(TextAnalysis.withPiiCounts(withPii, "text"), "text")
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_ssn"),
+        col("n_phone"), col("text_redacted"))
+      .orderBy("doc_id")
+  }
+
+  private val t89Sql =
+    """SELECT doc_id, CAST(1 AS BIGINT) AS n_email, CAST(1 AS BIGINT) AS n_ipv4,
+      |  CAST(1 AS BIGINT) AS n_ssn, CAST(1 AS BIGINT) AS n_phone,
+      |  text || ' contact <EMAIL> ip <IP> call <PHONE> ssn <SSN>' AS text_redacted
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // GPT-style concat-and-chunk sequence packing (docs may straddle cuts).
+  // Oracle: the same layout derived via window cumsum + generate_series.
+  private def p90(s: SparkSession, dir: String): DataFrame =
+    Packing.concatAndChunk(Tables.documents(s, dir), "doc_id", "n_chars",
+      budget = 2048L, streams = 8)
+      .orderBy("doc_id", "seq_id")
+
+  private val p90Sql =
+    """WITH base AS (SELECT doc_id, doc_id % 8 AS stream, n_chars AS tok
+      |              FROM documents WHERE n_chars > 0),
+      |o AS (SELECT doc_id, stream, tok,
+      |        CAST(coalesce(SUM(tok) OVER (PARTITION BY stream ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |      FROM base)
+      |SELECT doc_id, stream, CAST(k AS BIGINT) AS seq_id,
+      |  CAST(greatest(off, k*2048) - off AS BIGINT) AS doc_from,
+      |  CAST(greatest(off, k*2048) - k*2048 AS BIGINT) AS seq_from,
+      |  CAST(least(off+tok, (k+1)*2048) - greatest(off, k*2048) AS BIGINT) AS piece_len
+      |FROM o, LATERAL (SELECT unnest(generate_series(off // 2048, (off+tok-1) // 2048)) AS k)
+      |ORDER BY doc_id, seq_id""".stripMargin
+
+  // No-split greedy packing (first-fit-sequential per stream). Oracle: the
+  // same recurrence unrolled with a recursive CTE — an independent
+  // sequential derivation of the per-stream fill levels.
+  private def p91(s: SparkSession, dir: String): DataFrame =
+    Packing.greedyPack(Tables.documents(s, dir), "doc_id", "n_chars",
+      budget = 2048L, streams = 8)
+      .orderBy("doc_id")
+
+  private val p91Sql =
+    """WITH RECURSIVE base AS (SELECT doc_id, doc_id % 8 AS stream, n_chars AS tok
+      |              FROM documents WHERE n_chars > 0),
+      |r AS (SELECT doc_id, stream, tok,
+      |        row_number() OVER (PARTITION BY stream ORDER BY doc_id) AS rn FROM base),
+      |walk(stream, rn, doc_id, seq_no, off, filled) AS (
+      |  SELECT stream, rn, doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), tok
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.stream, r.rn, r.doc_id,
+      |    CASE WHEN w.filled + r.tok > 2048 THEN w.seq_no + 1 ELSE w.seq_no END,
+      |    CASE WHEN w.filled + r.tok > 2048 THEN CAST(0 AS BIGINT) ELSE w.filled END,
+      |    CASE WHEN w.filled + r.tok > 2048 THEN r.tok ELSE w.filled + r.tok END
+      |  FROM walk w JOIN r ON r.stream = w.stream AND r.rn = w.rn + 1)
+      |SELECT doc_id, stream, seq_no, off AS offset FROM walk ORDER BY doc_id""".stripMargin
+
+  // Training-mix construction: deterministic per-source weighted sampling.
+  // Spark filter and DuckDB oracle are generated from the SAME rate map —
+  // the md5-prefix keep rule is engine-portable, so the kept set must
+  // match row-for-row.
+  private val mixRates = Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+  private val mixDefault = 0.1
+
+  private def t92(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedMix(Tables.documents(s, dir), "source", "doc_id",
+      mixRates.toMap, mixDefault)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  private val t92Sql = {
+    val cases = mixRates
+      .map { case (k, r) => s"WHEN '$k' THEN '${Sampling.rateThreshold(r)}'" }
+      .mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+       |  CASE source $cases ELSE '${Sampling.rateThreshold(mixDefault)}' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d60_exact_dedup" -> d60,
     "d61_ngram_jaccard_probe" -> d61,
@@ -345,10 +493,16 @@ object TrainingData extends QueryModule {
     "d64_embedding_cosine_topk" -> d64,
     "d65_embedding_lsh_ann" -> d65,
     "d73_embedding_ivf_ann" -> d73,
+    "d87_dup_clusters" -> d87,
+    "d88_dedup_canonical" -> d88,
     "t66_text_quality_features" -> t66,
     "t67_language_id" -> t67,
     "t68_doc_fingerprint" -> t68,
     "t86_repetition_filter" -> t86,
+    "t89_pii_redaction" -> t89,
+    "t92_corpus_mix" -> t92,
+    "p90_pack_concat_chunk" -> p90,
+    "p91_pack_greedy" -> p91,
     "m69_multimodal_decode" -> m69,
     "m70_frame_sampling" -> m70)
 
@@ -360,10 +514,16 @@ object TrainingData extends QueryModule {
     "d64_embedding_cosine_topk" -> d64Sql,
     "d65_embedding_lsh_ann" -> annOracleSql,
     "d73_embedding_ivf_ann" -> annOracleSql,
+    "d87_dup_clusters" -> d87Sql,
+    "d88_dedup_canonical" -> d88Sql,
     "t66_text_quality_features" -> t66Sql,
     "t67_language_id" -> t67Sql,
     "t68_doc_fingerprint" -> t68Sql,
     "t86_repetition_filter" -> t86Sql,
+    "t89_pii_redaction" -> t89Sql,
+    "t92_corpus_mix" -> t92Sql,
+    "p90_pack_concat_chunk" -> p90Sql,
+    "p91_pack_greedy" -> p91Sql,
     "m69_multimodal_decode" -> m69Sql,
     "m70_frame_sampling" -> m70Sql)
 }

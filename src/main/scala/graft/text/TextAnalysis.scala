@@ -89,4 +89,34 @@ object TextAnalysis {
     * inspectable). */
   def qualityFilter(df: DataFrame, textCol: String, minQuality: Double): DataFrame =
     withTextFeatures(df, textCol).filter(col("quality") >= minQuality)
+
+  /** PII patterns for training-corpus scrubbing, ordered most- to
+    * least-specific so earlier redactions can't be re-matched by later
+    * patterns (the replacement tokens contain no digits or '@'). Kept to
+    * the regex subset Java and RE2 share (no lookaround), so the same
+    * pattern text runs on any engine in the pipeline. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"))
+
+  /** Per-document PII hit counts (`n_email`, `n_ipv4`, …) — the audit
+    * side of redaction; all four `regexp_count`s are codegen'd
+    * expressions in the scan stage, no shuffle. */
+  def withPiiCounts(df: DataFrame, textCol: String): DataFrame =
+    PiiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+
+  /** Redact PII in place: chained `regexp_replace`s (email → ipv4 → ssn →
+    * phone; ssn before phone so `123-45-6789` never half-matches the
+    * looser phone shape). One projection, scan-stage, zero shuffles —
+    * at 100 TB this is I/O-bound, exactly as a scrub pass should be. */
+  def redactPii(df: DataFrame, textCol: String,
+      outCol: String = "text_redacted"): DataFrame =
+    df.withColumn(outCol,
+      PiiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, tok)) =>
+        regexp_replace(c, pat, tok)
+      })
 }

@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, DupClusters}
 import graft.multimodal.Multimodal
+import graft.pack.Packing
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 
@@ -31,6 +32,99 @@ class TrainingDataSpec extends GraftSpec {
     assert(pairs.contains((0L, 1L)))
     assert(pairs.contains((0L, 3L))) // exact dups are trivially near-dups
     assert(!pairs.exists { case (a, b) => a == 2L || b == 2L }) // the outlier pairs with nothing
+  }
+
+  test("connected components resolve transitive duplicate chains") {
+    // two components: a 4-chain {1,2,3,4} and a pair {10,11}; edge order
+    // and direction deliberately scrambled
+    val edges = Seq((2L, 1L), (3L, 4L), (2L, 3L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val labels = DupClusters.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components converge on a long chain (log-round fixpoint)") {
+    // a 64-node path — diameter 63; large-star/small-star must converge
+    // well inside the 50-round cap where naive propagation would need 63
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DupClusters.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(labels.length == 64 && labels.forall(_._2 == 0L))
+  }
+
+  test("canonical dedup keeps one doc per cluster plus all unpaired docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5,
+      numHashes = 60, bands = 20).select("id_a", "id_b")
+    val kept = DupClusters.dedupKeepCanonical(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    // {0,1,3} form one cluster (0 kept); 2 and 4 are unpaired
+    assert(kept == Set(0L, 2L, 4L))
+  }
+
+  test("pii redaction scrubs and counts every planted identifier") {
+    val df = Seq((1L,
+      "reach me at bob.smith+x@corp.io or 192.168.0.1 call 555-123-4567 ssn 123-45-6789 end"))
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.redactPii(TextAnalysis.withPiiCounts(df, "text"), "text")
+      .select("text_redacted", "n_email", "n_ipv4", "n_ssn", "n_phone").head()
+    assert(row.getString(0) ==
+      "reach me at <EMAIL> or <IP> call <PHONE> ssn <SSN> end")
+    assert((1 to 4).map(row.getLong) == Seq(1L, 1L, 1L, 1L))
+  }
+
+  private lazy val packDocs = Seq(
+    (1L, 4L), (2L, 5L), (3L, 7L), (4L, 3L), (5L, 10L), (6L, 2L))
+    .toDF("doc_id", "tok")
+
+  test("concat-and-chunk packing tiles sequences exactly") {
+    val out = Packing.concatAndChunk(packDocs, "doc_id", "tok", budget = 10L, streams = 1)
+      .select("doc_id", "seq_id", "doc_from", "seq_from", "piece_len")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 0L, 4L), (2L, 0L, 0L, 4L, 5L),
+      (3L, 0L, 0L, 9L, 1L), (3L, 1L, 1L, 0L, 6L),
+      (4L, 1L, 0L, 6L, 3L),
+      (5L, 1L, 0L, 9L, 1L), (5L, 2L, 1L, 0L, 9L),
+      (6L, 2L, 0L, 9L, 1L), (6L, 3L, 1L, 0L, 1L)))
+    // invariant: every token lands exactly once
+    val covered = Packing.concatAndChunk(packDocs, "doc_id", "tok", 10L, 1)
+      .groupBy("doc_id").agg(sum("piece_len").as("n"))
+      .join(packDocs, "doc_id").filter(col("n") =!= col("tok")).count()
+    assert(covered == 0)
+  }
+
+  test("greedy packing never splits a doc and respects the budget") {
+    val out = Packing.greedyPack(packDocs, "doc_id", "tok", budget = 10L, streams = 1)
+      .select("doc_id", "seq_no", "offset")
+      .as[(Long, Long, Long)].collect().toSet
+    // 4+5 fill seq0; 7+3 exactly fill seq1; the 10-tok doc takes seq2; 2 opens seq3
+    assert(out == Set((1L, 0L, 0L), (2L, 0L, 4L), (3L, 1L, 0L),
+      (4L, 1L, 7L), (5L, 2L, 0L), (6L, 3L, 0L)))
+  }
+
+  test("greedy packing keeps streams independent and deterministic") {
+    val out = Packing.greedyPack(packDocs, "doc_id", "tok", budget = 10L, streams = 2)
+      .select("doc_id", "stream", "seq_no", "offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // stream 0: ids 2(5),4(3),6(2) → all fit seq0 at offsets 0,5,8
+    // stream 1: ids 1(4),3(7),5(10) → 4 | 7 | 10 across three sequences
+    assert(out == Set((2L, 0L, 0L, 0L), (4L, 0L, 0L, 5L), (6L, 0L, 0L, 8L),
+      (1L, 1L, 0L, 0L), (3L, 1L, 1L, 0L), (5L, 1L, 2L, 0L)))
+  }
+
+  test("weighted mix: rate-1 keeps all, rate-0 keeps none, rates concentrate") {
+    val df = (0L until 400L).map { i =>
+      (i, Seq("all", "half", "none", "rest")((i % 4).toInt))
+    }.toDF("doc_id", "source")
+    val kept = graft.api.Sampling.weightedMix(df, "source", "doc_id",
+      Map("all" -> 1.0, "half" -> 0.5, "none" -> 0.0), defaultRate = 0.1)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("all") == 100L)
+    assert(!kept.contains("none"))
+    assert(kept("half") > 30L && kept("half") < 70L)
+    assert(kept.getOrElse("rest", 0L) < 30L)
   }
 
   test("simhash puts exact dups at hamming 0") {
