@@ -142,6 +142,45 @@ object Dedup {
       .filter(col("jaccard_sim") > threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 6).as("jaccard_sim"))
 
+  /** Incremental dedup: near-dup pairs of NEW documents against an
+    * EXISTING corpus — the nightly-crawl-versus-index shape, where
+    * re-pairing the whole corpus (minhashNearDups on the union) would
+    * redo work quadratic in history. Same banding and verification as
+    * [[minhashNearDups]], but pair generation is a cross-side equi-join
+    * on (band, band_hash): new×new and old×old pairs are never formed,
+    * so per-bucket work is |bucket_new|×|bucket_old| — proportional to
+    * the increment, not the corpus. Hot buckets are capped per side
+    * BEFORE the join (two narrow count aggregates + semi joins), the
+    * same skip-huge-cluster guard as the symmetric path. */
+  def minhashNearDupsAgainst(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.7,
+      shingleN: Int = 5, numHashes: Int = 200, bands: Int = 50,
+      maxBucketSize: Int = 1000, minBandMatches: Int = 2): DataFrame = {
+    def capped(df: DataFrame) = {
+      val b = minhashBands(df, idCol, textCol, shingleN, numHashes, bands)
+      val ok = b.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .select("band", "band_hash")
+      b.join(ok, Seq("band", "band_hash"), "left_semi")
+    }
+    val pairs = capped(newDf).select(col("band"), col("band_hash"), col("id").as("new_id"))
+      .join(capped(corpusDf).select(col("band"), col("band_hash"), col("id").as("corpus_id")),
+        Seq("band", "band_hash"))
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("n_band_matches"))
+      .filter(col("n_band_matches") >= minBandMatches)
+    val shNew = newDf.select(col(idCol).as("new_id"),
+      charShingleHashes(col(textCol), shingleN).as("sh_a"))
+    val shOld = corpusDf.select(col(idCol).as("corpus_id"),
+      charShingleHashes(col(textCol), shingleN).as("sh_b"))
+    pairs.join(shNew, "new_id").join(shOld, "corpus_id")
+      .filter(sizeCompatible(col("sh_a"), col("sh_b"), threshold))
+      .withColumn("jaccard_sim", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard_sim") > threshold)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("jaccard_sim"), 6).as("jaccard_sim"))
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints banded into
     * `maxHamming + 1` pieces — by pigeonhole, any pair within Hamming
     * distance `maxHamming` differs in at most `maxHamming` bands and so

@@ -462,6 +462,32 @@ object TrainingData extends QueryModule {
       |  FROM walk w JOIN r ON r.stream = w.stream AND r.rn = w.rn + 1)
       |SELECT doc_id, stream, seq_no, off AS offset FROM walk ORDER BY doc_id""".stripMargin
 
+  // Incremental dedup: odd-id docs play the "new crawl", even-id docs the
+  // "existing corpus"; only cross-side near-dup pairs may surface. The
+  // oracle is the exact all-pairs answer restricted to the same split —
+  // LSH recall ≈ 1 by the banding math, so the sets must match exactly.
+  private def d93(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.minhashNearDupsAgainst(
+      docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", threshold = 0.7, shingleN = 5, numHashes = 200, bands = 50)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val d93Sql =
+    """WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) t
+      |           FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         generate_series(1, greatest(len(t) - 4, 1)), i -> t[i:i+4])) s
+      |       FROM d)
+      |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+      |  round(len(list_intersect(a.s, b.s))::DOUBLE
+      |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard_sim
+      |FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / len(list_distinct(list_concat(a.s, b.s))) > 0.7
+      |ORDER BY new_id, corpus_id""".stripMargin
+
   // Training-mix construction: deterministic per-source weighted sampling.
   // Spark filter and DuckDB oracle are generated from the SAME rate map —
   // the md5-prefix keep rule is engine-portable, so the kept set must
@@ -495,6 +521,7 @@ object TrainingData extends QueryModule {
     "d73_embedding_ivf_ann" -> d73,
     "d87_dup_clusters" -> d87,
     "d88_dedup_canonical" -> d88,
+    "d93_incremental_dedup" -> d93,
     "t66_text_quality_features" -> t66,
     "t67_language_id" -> t67,
     "t68_doc_fingerprint" -> t68,
@@ -516,6 +543,7 @@ object TrainingData extends QueryModule {
     "d73_embedding_ivf_ann" -> annOracleSql,
     "d87_dup_clusters" -> d87Sql,
     "d88_dedup_canonical" -> d88Sql,
+    "d93_incremental_dedup" -> d93Sql,
     "t66_text_quality_features" -> t66Sql,
     "t67_language_id" -> t67Sql,
     "t68_doc_fingerprint" -> t68Sql,

@@ -80,6 +80,27 @@ class PlanSpec extends GraftSpec {
     assert(partials >= 2, s"expected partial+final top-k aggregate:\n$plan")
   }
 
+  test("pii redaction and weighted mix are scan-stage (zero exchanges)") {
+    // both are pure per-row transforms: any Exchange in the plan means a
+    // needless full-corpus shuffle at 100 TB
+    val red = graft.text.TextAnalysis.redactPii(
+      graft.sources.Tables.documents(spark, sf), "text")
+    assert(!physicalPlan(red).contains("Exchange"), physicalPlan(red))
+    val mix = graft.api.Sampling.weightedMix(
+      graft.sources.Tables.documents(spark, sf), "source", "doc_id",
+      Map("src0" -> 1.0), defaultRate = 0.1)
+    assert(!physicalPlan(mix).contains("Exchange"), physicalPlan(mix))
+  }
+
+  test("concat-and-chunk packing shuffles exactly once (on the stream key)") {
+    val df = graft.pack.Packing.concatAndChunk(
+      graft.sources.Tables.documents(spark, sf), "doc_id", "n_chars",
+      budget = 2048L, streams = 8)
+    val plan = physicalPlan(df)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly one exchange:\n$plan")
+  }
+
   test("lookup join reads only the probed bucket files") {
     val df = spark.range(10000).select(col("id"), (col("id") * 7).as("v"))
     try {

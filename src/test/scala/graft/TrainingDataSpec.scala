@@ -63,6 +63,15 @@ class TrainingDataSpec extends GraftSpec {
     assert(kept == Set(0L, 2L, 4L))
   }
 
+  test("incremental dedup surfaces only cross-side pairs") {
+    val newSide = docs.filter($"doc_id".isin(1L, 2L)) // 1 is a near-dup of 0
+    val corpus = docs.filter(!$"doc_id".isin(1L, 2L))
+    val pairs = Dedup.minhashNearDupsAgainst(newSide, corpus, "doc_id", "text",
+      threshold = 0.5, numHashes = 60, bands = 20)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 0L), (1L, 3L))) // 1 matches 0 and its exact dup 3
+  }
+
   test("pii redaction scrubs and counts every planted identifier") {
     val df = Seq((1L,
       "reach me at bob.smith+x@corp.io or 192.168.0.1 call 555-123-4567 ssn 123-45-6789 end"))
