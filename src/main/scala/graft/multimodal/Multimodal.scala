@@ -11,11 +11,17 @@ import org.apache.spark.sql.types._
   * prunes on the metadata columns without touching the blobs, and decode
   * runs per-partition next to the data (never on the driver).
   *
-  * The decode kernel itself is a clearly-marked deterministic STUB (this
-  * environment ships no image/audio codecs); everything around it — the
-  * asset schema, the mapPartitions batch shape, the per-partition iterator
-  * contract (setup once per partition, stream rows, no materialization) —
-  * is the real production plumbing a codec would drop into.
+  * Two decode paths:
+  *  - a REAL pure-JVM PPM (P6) codec ([[Ppm]]) — decode, pixel stats,
+  *    nearest-neighbor resize run end-to-end on actual image bytes
+  *    (oracle-checked: m94/m95 against an independent arithmetic
+  *    integration of the pixel formula);
+  *  - clearly-marked deterministic STUBs for the codec families this
+  *    environment cannot ship (JPEG/audio/video). Everything around both
+  *    — the asset schema, the mapPartitions batch shape, the
+  *    per-partition iterator contract (setup once per partition, stream
+  *    rows, no materialization) — is the production plumbing any codec
+  *    drops into.
   */
 object Multimodal {
 
@@ -78,6 +84,74 @@ object Multimodal {
     assets.select(col("asset_id"),
       lit(targetW).as("target_w"), lit(targetH).as("target_h"),
       substring(col("content"), 1, targetW * targetH).as("content"))
+
+  /** Deterministic PPM asset generation (for specs and the oracle-checked
+    * decode gate): image `id` is `(8 + id%5) × (6 + id%4)` with pixel
+    * `(x, y) = ((id + 7x + 13y) % 256, (3id + 5x + y) % 256,
+    * (5id + x + 11y) % 256)` — a closed form an oracle can integrate
+    * independently. Encoding runs per-partition (mapPartitions), exactly
+    * where a tar/webdataset reader would materialize real bytes. */
+  def generatePpmAssets(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = (y * w + x) * 3
+            rgb(p) = ((id + 7 * x + 13 * y) % 256).toByte
+            rgb(p + 1) = ((3 * id + 5 * x + y) % 256).toByte
+            rgb(p + 2) = ((5 * id + x + 11 * y) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, Ppm.encode(w, h, rgb))
+      }
+    }.toDF("asset_id", "content")
+  }
+
+  /** REAL decode: parse the P6 byte stream and aggregate per-image pixel
+    * statistics — bytes in, pixels out, no stub. Same per-partition
+    * streamed-iterator contract as decodeStub (codec state would be
+    * initialized once per partition); runs in the scan stage, constant
+    * memory, no shuffle. */
+  def decodePpm(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, rgb) = Ppm.decode(bytes)
+          var r = 0L; var g = 0L; var b = 0L
+          var i = 0
+          while (i < rgb.length) {
+            r += rgb(i) & 0xff; g += rgb(i + 1) & 0xff; b += rgb(i + 2) & 0xff
+            i += 3
+          }
+          val n = (w * h).toDouble
+          (id, w.toLong, h.toLong, 3, r / n, g / n, b / n)
+        }
+      }
+      .toDF("asset_id", "width", "height", "channels", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** REAL nearest-neighbor resize: decode → sample → re-encode. Binary
+    * in, binary out, per-partition — the exact shape of a production
+    * thumbnail/normalize pass. Integer source mapping (tx*w/tw) keeps the
+    * result independently derivable by the oracle. */
+  def resizePpm(spark: SparkSession, assets: DataFrame, tw: Int, th: Int): DataFrame = {
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, rgb) = Ppm.decode(bytes)
+          (id, Ppm.encode(tw, th, Ppm.resize(w, h, rgb, tw, th)))
+        }
+      }.toDF("asset_id", "content")
+  }
 
   /** Feature-extraction stub: binary payload → fixed-size float embedding
     * (deterministic: seeded hashes of the payload bytes per dimension,

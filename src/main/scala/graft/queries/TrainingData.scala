@@ -511,6 +511,59 @@ object TrainingData extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // REAL image decode: deterministic P6 PPM images generated from doc_id
+  // (closed-form pixel values), decoded by the pure-JVM codec, per-image
+  // pixel statistics out. The oracle never sees a byte: it integrates the
+  // same pixel formula arithmetically — a fully independent check that
+  // actual bytes-in/pixels-out decoding happened.
+  private def m94(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodePpm(s,
+      Multimodal.generatePpmAssets(s, Tables.documents(s, dir)
+        .filter(col("doc_id") < 50).select("doc_id"), "doc_id"))
+      .select(col("asset_id"), col("width"), col("height"), col("channels"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy("asset_id")
+
+  private val m94Sql =
+    """WITH ids AS (SELECT doc_id AS id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+      |             FROM documents WHERE doc_id < 50),
+      |px AS (SELECT id, w, h, x, y FROM ids,
+      |         LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+      |         LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y))
+      |SELECT id AS asset_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+      |  round(avg((id + 7*x + 13*y) % 256), 6) AS mean_r,
+      |  round(avg((3*id + 5*x + y) % 256), 6) AS mean_g,
+      |  round(avg((5*id + x + 11*y) % 256), 6) AS mean_b
+      |FROM px GROUP BY id, w, h ORDER BY asset_id""".stripMargin
+
+  // REAL nearest-neighbor resize: decode → sample at (tx*w/4, ty*h/3) →
+  // re-encode → decode again for stats. The oracle samples the same
+  // source coordinates arithmetically.
+  private def m95(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodePpm(s,
+      Multimodal.resizePpm(s,
+        Multimodal.generatePpmAssets(s, Tables.documents(s, dir)
+          .filter(col("doc_id") < 50).select("doc_id"), "doc_id"), 4, 3))
+      .select(col("asset_id"), col("width"), col("height"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy("asset_id")
+
+  private val m95Sql =
+    """WITH ids AS (SELECT doc_id AS id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+      |             FROM documents WHERE doc_id < 50),
+      |px AS (SELECT id, (tx * w) // 4 AS x, (ty * h) // 3 AS y FROM ids,
+      |         LATERAL (SELECT unnest(generate_series(0, 3)) AS tx),
+      |         LATERAL (SELECT unnest(generate_series(0, 2)) AS ty))
+      |SELECT id AS asset_id, CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+      |  round(avg((id + 7*x + 13*y) % 256), 6) AS mean_r,
+      |  round(avg((3*id + 5*x + y) % 256), 6) AS mean_g,
+      |  round(avg((5*id + x + 11*y) % 256), 6) AS mean_b
+      |FROM px GROUP BY id ORDER BY asset_id""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d60_exact_dedup" -> d60,
     "d61_ngram_jaccard_probe" -> d61,
@@ -531,7 +584,9 @@ object TrainingData extends QueryModule {
     "p90_pack_concat_chunk" -> p90,
     "p91_pack_greedy" -> p91,
     "m69_multimodal_decode" -> m69,
-    "m70_frame_sampling" -> m70)
+    "m70_frame_sampling" -> m70,
+    "m94_ppm_decode" -> m94,
+    "m95_ppm_resize" -> m95)
 
   override val oracles: Map[String, String] = Map(
     "d60_exact_dedup" -> d60Sql,
@@ -553,5 +608,7 @@ object TrainingData extends QueryModule {
     "p90_pack_concat_chunk" -> p90Sql,
     "p91_pack_greedy" -> p91Sql,
     "m69_multimodal_decode" -> m69Sql,
-    "m70_frame_sampling" -> m70Sql)
+    "m70_frame_sampling" -> m70Sql,
+    "m94_ppm_decode" -> m94Sql,
+    "m95_ppm_resize" -> m95Sql)
 }

@@ -246,6 +246,29 @@ class TrainingDataSpec extends GraftSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("ppm codec: encode/decode round-trip, header comments, resize") {
+    import graft.multimodal.Ppm
+    val rgb = Array.tabulate(2 * 2 * 3)(i => (i * 17).toByte)
+    val (w, h, back) = Ppm.decode(Ppm.encode(2, 2, rgb))
+    assert((w, h) == (2, 2) && back.toSeq == rgb.toSeq)
+    // spec allows # comments in the header
+    val commented = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ rgb
+    assert(Ppm.decode(commented)._3.toSeq == rgb.toSeq)
+    intercept[IllegalArgumentException](Ppm.decode("P5\n1 1\n255\n ".getBytes))
+    // 2x2 -> 1x1 nearest-neighbor keeps the top-left pixel
+    assert(Ppm.resize(2, 2, rgb, 1, 1).toSeq == rgb.take(3).toSeq)
+  }
+
+  test("ppm decode computes true pixel statistics from real bytes") {
+    import graft.multimodal.{Multimodal, Ppm}
+    // constant-color 3x2 image: means must be exact
+    val rgb = Array.fill(3 * 2)(Array[Byte](10, 20, 30)).flatten
+    val assets = Seq((7L, Ppm.encode(3, 2, rgb))).toDF("asset_id", "content")
+    val row = Multimodal.decodePpm(spark, assets).head()
+    assert(row.getLong(1) == 3L && row.getLong(2) == 2L)
+    assert((row.getDouble(4), row.getDouble(5), row.getDouble(6)) == (10.0, 20.0, 30.0))
+  }
+
   test("multimodal resize + feature-extract stubs keep the pipeline shape") {
     import spark.implicits._
     val assets = graft.multimodal.Multimodal.asAssets(
