@@ -181,6 +181,25 @@ object Dedup {
         round(col("jaccard_sim"), 6).as("jaccard_sim"))
   }
 
+  /** Streaming incremental dedup: a document STREAM deduplicated against
+    * a static corpus, one [[minhashNearDupsAgainst]] per micro-batch via
+    * foreachBatch — the shape a production ingest pipeline runs (each
+    * arriving crawl shard is pair-checked against the index; the index
+    * itself updates on a slower batch cadence). The static side's bands
+    * are computed once and persisted by the caller if the corpus is hot.
+    * Returns the started query; matched cross-side pairs go to `sink`. */
+  def streamingDedupAgainst(stream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, sink: (DataFrame, Long) => Unit,
+      threshold: Double = 0.7, shingleN: Int = 5, numHashes: Int = 200,
+      bands: Int = 50): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(minhashNearDupsAgainst(batch, corpus, idCol, textCol,
+          threshold, shingleN, numHashes, bands), batchId)
+      }
+      .start()
+
   /** SimHash near-dup pairs: 64-bit fingerprints banded into
     * `maxHamming + 1` pieces — by pigeonhole, any pair within Hamming
     * distance `maxHamming` differs in at most `maxHamming` bands and so
