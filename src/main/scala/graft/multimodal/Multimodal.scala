@@ -153,6 +153,56 @@ object Multimodal {
       }.toDF("asset_id", "content")
   }
 
+  /** Deterministic WAV asset generation (specs + the oracle-checked audio
+    * gates): asset `id` is mono PCM16, rate `8000 + (id%3)*4000`,
+    * `100 + id%50` samples with `s(t) = (31·id + 7·t) % 65536 − 32768` —
+    * closed-form, so the oracle can integrate it without seeing a byte. */
+  def generateWavAssets(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (100 + id % 50).toInt
+        val samples = Array.tabulate(n)(t => ((31 * id + 7 * t) % 65536 - 32768).toShort)
+        (id, Wav.encode((8000 + (id % 3) * 4000).toInt, 1, samples))
+      }
+    }.toDF("asset_id", "content")
+  }
+
+  /** REAL audio decode: parse RIFF/PCM16 and report per-asset sample
+    * statistics — same per-partition streamed contract as decodePpm. */
+  def decodeWav(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (rate, channels, samples) = Wav.decode(bytes)
+          var sum = 0L; var peak = Int.MinValue
+          var i = 0
+          while (i < samples.length) {
+            sum += samples(i); if (samples(i) > peak) peak = samples(i)
+            i += 1
+          }
+          (id, rate, channels, samples.length.toLong,
+            sum.toDouble / samples.length, peak)
+        }
+      }
+      .toDF("asset_id", "sample_rate", "channels", "n_samples", "mean_sample", "peak")
+  }
+
+  /** REAL resample (decimation): decode → every `factor`-th frame →
+    * re-encode at rate/factor. Binary in, binary out, scan-stage. */
+  def decimateWav(spark: SparkSession, assets: DataFrame, factor: Int): DataFrame = {
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (rate, channels, samples) = Wav.decode(bytes)
+          (id, Wav.encode(rate / factor, channels,
+            Wav.decimate(samples, channels, factor)))
+        }
+      }.toDF("asset_id", "content")
+  }
+
   /** Feature-extraction stub: binary payload → fixed-size float embedding
     * (deterministic: seeded hashes of the payload bytes per dimension,
     * normalized). Real models slot in behind the same per-partition

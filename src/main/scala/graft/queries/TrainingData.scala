@@ -564,6 +564,50 @@ object TrainingData extends QueryModule {
       |  round(avg((5*id + x + 11*y) % 256), 6) AS mean_b
       |FROM px GROUP BY id ORDER BY asset_id""".stripMargin
 
+  // REAL audio decode (RIFF/PCM16): generated closed-form waveforms,
+  // decoded by the pure-JVM codec; the oracle integrates the sample
+  // formula arithmetically (same pattern as m94).
+  private def m96(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeWav(s,
+      Multimodal.generateWavAssets(s, Tables.documents(s, dir)
+        .filter(col("doc_id") < 50).select("doc_id"), "doc_id"))
+      .select(col("asset_id"), col("sample_rate"), col("channels"),
+        col("n_samples"), round(col("mean_sample"), 6).as("mean_sample"),
+        col("peak"))
+      .orderBy("asset_id")
+
+  private val m96Sql =
+    """WITH ids AS (SELECT doc_id AS id, 100 + doc_id % 50 AS n,
+      |               8000 + (doc_id % 3) * 4000 AS rate
+      |             FROM documents WHERE doc_id < 50),
+      |sm AS (SELECT id, n, rate, (31*id + 7*t) % 65536 - 32768 AS v FROM ids,
+      |         LATERAL (SELECT unnest(generate_series(0, n - 1)) AS t))
+      |SELECT id AS asset_id, CAST(rate AS INT) AS sample_rate,
+      |  CAST(1 AS INT) AS channels, n AS n_samples,
+      |  round(avg(v), 6) AS mean_sample, CAST(max(v) AS INT) AS peak
+      |FROM sm GROUP BY id, rate, n ORDER BY asset_id""".stripMargin
+
+  // REAL decimation resample: every 4th frame, re-encoded at rate/4,
+  // decoded again for stats; the oracle samples t = 4k.
+  private def m97(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeWav(s,
+      Multimodal.decimateWav(s,
+        Multimodal.generateWavAssets(s, Tables.documents(s, dir)
+          .filter(col("doc_id") < 50).select("doc_id"), "doc_id"), 4))
+      .select(col("asset_id"), col("sample_rate"), col("n_samples"),
+        round(col("mean_sample"), 6).as("mean_sample"))
+      .orderBy("asset_id")
+
+  private val m97Sql =
+    """WITH ids AS (SELECT doc_id AS id, 100 + doc_id % 50 AS n,
+      |               8000 + (doc_id % 3) * 4000 AS rate
+      |             FROM documents WHERE doc_id < 50),
+      |sm AS (SELECT id, n, rate, (31*id + 7*(4*k)) % 65536 - 32768 AS v FROM ids,
+      |         LATERAL (SELECT unnest(generate_series(0, (n + 3) // 4 - 1)) AS k))
+      |SELECT id AS asset_id, CAST(rate // 4 AS INT) AS sample_rate,
+      |  (n + 3) // 4 AS n_samples, round(avg(v), 6) AS mean_sample
+      |FROM sm GROUP BY id, rate, n ORDER BY asset_id""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d60_exact_dedup" -> d60,
     "d61_ngram_jaccard_probe" -> d61,
@@ -586,7 +630,9 @@ object TrainingData extends QueryModule {
     "m69_multimodal_decode" -> m69,
     "m70_frame_sampling" -> m70,
     "m94_ppm_decode" -> m94,
-    "m95_ppm_resize" -> m95)
+    "m95_ppm_resize" -> m95,
+    "m96_wav_decode" -> m96,
+    "m97_wav_decimate" -> m97)
 
   override val oracles: Map[String, String] = Map(
     "d60_exact_dedup" -> d60Sql,
@@ -610,5 +656,7 @@ object TrainingData extends QueryModule {
     "m69_multimodal_decode" -> m69Sql,
     "m70_frame_sampling" -> m70Sql,
     "m94_ppm_decode" -> m94Sql,
-    "m95_ppm_resize" -> m95Sql)
+    "m95_ppm_resize" -> m95Sql,
+    "m96_wav_decode" -> m96Sql,
+    "m97_wav_decimate" -> m97Sql)
 }

@@ -269,6 +269,27 @@ class TrainingDataSpec extends GraftSpec {
     assert((row.getDouble(4), row.getDouble(5), row.getDouble(6)) == (10.0, 20.0, 30.0))
   }
 
+  test("wav codec: round-trip, chunk skipping, stereo decimation") {
+    import graft.multimodal.Wav
+    val mono = Array.tabulate(10)(i => (i * 1000 - 5000).toShort)
+    val (r, c, back) = Wav.decode(Wav.encode(16000, 1, mono))
+    assert((r, c) == (16000, 1) && back.toSeq == mono.toSeq)
+    // unknown chunks between fmt and data are skipped per the RIFF spec
+    val enc = Wav.encode(8000, 1, mono)
+    val extra = java.nio.ByteBuffer.allocate(10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(2).putShort(7).array()
+    val withChunk = enc.slice(0, 36) ++ extra ++ enc.slice(36, enc.length)
+    // patch RIFF size (+10)
+    java.nio.ByteBuffer.wrap(withChunk, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(36 + 10 + 20)
+    assert(Wav.decode(withChunk)._3.toSeq == mono.toSeq)
+    intercept[IllegalArgumentException](Wav.decode("RIFX".getBytes ++ enc.drop(4)))
+    // stereo decimation keeps frames together
+    val stereo = Array[Short](1, -1, 2, -2, 3, -3, 4, -4)
+    assert(Wav.decimate(stereo, 2, 2).toSeq == Seq[Short](1, -1, 3, -3))
+  }
+
   test("multimodal resize + feature-extract stubs keep the pipeline shape") {
     import spark.implicits._
     val assets = graft.multimodal.Multimodal.asAssets(
