@@ -203,6 +203,48 @@ object Multimodal {
       }.toDF("asset_id", "content")
   }
 
+  /** Deterministic Y4M asset generation: video `id` is mono
+    * `(8 + (id%3)·2) × 6`, `5 + id%6` frames at 24 fps, luma
+    * `(13·id + 17·f + 5·x + 3·y) % 256` — closed-form per (frame, pixel)
+    * so the oracle can integrate it. */
+  def generateY4mAssets(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + (id % 3) * 2).toInt; val h = 6
+        val nf = (5 + id % 6).toInt
+        val frames = Vector.tabulate(nf) { f =>
+          Array.tabulate(w * h) { p =>
+            val x = p % w; val y = p / w
+            ((13 * id + 17 * f + 5 * x + 3 * y) % 256).toByte
+          }
+        }
+        (id, Y4m.encode(Y4m.Video(w, h, 24, 1, mono = true, frames)))
+      }
+    }.toDF("asset_id", "content")
+  }
+
+  /** REAL video frame sampling: parse the Y4M stream, keep every
+    * `stride`-th frame, one output row per KEPT frame with its original
+    * index and true mean luma (Y plane) — the fan-out shape of
+    * sampleFramesStub, now computed from actual decoded frames. */
+  def sampleVideoFrames(spark: SparkSession, assets: DataFrame, stride: Int): DataFrame = {
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val v = Y4m.decode(bytes)
+        val lumaLen = v.width * v.height // Y plane (all of it when mono)
+        v.frames.zipWithIndex.collect {
+          case (f, i) if i % stride == 0 =>
+            var s = 0L; var j = 0
+            while (j < lumaLen) { s += f(j) & 0xff; j += 1 }
+            (id, i.toLong, v.width.toLong, v.height.toLong,
+              v.frames.size.toLong, s.toDouble / lumaLen)
+        }
+      }
+      .toDF("asset_id", "frame_no", "width", "height", "n_frames", "mean_y")
+  }
+
   /** Feature-extraction stub: binary payload → fixed-size float embedding
     * (deterministic: seeded hashes of the payload bytes per dimension,
     * normalized). Real models slot in behind the same per-partition

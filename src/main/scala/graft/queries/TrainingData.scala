@@ -608,6 +608,30 @@ object TrainingData extends QueryModule {
       |  (n + 3) // 4 AS n_samples, round(avg(v), 6) AS mean_sample
       |FROM sm GROUP BY id, rate, n ORDER BY asset_id""".stripMargin
 
+  // REAL video frame sampling (YUV4MPEG2): generated closed-form mono
+  // videos, parsed frame-by-frame, every 2nd frame kept with its true
+  // mean luma; oracle integrates the per-(frame, pixel) formula.
+  private def m98(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleVideoFrames(s,
+      Multimodal.generateY4mAssets(s, Tables.documents(s, dir)
+        .filter(col("doc_id") < 50).select("doc_id"), "doc_id"), stride = 2)
+      .select(col("asset_id"), col("frame_no"), col("width"), col("height"),
+        col("n_frames"), round(col("mean_y"), 6).as("mean_y"))
+      .orderBy("asset_id", "frame_no")
+
+  private val m98Sql =
+    """WITH ids AS (SELECT doc_id AS id, 8 + (doc_id % 3) * 2 AS w,
+      |               5 + doc_id % 6 AS nf
+      |             FROM documents WHERE doc_id < 50),
+      |fr AS (SELECT id, w, nf, 2 * k AS f FROM ids,
+      |         LATERAL (SELECT unnest(generate_series(0, (nf + 1) // 2 - 1)) AS k)),
+      |px AS (SELECT id, w, nf, f, (13*id + 17*f + 5*x + 3*y) % 256 AS v FROM fr,
+      |         LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+      |         LATERAL (SELECT unnest(generate_series(0, 5)) AS y))
+      |SELECT id AS asset_id, f AS frame_no, w AS width, CAST(6 AS BIGINT) AS height,
+      |  nf AS n_frames, round(avg(v), 6) AS mean_y
+      |FROM px GROUP BY id, f, w, nf ORDER BY asset_id, frame_no""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d60_exact_dedup" -> d60,
     "d61_ngram_jaccard_probe" -> d61,
@@ -632,7 +656,8 @@ object TrainingData extends QueryModule {
     "m94_ppm_decode" -> m94,
     "m95_ppm_resize" -> m95,
     "m96_wav_decode" -> m96,
-    "m97_wav_decimate" -> m97)
+    "m97_wav_decimate" -> m97,
+    "m98_y4m_frame_sampling" -> m98)
 
   override val oracles: Map[String, String] = Map(
     "d60_exact_dedup" -> d60Sql,
@@ -658,5 +683,6 @@ object TrainingData extends QueryModule {
     "m94_ppm_decode" -> m94Sql,
     "m95_ppm_resize" -> m95Sql,
     "m96_wav_decode" -> m96Sql,
-    "m97_wav_decimate" -> m97Sql)
+    "m97_wav_decimate" -> m97Sql,
+    "m98_y4m_frame_sampling" -> m98Sql)
 }

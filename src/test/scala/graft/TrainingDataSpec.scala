@@ -290,6 +290,26 @@ class TrainingDataSpec extends GraftSpec {
     assert(Wav.decimate(stereo, 2, 2).toSeq == Seq[Short](1, -1, 3, -3))
   }
 
+  test("y4m codec: round-trip, header params skipped, frame sampling") {
+    import graft.multimodal.Y4m
+    val frames = Vector.tabulate(5)(f => Array.tabulate(4 * 2)(p => (f * 10 + p).toByte))
+    val v = Y4m.Video(4, 2, 30, 1, mono = true, frames)
+    val back = Y4m.decode(Y4m.encode(v))
+    assert(back.width == 4 && back.height == 2 && back.fpsNum == 30)
+    assert(back.frames.size == 5 && back.frames(3).toSeq == frames(3).toSeq)
+    // C420 frame size is w*h*3/2
+    val c420 = Y4m.Video(4, 2, 24, 1, mono = false,
+      Vector(Array.fill(4 * 2 * 3 / 2)(9.toByte)))
+    assert(Y4m.decode(Y4m.encode(c420)).frames.head.length == 12)
+    // unknown header params (X...) are skipped
+    val hacked = ("YUV4MPEG2 W4 H2 F30:1 Ip A1:1 Cmono Xsome=thing\n" +
+      "FRAME\n").getBytes("US-ASCII") ++ frames(0)
+    assert(Y4m.decode(hacked).frames.size == 1)
+    intercept[IllegalArgumentException](Y4m.decode("JUNK\n".getBytes))
+    // stride-2 sampling keeps frames 0, 2, 4
+    assert(Y4m.sampleFrames(v, 2).frames.map(_.head.toInt) == Vector(0, 20, 40))
+  }
+
   test("multimodal resize + feature-extract stubs keep the pipeline shape") {
     import spark.implicits._
     val assets = graft.multimodal.Multimodal.asAssets(
