@@ -37,6 +37,13 @@ object Pattern extends Serializable {
   sealed trait Skip
   case object PastLastRow extends Skip
   case object ToNextRow extends Skip
+  /** SQL-standard AFTER MATCH SKIP TO FIRST/LAST `sym`: resume the scan AT
+    * the first/last row the match bound to `sym` (that row may start the
+    * next match — e.g. W-shapes sharing a peak). Per the standard it is a
+    * runtime error if `sym` did not participate in the match or if the
+    * resumption row is the match start (infinite loop). */
+  final case class ToFirstSym(sym: String) extends Skip
+  final case class ToLastSym(sym: String) extends Skip
 
   /** One pattern symbol: name, row predicate, quantifier. `prevPred`,
     * when set, replaces `pred` with a predicate that also sees the
@@ -134,6 +141,34 @@ object Pattern extends Serializable {
             case _ =>
           }
           i += 1
+        }
+        (out.result(), (0 until n).filterNot(consumed))
+      case sk @ (ToFirstSym(_) | ToLastSym(_)) =>
+        val (symName, useFirst) = sk match {
+          case ToFirstSym(s) => (s, true)
+          case ToLastSym(s) => (s, false)
+          case _ => throw new MatchError(sk)
+        }
+        val consumed = new Array[Boolean](n)
+        while (i < n) {
+          tryFrom(i) match {
+            case Some((end, binds)) if end > i =>
+              out += Match(binds.toIndexedSeq)
+              var j = i; while (j < end) { consumed(j) = true; j += 1 }
+              // binds(j) is the event at index i + j (bindings accumulate
+              // strictly left-to-right from the match start)
+              val idxs = binds.zipWithIndex.collect {
+                case ((nm, _), off) if nm == symName => i + off
+              }
+              require(idxs.nonEmpty,
+                s"AFTER MATCH SKIP TO $symName: symbol did not participate in the match")
+              val target = if (useFirst) idxs.head else idxs.last
+              require(target > i,
+                s"AFTER MATCH SKIP TO ${if (useFirst) "FIRST" else "LAST"} $symName " +
+                  "resumes at the match start row (would loop forever)")
+              i = target
+            case _ => i += 1
+          }
         }
         (out.result(), (0 until n).filterNot(consumed))
     }

@@ -24,7 +24,7 @@ import graft.cep.Pattern
   *   MEASURES m1 AS a1 [, ...]       -- FIRST(S.c) | LAST(S.c) |
   *                                   -- COUNT(S.*) | COUNT(*) | partition col
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
-  *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+  *   [AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO FIRST sym | TO LAST sym]
   *   PATTERN (S1[+*?] S2[+*?] ...)
   *   DEFINE S1 AS <predicate>, ...   -- current-row predicates; symbols
   * ) [AS alias] ...                  -- without DEFINE default to TRUE
@@ -42,10 +42,12 @@ import graft.cep.Pattern
   * the reference's Calcite planner — impl/cep/CEPCall.java operators).
   * AFTER MATCH SKIP PAST LAST ROW (default) emits non-overlapping
   * matches; SKIP TO NEXT ROW resumes at the row after the match start —
-  * overlapping (sliding) matches. A DEFINE referencing ANOTHER symbol's
-  * binding (`B AS B.price > A.price`) and SKIP TO FIRST/LAST <symbol>
-  * are not supported — rejected with a clear error, never silently
-  * mis-executed.
+  * overlapping (sliding) matches; SKIP TO FIRST/LAST <sym> resumes AT
+  * the first/last row bound to <sym> (W-shapes sharing a peak), with the
+  * standard's runtime errors when <sym> is absent from a match or the
+  * resumption row is the match start. A DEFINE referencing ANOTHER
+  * symbol's binding (`B AS B.price > A.price`) is not supported —
+  * rejected with a clear error, never silently mis-executed.
   *
   * Execution: the clause is rewritten at parse time — the source relation
   * is hash-repartitioned ONCE on the partition key and sorted in-task by
@@ -88,7 +90,7 @@ object MatchRecognize {
   private val Sections =
     ("(?is)^\\s*PARTITION\\s+BY\\s+(.*?)\\s+ORDER\\s+BY\\s+(.*?)\\s+MEASURES\\s+(.*?)\\s+" +
       "(?:(ONE\\s+ROW|ALL\\s+ROWS)\\s+PER\\s+MATCH\\s+)?" +
-      "(?:AFTER\\s+MATCH\\s+SKIP\\s+(PAST\\s+LAST\\s+ROW|TO\\s+NEXT\\s+ROW)\\s+)?" +
+      "(?:AFTER\\s+MATCH\\s+SKIP\\s+(PAST\\s+LAST\\s+ROW|TO\\s+NEXT\\s+ROW|TO\\s+(?:FIRST|LAST)\\s+\\w+)\\s+)?" +
       "PATTERN\\s*\\((.*?)\\)\\s*DEFINE\\s+(.*?)\\s*$").r
 
   private val MeasureFirst = "(?i)^FIRST\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*\\)$".r
@@ -118,12 +120,6 @@ object MatchRecognize {
       val (body, afterClause) = balanced(sqlText, m.end - 1)
       val (source, beforeSource) = sourceOperand(sqlText, m.start)
       val clause = parseClause(body)
-      // reject out-of-subset constructs loudly rather than mis-executing
-      // (SKIP TO NEXT ROW is supported; SKIP TO FIRST/LAST <symbol> is not)
-      if ("(?i)SKIP\\s+TO(?!\\s+NEXT\\s+ROW)".r.findFirstIn(body).isDefined)
-        throw new IllegalArgumentException(
-          "MATCH_RECOGNIZE: AFTER MATCH SKIP supports PAST LAST ROW and TO NEXT ROW " +
-            "(SKIP TO FIRST/LAST <symbol> is not supported)")
       val src =
         if (source.startsWith("(")) spark.sql(source.stripPrefix("(").stripSuffix(")"))
         else spark.table(source)
@@ -235,8 +231,14 @@ object MatchRecognize {
       Clause(partCols, order.split(",").map(_.trim.replaceAll("(?i)\\s+ASC$", "")).toSeq,
         ms, pat, defs,
         allRows = rowsPerMatch != null && rowsPerMatch.toUpperCase.startsWith("ALL"),
-        skip = if (skipSpec != null && skipSpec.toUpperCase.startsWith("TO"))
-          Pattern.ToNextRow else Pattern.PastLastRow)
+        skip = Option(skipSpec).map(_.toUpperCase.replaceAll("\\s+", " ").trim) match {
+          case Some("TO NEXT ROW") => Pattern.ToNextRow
+          case Some(s) if s.startsWith("TO FIRST ") =>
+            Pattern.ToFirstSym(s.stripPrefix("TO FIRST "))
+          case Some(s) if s.startsWith("TO LAST ") =>
+            Pattern.ToLastSym(s.stripPrefix("TO LAST "))
+          case _ => Pattern.PastLastRow
+        })
     case other => throw new IllegalArgumentException(
       s"MATCH_RECOGNIZE: expected PARTITION BY ... ORDER BY ... MEASURES ... " +
         s"PATTERN (...) DEFINE ..., got: $other")

@@ -308,6 +308,56 @@ object Extended extends QueryModule {
       |FROM e WHERE nv > value
       |ORDER BY user_id, a_id""".stripMargin
 
+  // AFTER MATCH SKIP TO LAST <symbol>: V-shapes (fall then rise) where the
+  // recovery peak may START the next V — W-shape detection, the
+  // SQL-standard use case for TO LAST. A match is a maximal strict
+  // descent run immediately followed by a maximal ascent run; resuming AT
+  // the peak row lets chained V's share it (PAST LAST ROW would lose the
+  // first drop of the next V, TO NEXT ROW would emit sub-V suffixes).
+  // Oracle: gaps-and-islands over lag() steps — every adjacent
+  // (descent-run, ascent-run) pair IS a match, independently derived.
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    s.sql(
+      """SELECT user_id, first_drop_id, start_value, bottom_value, peak_value, n_rows
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(DOWN.event_id) AS first_drop_id,
+        |           FIRST(STRT.value) AS start_value,
+        |           LAST(DOWN.value) AS bottom_value,
+        |           LAST(UP.value) AS peak_value,
+        |           COUNT(*) AS n_rows
+        |  AFTER MATCH SKIP TO LAST UP
+        |  PATTERN (STRT DOWN+ UP+)
+        |  DEFINE DOWN AS DOWN.value < PREV(value),
+        |         UP AS UP.value > PREV(value)
+        |)
+        |ORDER BY user_id, first_drop_id""".stripMargin)
+  }
+
+  private val q99Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |s AS (SELECT *, CASE WHEN value < pv THEN 'D' WHEN value > pv THEN 'U' END AS st
+      |      FROM e WHERE pv IS NOT NULL),
+      |g AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id, st ORDER BY rn) AS grp
+      |      FROM s WHERE st IS NOT NULL),
+      |runs AS (SELECT user_id, st, min(rn) AS rn0, max(rn) AS rn1,
+      |           CAST(count(*) AS BIGINT) AS len,
+      |           min_by(event_id, rn) AS first_id,
+      |           min_by(pv, rn) AS start_v, max_by(value, rn) AS end_v
+      |         FROM g GROUP BY user_id, st, grp)
+      |SELECT d.user_id, d.first_id AS first_drop_id, d.start_v AS start_value,
+      |  d.end_v AS bottom_value, u.end_v AS peak_value,
+      |  1 + d.len + u.len AS n_rows
+      |FROM runs d JOIN runs u
+      |  ON d.user_id = u.user_id AND d.st = 'D' AND u.st = 'U' AND u.rn0 = d.rn1 + 1
+      |ORDER BY d.user_id, first_drop_id""".stripMargin
+
   // Arbitrary merging windows (WindowFn.mergeWindows): each event claims
   // [ts, ts+30min); overlapping/touching claims merge per user into
   // maximal windows — the oracle rebuilds the islands independently.
@@ -447,6 +497,7 @@ object Extended extends QueryModule {
     "q83_match_recognize_prev" -> q83,
     "q84_match_recognize_all_rows" -> q84,
     "q85_match_recognize_skip_next" -> q85,
+    "q99_match_recognize_skip_to_last" -> q99,
     "q59_merging_windows" -> q59)
 
   override val oracles: Map[String, String] = Map(
@@ -467,5 +518,6 @@ object Extended extends QueryModule {
     "q83_match_recognize_prev" -> q83Sql,
     "q84_match_recognize_all_rows" -> q84Sql,
     "q85_match_recognize_skip_next" -> q85Sql,
+    "q99_match_recognize_skip_to_last" -> q99Sql,
     "q59_merging_windows" -> q59Sql)
 }

@@ -62,6 +62,32 @@ class ExtendedOpsSpec extends GraftSpec {
     assert(ms2.map(_.events.mkString) == Seq("ab")) // c has no partner left
   }
 
+  test("cep: SKIP TO LAST resumes at the last row of the named symbol") {
+    // V-shapes over prices; the recovery peak starts the next V (W-shape)
+    val strt = Sym.withPrev[Int]("s", (_, _) => true)
+    val down = Sym.withPrev[Int]("d", (p, c) => p.exists(c < _), Plus)
+    val up = Sym.withPrev[Int]("u", (p, c) => p.exists(c > _), Plus)
+    val prices = IndexedSeq(5, 3, 1, 4, 2, 6)
+    val toLast = Pattern.matchScan(prices, IndexedSeq(strt, down, up),
+      Pattern.ToLastSym("u"))._1
+    // V1 = 5 3 1 4 (peak 4), V2 shares the 4: 4 2 6
+    assert(toLast.map(_.events) == Seq(IndexedSeq(5, 3, 1, 4), IndexedSeq(4, 2, 6)))
+    // PAST LAST ROW loses the 4→2 drop's context: second match is 2? no —
+    // STRT=2, DOWN+ needs a drop after 2 (none: 6 rises) → only one match
+    val past = Pattern.matchAll(prices, IndexedSeq(strt, down, up))
+    assert(past.map(_.events) == Seq(IndexedSeq(5, 3, 1, 4)))
+    // TO FIRST of a symbol at the match start must error (infinite loop)
+    intercept[IllegalArgumentException] {
+      Pattern.matchScan(prices, IndexedSeq(strt, down, up), Pattern.ToFirstSym("s"))
+    }
+    // symbol absent from the match (Star matched empty) must error
+    val optUp = Sym.withPrev[Int]("u", (p, c) => p.exists(c > _), Star)
+    intercept[IllegalArgumentException] {
+      Pattern.matchScan(IndexedSeq(5, 3, 1), IndexedSeq(strt, down, optUp),
+        Pattern.ToLastSym("u"))
+    }
+  }
+
   test("cep: distributed matchPattern groups by key and orders by time") {
     val evs = Seq(
       (1L, 1L, "a"), (1L, 2L, "b"), // key 1: ab
