@@ -134,15 +134,29 @@ class ExtensionsSpec extends GraftSpec {
   test("MATCH_RECOGNIZE rejects out-of-subset constructs loudly") {
     Seq((1L, 1L, "click")).toDF("user_id", "event_id", "event_type")
       .createOrReplaceTempView("mr_events3")
+    // a measure outside the subset is rejected, never mis-executed
     val e = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM mr_events3 MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY event_id
+          |  MEASURES AVG(A.event_id) AS x
+          |  PATTERN (A) DEFINE A AS true)""".stripMargin)
+    }
+    assert(e.getMessage.contains("unsupported measure"), e.getMessage)
+    // SKIP TO LAST A where A's last row IS the match start: the SQL
+    // standard's runtime loop protection must fire (at materialization —
+    // the rewrite itself is lazy)
+    val e2 = intercept[Exception] {
       spark.sql(
         """SELECT * FROM mr_events3 MATCH_RECOGNIZE (
           |  PARTITION BY user_id ORDER BY event_id
           |  MEASURES COUNT(*) AS n
           |  AFTER MATCH SKIP TO LAST A
-          |  PATTERN (A) DEFINE A AS true)""".stripMargin)
+          |  PATTERN (A) DEFINE A AS true)""".stripMargin).collect()
     }
-    assert(e.getMessage.contains("SKIP TO FIRST/LAST"), e.getMessage)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e2).contains("match start"), msgs(e2))
   }
 
   test("MATCH_RECOGNIZE SKIP TO NEXT ROW emits overlapping matches") {
