@@ -74,6 +74,13 @@ object Bench {
         Map("0" -> 1.0, "1" -> 0.5), defaultRate = 0.1)
         .write.format("noop").mode("overwrite").save()
     }
+    val bpeModel = timed("bpe_train") {
+      graft.text.Bpe.train(docs, "text", numMerges = 50)
+    }
+    timed("bpe_tokenize") {
+      graft.text.Bpe.tokenize(docs, "doc_id", "text", bpeModel)
+        .write.format("noop").mode("overwrite").save()
+    }
     val docsTok = docs.withColumn("tok", length(col("text")))
     timed("pack_chunk") {
       graft.pack.Packing.concatAndChunk(docsTok, "doc_id", "tok",

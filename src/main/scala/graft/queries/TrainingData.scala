@@ -7,7 +7,7 @@ import graft.dedup.{Dedup, DupClusters}
 import graft.similarity.Similarity
 import graft.api.Sampling
 import graft.pack.Packing
-import graft.text.TextAnalysis
+import graft.text.{Bpe, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.functions._
 
@@ -632,6 +632,41 @@ object TrainingData extends QueryModule {
       |  nf AS n_frames, round(avg(v), 6) AS mean_y
       |FROM px GROUP BY id, f, w, nf ORDER BY asset_id, frame_no""".stripMargin
 
+  // REAL BPE tokenizer, trained distributed on the corpus then applied in
+  // one scan-stage pass. Token identities are model-dependent (engine-
+  // local), so the gate is a checked CONTRACT in the accuracy-gate style:
+  // the oracle re-derives n_words and n_chars (no-whitespace) exactly and
+  // pins three booleans the Spark side computes for real — lossless
+  // reconstruction (concat(tokens) == ws-stripped text, the tokenizer
+  // correctness property), token count bounded by [n_words, n_chars], and
+  // strict compression (30 merges over this vocabulary must shorten every
+  // document). TrainingDataSpec pins the actual merge table on the
+  // Sennrich corpus.
+  private def t100(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val model = Bpe.train(docs, "text", numMerges = 30)
+    Bpe.tokenize(docs, "doc_id", "text", model)
+      .join(docs.select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", "").as("squashed"),
+        size(filter(split(lower(trim(col("text"))), "\\s+"),
+          w => length(w) > 0)).cast("long").as("n_words")), "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        length(col("squashed")).cast("long").as("n_chars_nows"),
+        (concat_ws("", col("tokens")) === col("squashed")).as("reconstructs_ok"),
+        (col("n_tokens") >= col("n_words") &&
+          col("n_tokens") <= length(col("squashed"))).as("tokens_bounded_ok"),
+        (col("n_tokens") < length(col("squashed"))).as("compresses_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val t100Sql =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |       x -> x <> '')) AS BIGINT) AS n_words,
+      |  CAST(strlen(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS BIGINT) AS n_chars_nows,
+      |  TRUE AS reconstructs_ok, TRUE AS tokens_bounded_ok, TRUE AS compresses_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d60_exact_dedup" -> d60,
     "d61_ngram_jaccard_probe" -> d61,
@@ -649,6 +684,7 @@ object TrainingData extends QueryModule {
     "t86_repetition_filter" -> t86,
     "t89_pii_redaction" -> t89,
     "t92_corpus_mix" -> t92,
+    "t100_bpe_tokenize" -> t100,
     "p90_pack_concat_chunk" -> p90,
     "p91_pack_greedy" -> p91,
     "m69_multimodal_decode" -> m69,
@@ -676,6 +712,7 @@ object TrainingData extends QueryModule {
     "t86_repetition_filter" -> t86Sql,
     "t89_pii_redaction" -> t89Sql,
     "t92_corpus_mix" -> t92Sql,
+    "t100_bpe_tokenize" -> t100Sql,
     "p90_pack_concat_chunk" -> p90Sql,
     "p91_pack_greedy" -> p91Sql,
     "m69_multimodal_decode" -> m69Sql,

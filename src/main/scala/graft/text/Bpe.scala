@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer, trained distributed — the real version
+  * of the n_tokens_bpe heuristic in [[TextAnalysis]].
+  *
+  * Training follows Sennrich et al. 2016 ("Neural Machine Translation of
+  * Rare Words with Subword Units", public): BPE operates on the corpus'
+  * WORD-FREQUENCY table, not raw text — so the only corpus-sized pass is
+  * the initial word count (one shuffle on the word). At 100 TB that
+  * dictionary is ~10^7 rows regardless of corpus size, and every merge
+  * iteration is two narrow aggregations over it:
+  *
+  *   words(word, freq, syms) → explode adjacent pairs → groupBy pair,
+  *   sum(freq) → argmax → apply the merge to syms
+  *
+  * The per-iteration argmax is a 2-row driver fetch (the merge decision),
+  * not a data collect; symbol sequences are re-derived lazily with
+  * localCheckpoint every few rounds (the connected-components lesson:
+  * iterative plans must truncate lineage). Ties break lexicographically
+  * so training is deterministic — same corpus, same vocab, any cluster.
+  *
+  * Encoding broadcasts the merge-rank table and applies the standard
+  * lowest-rank-first merge loop per word (the public GPT-2/HF algorithm),
+  * inside one mapPartitions pass — scan-stage, no shuffle.
+  */
+object Bpe {
+
+  /** A trained tokenizer: merge list in training order. */
+  final case class Model(merges: IndexedSeq[(String, String)]) {
+    @transient lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+
+    /** Encode one word (no whitespace) to subword tokens. */
+    def encodeWord(word: String): Vector[String] = {
+      if (word.isEmpty) return Vector.empty
+      var syms = word.map(_.toString).toVector
+      var done = false
+      while (!done && syms.length > 1) {
+        var best = Int.MaxValue; var bi = -1
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < best) { best = r; bi = i }
+          i += 1
+        }
+        if (bi < 0) done = true
+        else syms = (syms.take(bi) :+ (syms(bi) + syms(bi + 1))) ++ syms.drop(bi + 2)
+      }
+      syms
+    }
+
+    /** Tokenize whitespace-split lowercased text. */
+    def encode(text: String): Vector[String] =
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .toVector.flatMap(encodeWord)
+  }
+
+  /** Train `numMerges` merges over `textCol` of `df`. The word-frequency
+    * table is computed once (the only full-corpus shuffle) and cached;
+    * each merge mutates only the symbol sequences of words containing
+    * the merged pair. */
+  def train(df: DataFrame, textCol: String, numMerges: Int): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        // char-level start symbols; Spark's split(limit=-1) keeps the
+        // trailing empty match of the zero-width pattern — drop it
+        array_remove(split(col("w"), "(?!^)"), "").as("syms"))
+      .as[(String, Long, Seq[String])]
+      .localCheckpoint(true)
+
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      // pair frequencies, weighted by word frequency
+      val top = words.flatMap { case (_, f, syms) =>
+        syms.iterator.zip(syms.iterator.drop(1)).map(p => (p, f))
+      }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((a, b), n) => (n, a, b) }
+        // deterministic: max count, then lexicographic (a, b)
+        .orderBy(col("_1").desc, col("_2"), col("_3"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head._1 < 2) exhausted = true
+      else {
+        val (_, a, b) = top.head
+        merges += ((a, b))
+        words = words.map { case (w, f, syms) =>
+          (w, f, applyMerge(syms, a, b))
+        }.localCheckpoint(true)
+        m += 1
+      }
+    }
+    Model(merges.result())
+  }
+
+  private def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Tokenize a corpus with a trained model: one broadcast of the merge
+    * ranks, one scan-stage pass; emits (idCol, tokens, n_tokens). */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val mdl = bc.value
+        it.map { case (id, text) =>
+          val toks = mdl.encode(text)
+          (id, toks, toks.length.toLong)
+        }
+      }
+      .toDF(idCol, "tokens", "n_tokens")
+  }
+}

@@ -72,6 +72,33 @@ class TrainingDataSpec extends GraftSpec {
     assert(pairs == Set((1L, 0L), (1L, 3L))) // 1 matches 0 and its exact dup 3
   }
 
+  test("bpe training reproduces the canonical merge order; encoding is lossless") {
+    import graft.text.Bpe
+    // Sennrich et al.'s worked example: low×5 lower×2 newest×6 widest×3
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val model = Bpe.train(corpus, "text", numMerges = 4)
+    // es (9, beats st on the lexicographic tie), est (9), lo (7), low (7)
+    assert(model.merges == Vector(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    assert(model.encodeWord("lowest") == Vector("low", "est"))
+    assert(model.encodeWord("newest") == Vector("n", "e", "w", "est"))
+    // unseen characters degrade to singles, reconstruction always holds
+    val toks = model.encode("Lowest LOWER zq")
+    assert(toks.mkString == "lowestlowerzq")
+  }
+
+  test("bpe tokenize is a broadcast scan pass with exact token counts") {
+    import graft.text.Bpe
+    val df = Seq((1L, "low low lowest"), (2L, "widest")).toDF("doc_id", "text")
+    val model = Bpe.train(df, "text", numMerges = 4)
+    val out = Bpe.tokenize(df, "doc_id", "text", model)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(out(1L) == model.encode("low low lowest").length.toLong)
+    assert(out(2L) == model.encode("widest").length.toLong)
+  }
+
   test("pii redaction scrubs and counts every planted identifier") {
     val df = Seq((1L,
       "reach me at bob.smith+x@corp.io or 192.168.0.1 call 555-123-4567 ssn 123-45-6789 end"))
