@@ -61,10 +61,13 @@ import graft.cep.Pattern
   * 100 TB this is the same plan shape as any keyed stateful op: one hash
   * exchange + per-key work.
   *
-  * EXPLAIN caveat: because the clause is resolved by executing the match
-  * stage at parse time (Spark's parser interface offers no lazy hook for a
-  * foreign clause), `EXPLAIN` on a MATCH_RECOGNIZE query runs the match
-  * stage and explains only the outer query over its materialized view.
+  * The parse-time rewrite is LAZY: it builds the match DataFrame (pure
+  * transformations) and registers it as a temp view without executing
+  * anything, so `EXPLAIN` on a MATCH_RECOGNIZE query shows the full plan
+  * — exchange, window columns, the grouped match scan — with zero
+  * execution (runtime skip errors, e.g. a SKIP TO loop, accordingly
+  * surface at materialization, not at parse). The residual caveat is
+  * only that each clause occurrence registers a session temp view.
   */
 object MatchRecognize {
 
