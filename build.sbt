@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the full bench (202-query gate + TPC-DS x10 + Nexmark
+  // tiers + the 1M-doc pipeline tier) shares one local[32] JVM; 8g OOM'd
+  // (Spark exit 52) once the pipeline tier ran last. Host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
