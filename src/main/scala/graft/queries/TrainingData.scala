@@ -667,6 +667,30 @@ object TrainingData extends QueryModule {
       |  TRUE AS reconstructs_ok, TRUE AS tokens_bounded_ok, TRUE AS compresses_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // Z-order (Morton) curve: the bit-interleave that drives multi-column
+  // file clustering (api/Layout.zorder). The gate checks the curve math
+  // itself — the oracle expands the identical shift/mask/or closed form;
+  // PlanSpec/ LayoutSpec prove the layout effect (per-file bounding boxes
+  // shrink in BOTH dimensions).
+  private def p102(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 256).as("a"),
+        ((col("doc_id") * 7) % 256).as("b"))
+      .withColumn("z", graft.api.Layout.zValue(col("a"), col("b"), bits = 8))
+      .orderBy("doc_id")
+
+  private val p102Sql = {
+    // fully parenthesized: DuckDB (PostgreSQL-style) gives <<, &, | equal
+    // left-assoc precedence, so an unparenthesized a << i | b << j
+    // accumulates shifts
+    val terms = (0 until 8).flatMap(i => Seq(
+      s"((((doc_id % 256) >> $i) & 1) << ${2 * i})",
+      s"(((((doc_id * 7) % 256) >> $i) & 1) << ${2 * i + 1})"))
+    s"""SELECT doc_id, doc_id % 256 AS a, (doc_id * 7) % 256 AS b,
+       |  CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d60_exact_dedup" -> d60,
     "d61_ngram_jaccard_probe" -> d61,
@@ -687,6 +711,7 @@ object TrainingData extends QueryModule {
     "t100_bpe_tokenize" -> t100,
     "p90_pack_concat_chunk" -> p90,
     "p91_pack_greedy" -> p91,
+    "p102_zorder_curve" -> p102,
     "m69_multimodal_decode" -> m69,
     "m70_frame_sampling" -> m70,
     "m94_ppm_decode" -> m94,
@@ -715,6 +740,7 @@ object TrainingData extends QueryModule {
     "t100_bpe_tokenize" -> t100Sql,
     "p90_pack_concat_chunk" -> p90Sql,
     "p91_pack_greedy" -> p91Sql,
+    "p102_zorder_curve" -> p102Sql,
     "m69_multimodal_decode" -> m69Sql,
     "m70_frame_sampling" -> m70Sql,
     "m94_ppm_decode" -> m94Sql,

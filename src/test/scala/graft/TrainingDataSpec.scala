@@ -99,6 +99,30 @@ class TrainingDataSpec extends GraftSpec {
     assert(out(2L) == model.encode("widest").length.toLong)
   }
 
+  test("zorder clustering shrinks per-partition bounding boxes in both dims") {
+    import graft.api.Layout
+    // 64x64 grid in x-major id order: id-range partitioning gives tight x
+    // but FULL-width y ranges; z-order must be compact in both
+    val grid = spark.range(4096)
+      .select(col("id"), (col("id") / 64).cast("long").as("x"),
+        (col("id") % 64).as("y"))
+    def avgRanges(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val r = df.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+        .agg(avg("xr"), avg("yr")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (_, naiveY) = avgRanges(grid.repartitionByRange(16, col("id")))
+    assert(naiveY == 63.0) // id order: every partition spans all of y
+    val (zx, zy) = avgRanges(Layout.zorder(grid, "x", "y", numFiles = 16, bits = 6))
+    assert(zx < 40 && zy < 40, s"z-order boxes not compact: x=$zx y=$zy")
+    // curve math sanity: (x=3, y=5): 0b11 interleaved with 0b101 = 0b100111
+    val z = grid.sparkSession.range(1)
+      .select(Layout.zValue(lit(3), lit(5), 3).as("z")).head().getLong(0)
+    assert(z == 0x27L)
+  }
+
   test("pii redaction scrubs and counts every planted identifier") {
     val df = Seq((1L,
       "reach me at bob.smith+x@corp.io or 192.168.0.1 call 555-123-4567 ssn 123-45-6789 end"))
