@@ -43,9 +43,13 @@ object Sampling {
   /** The 4-hex-char keep threshold for a rate: a row survives when the
     * md5 prefix of its id sorts strictly below it. "g" > every hex char,
     * so rate ≥ 1 keeps all; "0000" (rate ≤ 0) keeps none. */
-  def rateThreshold(rate: Double): String =
-    if (rate >= 1.0) "g"
-    else f"${math.max((rate * 65536).round.toInt, 0)}%04x"
+  def rateThreshold(rate: Double): String = {
+    val bucket = math.max((rate * 65536).round.toInt, 0)
+    // Rates just below 1 round to 65536, which would format as the 5-char
+    // "10000" and sort BELOW most 4-char prefixes — keep-all instead.
+    if (rate >= 1.0 || bucket >= 65536) "g"
+    else f"$bucket%04x"
+  }
 
   /** Training-mix construction: deterministic per-key weighted sampling
     * ("keep 100% of wiki, 30% of web, 10% of the rest"). A row is kept iff

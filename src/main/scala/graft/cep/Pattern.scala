@@ -49,12 +49,17 @@ object Pattern extends Serializable {
     * when set, replaces `pred` with a predicate that also sees the
     * PHYSICAL previous event in the key's ordered sequence (None at the
     * sequence start) — the Scala-API form of SQL PREV navigation
-    * (reference impl/cep/CEPCall.java PREV operator). */
+    * (reference impl/cep/CEPCall.java PREV operator). In the streaming
+    * matcher the predecessor of the scan's first event is the retained
+    * per-key context event (the last event before the current buffer),
+    * so PREV agrees with a batch scan of the same logical sequence even
+    * after earlier events were consumed or matured away. */
   final case class Sym[E](name: String, pred: E => Boolean, quant: Quant = One,
       prevPred: (Option[E], E) => Boolean = null) {
-    private[cep] def eval(events: IndexedSeq[E], idx: Int): Boolean =
+    private[cep] def eval(events: IndexedSeq[E], idx: Int,
+        ctx: Option[E]): Boolean =
       if (prevPred ne null)
-        prevPred(if (idx > 0) Some(events(idx - 1)) else None, events(idx))
+        prevPred(if (idx > 0) Some(events(idx - 1)) else ctx, events(idx))
       else pred(events(idx))
   }
 
@@ -80,10 +85,13 @@ object Pattern extends Serializable {
 
   /** As matchAll, additionally returning the indices of events NOT
     * consumed by any match (needed by the streaming matcher to retain
-    * events that may yet participate when later input arrives). */
+    * events that may yet participate when later input arrives).
+    * `prevCtx`, when set, is the logical predecessor of `events(0)` —
+    * PREV navigation at the scan start resolves to it instead of None. */
   def matchScan[E](events: IndexedSeq[E],
       pattern: IndexedSeq[Sym[E]],
-      skip: Skip = PastLastRow): (Seq[Match[E]], Seq[Int]) = {
+      skip: Skip = PastLastRow,
+      prevCtx: Option[E] = None): (Seq[Match[E]], Seq[Int]) = {
     val n = events.length
 
     // Try to match the full pattern starting at event index `start`;
@@ -103,7 +111,7 @@ object Pattern extends Serializable {
           }
           // longest run of consecutive events satisfying the predicate
           var run = 0
-          while (run < maxRep && ei + run < n && sym.eval(events, ei + run)) run += 1
+          while (run < maxRep && ei + run < n && sym.eval(events, ei + run, prevCtx)) run += 1
           // greedy: prefer the longest repetition, backtrack on failure
           var len = math.min(run, maxRep)
           var res: Option[(Int, Vector[(String, E)])] = None
@@ -201,29 +209,45 @@ object Pattern extends Serializable {
     * (documented divergence from an offline scan).
     *
     * The input must carry a watermark (withWatermark upstream). At scale:
-    * state per key = pending events only; the shuffle is the same hash
-    * exchange as any keyed stateful op.
+    * state per key = pending events plus ONE predecessor context event
+    * (so PREV navigation at the buffer head matches a batch scan of the
+    * same logical sequence); the shuffle is the same hash exchange as any
+    * keyed stateful op.
     */
   def matchStream[E, K, O](
       ds: Dataset[E], key: E => K, tsMillis: E => Long,
       pattern: Seq[Sym[E]])(emit: (K, Match[E]) => O)(
       implicit kEnc: Encoder[K], oEnc: Encoder[O],
-      bufEnc: Encoder[Seq[E]]): Dataset[O] = {
+      stEnc: Encoder[(Seq[E], Seq[E])]): Dataset[O] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val pat = pattern.toIndexedSeq
-    def advance(k: K, it: Iterator[E], state: GroupState[Seq[E]]): Iterator[O] = {
-      val buf = state.getOption.getOrElse(Seq.empty) ++ it
+    // state = (predecessor context as a 0/1-element Seq, pending events)
+    def advance(k: K, it: Iterator[E],
+        state: GroupState[(Seq[E], Seq[E])]): Iterator[O] = {
+      val (ctxSeq, pending) = state.getOption.getOrElse((Seq.empty[E], Seq.empty[E]))
+      val ctx = ctxSeq.lastOption
+      val buf = pending ++ it
       val wm = state.getCurrentWatermarkMs()
       val (mature, immature) = buf.partition(e => tsMillis(e) <= wm)
       val sorted = mature.sortBy(tsMillis).toIndexedSeq
-      val (matches, unconsumedIdx) = matchScan(sorted, pat)
+      val (matches, unconsumedIdx) = matchScan(sorted, pat, PastLastRow, ctx)
       val retained = unconsumedIdx.map(sorted) ++ immature
-      if (retained.isEmpty) state.remove()
+      // context for the next invocation: the event immediately before the
+      // earliest retained event in the key's ordered sequence (mature
+      // events all precede immature ones — immature means ts > watermark)
+      val nextCtx: Option[E] = unconsumedIdx.headOption match {
+        case Some(0) => ctx
+        case Some(i) => Some(sorted(i - 1))
+        case None => sorted.lastOption.orElse(ctx)
+      }
+      if (retained.isEmpty && nextCtx.isEmpty) state.remove()
       else {
-        state.update(retained)
-        // wake when the watermark passes the earliest pending event
-        val next = retained.map(tsMillis).min
-        state.setTimeoutTimestamp(math.max(next, wm + 1))
+        state.update((nextCtx.toSeq, retained))
+        if (retained.nonEmpty) {
+          // wake when the watermark passes the earliest pending event
+          val next = retained.map(tsMillis).min
+          state.setTimeoutTimestamp(math.max(next, wm + 1))
+        }
       }
       matches.iterator.map(m => emit(k, m))
     }

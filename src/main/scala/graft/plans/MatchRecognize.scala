@@ -103,13 +103,38 @@ object MatchRecognize {
   private val MeasureClassifier = "(?i)^CLASSIFIER\\s*\\(\\s*\\)$".r
   private val PatternSym = "(\\w+)([+*?]?)".r
 
-  /** True iff position `pos` falls inside a single-quoted SQL string
-    * literal (quotes escape by doubling, so parity of the quote count
-    * before `pos` decides). */
+  /** True iff position `pos` falls inside a quoted SQL literal/identifier
+    * or a comment. A real scanner (not quote-parity): tracks single- and
+    * double-quoted strings, backtick identifiers, backslash escapes
+    * (Spark's default non-ANSI mode escapes 'it\'s' as well as doubling),
+    * `--` line comments and bracketed comments, so an escaped quote can't
+    * flip the state and misclassify a genuine clause. */
   private def inLiteral(text: String, pos: Int): Boolean = {
-    var quotes = 0; var i = 0
-    while (i < pos) { if (text.charAt(i) == '\'') quotes += 1; i += 1 }
-    quotes % 2 == 1
+    var i = 0
+    var state = 0 // 0 plain, 1 '…', 2 "…", 3 `…`, 4 --…\n, 5 /*…*/
+    while (i < pos) {
+      val c = text.charAt(i)
+      state match {
+        case 0 =>
+          if (c == '\'') state = 1
+          else if (c == '"') state = 2
+          else if (c == '`') state = 3
+          else if (c == '-' && i + 1 < text.length && text.charAt(i + 1) == '-') { state = 4; i += 1 }
+          else if (c == '/' && i + 1 < text.length && text.charAt(i + 1) == '*') { state = 5; i += 1 }
+        case 1 | 2 =>
+          val q = if (state == 1) '\'' else '"'
+          if (c == '\\') i += 1 // skip escaped char
+          else if (c == q) {
+            if (i + 1 < text.length && text.charAt(i + 1) == q) i += 1 // doubled quote
+            else state = 0
+          }
+        case 3 => if (c == '`') state = 0
+        case 4 => if (c == '\n') state = 0
+        case 5 => if (c == '*' && i + 1 < text.length && text.charAt(i + 1) == '/') { state = 0; i += 1 }
+      }
+      i += 1
+    }
+    state != 0
   }
 
   /** If `sqlText` contains a MATCH_RECOGNIZE clause (outside string

@@ -261,7 +261,7 @@ object Analytics extends QueryModule {
         (abs(col("hll_users") - col("exact_users")).cast("double")
           / col("exact_users") <= 0.02).as("hll_users_ok"),
         (abs(col("approx_p50") - col("exact_p50"))
-          / abs(col("exact_p50")) <= 0.01).as("p50_ok"))
+          / greatest(abs(col("exact_p50")), lit(1e-9)) <= 0.01).as("p50_ok"))
       .orderBy("event_type")
 
   private val q40Sql =

@@ -323,6 +323,41 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming MATCH_RECOGNIZE: PREV at the buffer head sees the consumed predecessor") {
+    implicit val ctx = spark.sqlContext
+    import graft.cep.Pattern
+    val input = MemoryStream[(String, Timestamp, Int)]
+    val evs = input.toDS().toDF("k", "event_time", "v")
+      .withWatermark("event_time", "5 seconds").as[(String, Timestamp, Int)]
+    // A* anchors on v==0, R matches a rise vs the PHYSICAL previous event.
+    // After (0,5) is consumed, the next scan's first event (100) has no
+    // in-buffer predecessor — PREV must resolve to the retained context (5),
+    // exactly as a batch scan of the full sequence would.
+    val pat = Seq(
+      Pattern.Sym[(String, Timestamp, Int)]("a", _._3 == 0, Pattern.Star),
+      Pattern.Sym.withPrev[(String, Timestamp, Int)]("r", (p, c) => p.exists(c._3 > _._3)))
+    val out = Pattern.matchStream(evs,
+      (e: (String, Timestamp, Int)) => e._1,
+      (e: (String, Timestamp, Int)) => e._2.getTime, pat) {
+      (k, m) => (k, m.events.last._3)
+    }
+    val q = out.writeStream.format("memory").queryName("cepprev")
+      .outputMode("append").start()
+    try {
+      input.addData(("u", ts("2024-01-01 00:00:01"), 0),
+        ("u", ts("2024-01-01 00:00:02"), 5),
+        ("u", ts("2024-01-01 00:01:00"), 100))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout pass: wm=55s matures (0,5) -> match, ctx=5
+      input.addData(("u", ts("2024-01-01 00:02:00"), 7)) // advances wm past 100
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("cepprev").as[(String, Int)].collect().map(_._2).toSet
+      // 5 from the (0,5) match; 100 only if PREV resolved to the consumed 5
+      assert(got == Set(5, 100), s"got $got")
+    } finally q.stop()
+  }
+
   test("count-triggered early firing emits running panes every N elements") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Int)]

@@ -187,6 +187,20 @@ class TrainingDataSpec extends GraftSpec {
     assert(kept.getOrElse("rest", 0L) < 30L)
   }
 
+  test("weighted mix: a rate just below 1 keeps ~all rows, not 6%") {
+    // regression: 1-2^-17 <= rate < 1 rounded to 65536, formatted as the
+    // 5-char "10000", which sorts BELOW most 4-hex prefixes and silently
+    // inverted the filter
+    assert(graft.api.Sampling.rateThreshold(0.999999) == "g")
+    assert(graft.api.Sampling.rateThreshold(1.0) == "g")
+    assert(graft.api.Sampling.rateThreshold(0.5) == "8000")
+    assert(graft.api.Sampling.rateThreshold(0.0) == "0000")
+    val df = (0L until 400L).map(i => (i, "s")).toDF("doc_id", "source")
+    val n = graft.api.Sampling.weightedMix(df, "source", "doc_id",
+      Map("s" -> 0.999999), defaultRate = 0.0).count()
+    assert(n == 400L, s"kept $n of 400")
+  }
+
   test("simhash puts exact dups at hamming 0") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
       .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
