@@ -117,9 +117,15 @@ object NexmarkStreaming {
     * state, and project the final answer from the state at stream end.
     * Returns the final frame so the spec can pin equality with the batch
     * plan. */
+  /** Per-batch logical-plan node counts of the running fold state from the
+    * most recent twoStage run — test instrumentation for the flat-plan
+    * contract (localCheckpoint must truncate lineage every batch). */
+  private[graft] val statePlanSizes =
+    new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+
   private[graft] def twoStage(spark: SparkSession, name: String, ev: DataFrame,
       ckpt: String, timeoutMs: Long): Option[DataFrame] = {
-    import org.apache.spark.storage.StorageLevel
+    statePlanSizes.clear()
     val a = Nexmark.auctionsFrom(ev).withColumnRenamed("ts", "a_ts")
     val b = Nexmark.bidsFrom(ev).withColumnRenamed("ts", "b_ts")
     // incremental inner equi-join (the q3 shape) + the expiry bound
@@ -155,12 +161,17 @@ object NexmarkStreaming {
     val q = joined.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // stage 2a: per-batch partial fold, merged into the running state
+        // stage 2a: per-batch partial fold, merged into the running state.
+        // localCheckpoint (eager) materializes the merge AND truncates the
+        // logical plan — without it the state plan nests one union per
+        // micro-batch and an unbounded run hits the same plan-doubling wall
+        // the connected-components loop documents (DupClusters.scala). The
+        // checkpointed blocks live in the block manager (MEMORY_AND_DISK);
+        // ContextCleaner frees the predecessor's once unreferenced.
         val partial = fold(batch)
         val merged = state.fold(partial)(s => merge(s.union(partial)))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        merged.count() // materialize before dropping the predecessor
-        state.foreach(_.unpersist())
+          .localCheckpoint(true)
+        statePlanSizes.add(merged.queryExecution.logical.map(_ => 1).sum)
         state = Some(merged)
         ()
       }
@@ -178,7 +189,6 @@ object NexmarkStreaming {
         case _ => s // q9: the winning rows ARE the answer
       }
       val rows = out.collect().toSeq
-      s.unpersist()
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
     }
   }

@@ -61,6 +61,15 @@ class NexmarkStreamingSpec extends GraftSpec {
       val batch = batchPlans(name).collect().map(_.toString).toSet
       assert(out == batch, s"$name: stream-only=${(out -- batch).take(3)} " +
         s"batch-only=${(batch -- out).take(3)}")
+      // flat-plan contract: localCheckpoint truncates the fold's lineage
+      // every batch, so the state plan must NOT grow with batch count — the
+      // property that lets the fold run unbounded (one union per batch
+      // would nest and hit the plan-doubling wall)
+      import scala.jdk.CollectionConverters._
+      val sizes = NexmarkStreaming.statePlanSizes.asScala.map(_.toInt).toSeq
+      assert(sizes.size >= 5, s"$name: expected >=5 micro-batches, got $sizes")
+      assert(sizes.distinct.size == 1,
+        s"$name: state plan grew across batches: $sizes")
     }
   }
 }
