@@ -74,8 +74,11 @@ object Bench {
         Map("0" -> 1.0, "1" -> 0.5), defaultRate = 0.1)
         .write.format("noop").mode("overwrite").save()
     }
+    // 2000 merges = a production-shaped vocabulary run; batched training
+    // makes it ~20 driver round-trips (the r5 finding: one round-trip per
+    // merge meant vocab-size-bound scheduler latency)
     val bpeModel = timed("bpe_train") {
-      graft.text.Bpe.train(docs, "text", numMerges = 50)
+      graft.text.Bpe.train(docs, "text", numMerges = 2000)
     }
     timed("bpe_tokenize") {
       graft.text.Bpe.tokenize(docs, "doc_id", "text", bpeModel)

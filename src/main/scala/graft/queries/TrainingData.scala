@@ -667,6 +667,43 @@ object TrainingData extends QueryModule {
       |  TRUE AS reconstructs_ok, TRUE AS tokens_bounded_ok, TRUE AS compresses_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // Production-shaped BPE: the same contract as t100 at a 2048-merge
+  // vocabulary — the scale that matters for a real tokenizer (batched
+  // training makes this ~20 driver round-trips instead of 2048; the
+  // batched ≡ sequential law is pinned in TrainingDataSpec). Extra
+  // contract vs t100: encoding with a SUPERSET merge list can only
+  // shorten a document (new merges append at higher rank, so the
+  // lowest-rank-first encode loop applies the old merges identically
+  // first) — monotone_vs_small_ok checks the 2048-merge token count
+  // against the 30-merge one per document.
+  private def t101(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val small = Bpe.train(docs, "text", numMerges = 30)
+    val big = Bpe.train(docs, "text", numMerges = 2048)
+    Bpe.tokenize(docs, "doc_id", "text", big)
+      .join(Bpe.tokenize(docs, "doc_id", "text", small)
+        .select(col("doc_id"), col("n_tokens").as("n_tokens_small")), "doc_id")
+      .join(docs.select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", "").as("squashed"),
+        size(filter(split(lower(trim(col("text"))), "\\s+"),
+          w => length(w) > 0)).cast("long").as("n_words")), "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        length(col("squashed")).cast("long").as("n_chars_nows"),
+        (concat_ws("", col("tokens")) === col("squashed")).as("reconstructs_ok"),
+        (col("n_tokens") >= col("n_words") &&
+          col("n_tokens") <= length(col("squashed"))).as("tokens_bounded_ok"),
+        (col("n_tokens") <= col("n_tokens_small")).as("monotone_vs_small_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val t101Sql =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |       x -> x <> '')) AS BIGINT) AS n_words,
+      |  CAST(strlen(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS BIGINT) AS n_chars_nows,
+      |  TRUE AS reconstructs_ok, TRUE AS tokens_bounded_ok, TRUE AS monotone_vs_small_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // Z-order (Morton) curve: the bit-interleave that drives multi-column
   // file clustering (api/Layout.zorder). The gate checks the curve math
   // itself — the oracle expands the identical shift/mask/or closed form;
@@ -709,6 +746,7 @@ object TrainingData extends QueryModule {
     "t89_pii_redaction" -> t89,
     "t92_corpus_mix" -> t92,
     "t100_bpe_tokenize" -> t100,
+    "t101_bpe_scale_train" -> t101,
     "p90_pack_concat_chunk" -> p90,
     "p91_pack_greedy" -> p91,
     "p102_zorder_curve" -> p102,
@@ -738,6 +776,7 @@ object TrainingData extends QueryModule {
     "t89_pii_redaction" -> t89Sql,
     "t92_corpus_mix" -> t92Sql,
     "t100_bpe_tokenize" -> t100Sql,
+    "t101_bpe_scale_train" -> t101Sql,
     "p90_pack_concat_chunk" -> p90Sql,
     "p91_pack_greedy" -> p91Sql,
     "p102_zorder_curve" -> p102Sql,

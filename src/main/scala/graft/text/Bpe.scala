@@ -60,9 +60,35 @@ object Bpe {
 
   /** Train `numMerges` merges over `textCol` of `df`. The word-frequency
     * table is computed once (the only full-corpus shuffle) and cached;
-    * each merge mutates only the symbol sequences of words containing
-    * the merged pair. */
-  def train(df: DataFrame, textCol: String, numMerges: Int): Model = {
+    * each round mutates only the symbol sequences of words containing a
+    * merged pair.
+    *
+    * Merges are taken in BATCHES of up to `batchSize` per driver
+    * round-trip (classic batched BPE — a 32k-merge production vocab is
+    * ~10^5 sequential Spark jobs otherwise, hours of scheduler latency
+    * independent of data size), with a selection rule that keeps the
+    * result EXACTLY equal to one-merge-at-a-time training:
+    *
+    *  1. Sort candidates by (count desc, pair lex) — sequential's order.
+    *  2. Take the longest no-skip prefix of mutually symbol-disjoint
+    *     pairs, stopping at the first candidate sharing a symbol with a
+    *     taken pair (the "stopper").
+    *  3. Keep only taken pairs whose count is STRICTLY greater than the
+    *     stopper's count (the first pair is always kept — it is
+    *     sequential's next merge by construction).
+    *
+    * Why this is exact: applying a merge only (a) decreases counts of
+    * pairs sharing a symbol with it and (b) creates new pairs adjacent to
+    * the merged token, each supported by a pre-existing pair that also
+    * shares a symbol with it (every occurrence of (x, ab) was an
+    * occurrence of (x, a)). The no-skip prefix guarantees every pair
+    * ranked above the stopper is already taken, so any pair whose count
+    * can change — and any new pair's supporting count — ranks at or below
+    * the stopper. Kept pairs outrank the stopper strictly, so each is
+    * still the global (count, lex) argmax when sequential training would
+    * reach it. Disjointness makes the batch application order-free. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      batchSize: Int = 100): Model = {
     val spark = df.sparkSession
     import spark.implicits._
     var words = df
@@ -80,6 +106,8 @@ object Bpe {
     var m = 0
     var exhausted = false
     while (m < numMerges && !exhausted) {
+      val want = math.min(batchSize, numMerges - m)
+      val fetch = 2 * want + 8
       // pair frequencies, weighted by word frequency
       val top = words.flatMap { case (_, f, syms) =>
         syms.iterator.zip(syms.iterator.drop(1)).map(p => (p, f))
@@ -88,15 +116,35 @@ object Bpe {
         .map { case ((a, b), n) => (n, a, b) }
         // deterministic: max count, then lexicographic (a, b)
         .orderBy(col("_1").desc, col("_2"), col("_3"))
-        .limit(1).collect()
-      if (top.isEmpty || top.head._1 < 2) exhausted = true
+        .limit(fetch).collect()
+      // no-skip disjoint prefix (rule 2)
+      val used = scala.collection.mutable.Set.empty[String]
+      val taken = Vector.newBuilder[(Long, String, String)]
+      var nTaken = 0
+      var stopper: Option[Long] = None
+      var i = 0
+      while (stopper.isEmpty && i < top.length && nTaken < want) {
+        val (c, a, b) = top(i)
+        if (used(a) || used(b)) stopper = Some(c)
+        else { taken += ((c, a, b)); used += a; used += b; nTaken += 1 }
+        i += 1
+      }
+      // unexamined candidates (want hit, or a full fetch ran out) bound
+      // the stopper at the next candidate's / last fetched count
+      if (stopper.isEmpty && i < top.length) stopper = Some(top(i)._1)
+      else if (stopper.isEmpty && top.length == fetch) stopper = Some(top.last._1)
+      val batch = taken.result().zipWithIndex
+        .filter { case ((c, _, _), idx) =>
+          c >= 2 && (idx == 0 || stopper.forall(c > _))
+        }
+        .map { case ((_, a, b), _) => (a, b) }
+      if (batch.isEmpty || top.isEmpty || top.head._1 < 2) exhausted = true
       else {
-        val (_, a, b) = top.head
-        merges += ((a, b))
+        merges ++= batch
         words = words.map { case (w, f, syms) =>
-          (w, f, applyMerge(syms, a, b))
+          (w, f, batch.foldLeft(syms)((s, p) => applyMerge(s, p._1, p._2)))
         }.localCheckpoint(true)
-        m += 1
+        m += batch.length
       }
     }
     Model(merges.result())

@@ -89,6 +89,18 @@ class TrainingDataSpec extends GraftSpec {
     assert(toks.mkString == "lowestlowerzq")
   }
 
+  test("batched bpe training equals one-merge-at-a-time training exactly") {
+    import graft.text.Bpe
+    // the equivalence claim behind batchSize: the no-skip disjoint prefix
+    // + strictly-above-stopper rule must reproduce sequential training
+    // merge-for-merge on a real corpus, not just the Sennrich example
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sequential = Bpe.train(real, "text", numMerges = 60, batchSize = 1)
+    val batched = Bpe.train(real, "text", numMerges = 60, batchSize = 100)
+    assert(sequential.merges.size == 60)
+    assert(batched.merges == sequential.merges)
+  }
+
   test("bpe tokenize is a broadcast scan pass with exact token counts") {
     import graft.text.Bpe
     val df = Seq((1L, "low low lowest"), (2L, "widest")).toDF("doc_id", "text")
