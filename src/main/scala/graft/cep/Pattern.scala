@@ -23,12 +23,19 @@ import org.apache.spark.sql.{Dataset, Encoder}
   */
 object Pattern extends Serializable {
 
-  /** Greedy quantifiers: A, A+, A*, A? . */
+  /** Quantifiers: greedy A, A+, A*, A? and reluctant A+?, A*?, A??
+    * (reference impl/cep/Quantifier.java:28-34 declares both sets).
+    * Greedy prefers the LONGEST repetition that lets the rest of the
+    * pattern match; reluctant prefers the SHORTEST. Match starts are
+    * unchanged (leftmost scan either way). */
   sealed trait Quant
   case object One extends Quant
   case object Plus extends Quant
   case object Star extends Quant
   case object Opt extends Quant
+  case object PlusReluctant extends Quant
+  case object StarReluctant extends Quant
+  case object OptReluctant extends Quant
 
   /** AFTER MATCH SKIP strategies (reference NFA.java match-resumption):
     * PastLastRow (default) resumes after the match — non-overlapping;
@@ -103,21 +110,26 @@ object Pattern extends Serializable {
           val sym = pattern(pi)
           def consume(k: Int) = // bind events [ei, ei+k) to this symbol
             (0 until k).foldLeft(acc)((a, j) => a :+ (sym.name -> events(ei + j)))
-          val (minRep, maxRep) = sym.quant match {
-            case One  => (1, 1)
-            case Opt  => (0, 1)
-            case Plus => (1, n - ei)
-            case Star => (0, n - ei)
+          val (minRep, maxRep, reluctant) = sym.quant match {
+            case One  => (1, 1, false)
+            case Opt  => (0, 1, false)
+            case Plus => (1, n - ei, false)
+            case Star => (0, n - ei, false)
+            case OptReluctant  => (0, 1, true)
+            case PlusReluctant => (1, n - ei, true)
+            case StarReluctant => (0, n - ei, true)
           }
           // longest run of consecutive events satisfying the predicate
           var run = 0
           while (run < maxRep && ei + run < n && sym.eval(events, ei + run, prevCtx)) run += 1
-          // greedy: prefer the longest repetition, backtrack on failure
-          var len = math.min(run, maxRep)
+          val hi = math.min(run, maxRep)
+          // greedy: longest repetition first, backtrack shorter on failure;
+          // reluctant: shortest first, extend on failure
+          var len = if (reluctant) minRep else hi
           var res: Option[(Int, Vector[(String, E)])] = None
-          while (res.isEmpty && len >= minRep) {
+          while (res.isEmpty && len >= minRep && len <= hi) {
             res = go(pi + 1, ei + len, consume(len))
-            len -= 1
+            len += (if (reluctant) 1 else -1)
           }
           res
         }

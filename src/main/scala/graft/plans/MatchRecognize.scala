@@ -101,7 +101,7 @@ object MatchRecognize {
   private val MeasureCountSym = "(?i)^COUNT\\s*\\(\\s*(\\w+)\\s*\\.\\s*\\*\\s*\\)$".r
   private val MeasureCountAll = "(?i)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
   private val MeasureClassifier = "(?i)^CLASSIFIER\\s*\\(\\s*\\)$".r
-  private val PatternSym = "(\\w+)([+*?]?)".r
+  private val PatternSym = "(\\w+)([+*?]\\??|)".r
 
   /** True iff position `pos` falls inside a quoted SQL literal/identifier
     * or a comment. A real scanner (not quote-parity): tracks single- and
@@ -228,6 +228,9 @@ object MatchRecognize {
           case "+" => Pattern.Plus
           case "*" => Pattern.Star
           case "?" => Pattern.Opt
+          case "+?" => Pattern.PlusReluctant
+          case "*?" => Pattern.StarReluctant
+          case "??" => Pattern.OptReluctant
           case _ => Pattern.One
         }
         (m.group(1).toUpperCase, q: Pattern.Quant)

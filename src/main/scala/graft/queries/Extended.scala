@@ -358,6 +358,55 @@ object Extended extends QueryModule {
       |  ON d.user_id = u.user_id AND d.st = 'D' AND u.st = 'U' AND u.rn0 = d.rn1 + 1
       |ORDER BY d.user_id, first_drop_id""".stripMargin
 
+  // Reluctant quantifiers (reference impl/cep/Quantifier.java:28-34): B*?
+  // takes the SHORTEST filler, pairing each spike with the FIRST dip after
+  // it (greedy B* would run to the LAST dip, a genuinely different
+  // answer — ExtendedOpsSpec pins the divergence). SKIP PAST LAST ROW
+  // makes the match set an alternating recurrence (next spike strictly
+  // after the previous dip), which the oracle replays with a recursive
+  // CTE — the p91 pattern for inherently sequential semantics.
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    s.sql(
+      """SELECT user_id, spike_id, dip_id, n_between
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(A.event_id) AS spike_id,
+        |           LAST(C.event_id) AS dip_id,
+        |           COUNT(B.*) AS n_between
+        |  PATTERN (A B*? C)
+        |  DEFINE A AS A.value >= 100, C AS C.value <= 10
+        |)
+        |ORDER BY user_id, spike_id""".stripMargin)
+  }
+
+  private val q103Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |seq AS (
+      |  SELECT DISTINCT user_id, CAST(0 AS BIGINT) AS a_rn, CAST(0 AS BIGINT) AS c_rn
+      |  FROM e
+      |  UNION ALL
+      |  SELECT * FROM (
+      |    SELECT s.user_id,
+      |      (SELECT min(rn) FROM e sp WHERE sp.user_id = s.user_id
+      |         AND sp.rn > s.c_rn AND sp.value >= 100) AS a_rn,
+      |      (SELECT min(rn) FROM e d WHERE d.user_id = s.user_id AND d.value <= 10
+      |         AND d.rn > (SELECT min(rn) FROM e sp WHERE sp.user_id = s.user_id
+      |                       AND sp.rn > s.c_rn AND sp.value >= 100)) AS c_rn
+      |    FROM seq s) t
+      |  WHERE t.a_rn IS NOT NULL AND t.c_rn IS NOT NULL)
+      |SELECT s.user_id, a.event_id AS spike_id, c.event_id AS dip_id,
+      |  CAST(s.c_rn - s.a_rn - 1 AS BIGINT) AS n_between
+      |FROM seq s
+      |JOIN e a ON a.user_id = s.user_id AND a.rn = s.a_rn
+      |JOIN e c ON c.user_id = s.user_id AND c.rn = s.c_rn
+      |WHERE s.a_rn > 0
+      |ORDER BY s.user_id, spike_id""".stripMargin
+
   // Arbitrary merging windows (WindowFn.mergeWindows): each event claims
   // [ts, ts+30min); overlapping/touching claims merge per user into
   // maximal windows — the oracle rebuilds the islands independently.
@@ -498,6 +547,7 @@ object Extended extends QueryModule {
     "q84_match_recognize_all_rows" -> q84,
     "q85_match_recognize_skip_next" -> q85,
     "q99_match_recognize_skip_to_last" -> q99,
+    "q103_match_recognize_reluctant" -> q103,
     "q59_merging_windows" -> q59)
 
   override val oracles: Map[String, String] = Map(
@@ -519,5 +569,6 @@ object Extended extends QueryModule {
     "q84_match_recognize_all_rows" -> q84Sql,
     "q85_match_recognize_skip_next" -> q85Sql,
     "q99_match_recognize_skip_to_last" -> q99Sql,
+    "q103_match_recognize_reluctant" -> q103Sql,
     "q59_merging_windows" -> q59Sql)
 }

@@ -88,6 +88,24 @@ class ExtendedOpsSpec extends GraftSpec {
     }
   }
 
+  test("cep: reluctant quantifiers take the shortest repetition that matches") {
+    // spike (>=9) ... dip (<=1): reluctant filler pairs each spike with the
+    // FIRST following dip; greedy runs to the LAST dip and eats the rest
+    def pat(filler: Pattern.Quant) = IndexedSeq(
+      Sym[Int]("a", _ >= 9), Sym[Int]("b", _ => true, filler), Sym[Int]("c", _ <= 1))
+    val vals = IndexedSeq(9, 5, 1, 9, 0)
+    val reluctant = Pattern.matchAll(vals, pat(Pattern.StarReluctant))
+    assert(reluctant.map(_.events) == Seq(IndexedSeq(9, 5, 1), IndexedSeq(9, 0)))
+    val greedy = Pattern.matchAll(vals, pat(Pattern.Star))
+    assert(greedy.map(_.events) == Seq(IndexedSeq(9, 5, 1, 9, 0))) // one match, all consumed
+    // +? requires at least one filler row; ?? prefers zero
+    val plusR = Pattern.matchAll(vals, pat(Pattern.PlusReluctant))
+    assert(plusR.map(_.events) == Seq(IndexedSeq(9, 5, 1))) // 9,0 adjacent: no filler
+    val optR = Pattern.matchAll(IndexedSeq(9, 9, 1), pat(Pattern.OptReluctant))
+    // first 9 pairs via one optional filler (9); reluctant tries zero first
+    assert(optR.map(_.events) == Seq(IndexedSeq(9, 9, 1)))
+  }
+
   test("cep: distributed matchPattern groups by key and orders by time") {
     val evs = Seq(
       (1L, 1L, "a"), (1L, 2L, "b"), // key 1: ab
