@@ -155,24 +155,71 @@ object Dedup {
   def minhashNearDupsAgainst(newDf: DataFrame, corpusDf: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.7,
       shingleN: Int = 5, numHashes: Int = 200, bands: Int = 50,
+      maxBucketSize: Int = 1000, minBandMatches: Int = 2): DataFrame =
+    minhashNearDupsAgainstIndex(newDf,
+      buildBandIndex(corpusDf, idCol, textCol, shingleN, numHashes, bands),
+      idCol, textCol, threshold, maxBucketSize, minBandMatches)
+
+  /** A materialized LSH index over a corpus: the narrow (band, band_hash,
+    * id) rows for candidate generation plus the (id, sh) shingle sets for
+    * verification. In a production pipeline both are partitioned parquet
+    * tables the ingest loop APPENDS to each cycle (the schemas are
+    * append-stable); here they are DataFrames — persist/write them as the
+    * storage layer dictates. The LSH parameters ride along so queries and
+    * appends can never drift from the signatures the index was built with. */
+  final case class BandIndex(bands: DataFrame, shingles: DataFrame,
+      shingleN: Int, numHashes: Int, nBands: Int)
+
+  /** Build the [[BandIndex]] of a corpus from scratch. */
+  def buildBandIndex(corpusDf: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 200, bands: Int = 50): BandIndex =
+    BandIndex(
+      minhashBands(corpusDf, idCol, textCol, shingleN, numHashes, bands),
+      corpusDf.select(col(idCol).as("id"),
+        charShingleHashes(col(textCol), shingleN).as("sh")),
+      shingleN, numHashes, bands)
+
+  /** Fold ACCEPTED documents into an existing index — the maintenance
+    * step of the nightly-crawl loop: dedup the increment against the
+    * index, keep the survivors, append their bands + shingles so the NEXT
+    * increment pairs against them too. Appending is exactly equivalent to
+    * rebuilding from corpus ∪ accepted (both sides are unions of per-doc
+    * rows, and signatures depend only on the document), which
+    * TrainingDataSpec pins as a law. At scale this is two parquet
+    * appends — no read, no shuffle of the existing index. */
+  def appendToBandIndex(index: BandIndex, accepted: DataFrame,
+      idCol: String, textCol: String): BandIndex =
+    index.copy(
+      bands = index.bands.unionByName(minhashBands(accepted, idCol, textCol,
+        index.shingleN, index.numHashes, index.nBands)),
+      shingles = index.shingles.unionByName(accepted.select(col(idCol).as("id"),
+        charShingleHashes(col(textCol), index.shingleN).as("sh"))))
+
+  /** [[minhashNearDupsAgainst]] over a prebuilt [[BandIndex]]: the form
+    * the incremental loop actually runs, so consecutive increments reuse
+    * (and append to) one index instead of re-banding history every cycle.
+    * Hot buckets are capped per side BEFORE the join, as in the symmetric
+    * path. */
+  def minhashNearDupsAgainstIndex(newDf: DataFrame, index: BandIndex,
+      idCol: String, textCol: String, threshold: Double = 0.7,
       maxBucketSize: Int = 1000, minBandMatches: Int = 2): DataFrame = {
-    def capped(df: DataFrame) = {
-      val b = minhashBands(df, idCol, textCol, shingleN, numHashes, bands)
+    def capped(b: DataFrame) = {
       val ok = b.groupBy("band", "band_hash")
         .agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= maxBucketSize)
         .select("band", "band_hash")
       b.join(ok, Seq("band", "band_hash"), "left_semi")
     }
-    val pairs = capped(newDf).select(col("band"), col("band_hash"), col("id").as("new_id"))
-      .join(capped(corpusDf).select(col("band"), col("band_hash"), col("id").as("corpus_id")),
+    val newBands = minhashBands(newDf, idCol, textCol,
+      index.shingleN, index.numHashes, index.nBands)
+    val pairs = capped(newBands).select(col("band"), col("band_hash"), col("id").as("new_id"))
+      .join(capped(index.bands).select(col("band"), col("band_hash"), col("id").as("corpus_id")),
         Seq("band", "band_hash"))
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("n_band_matches"))
       .filter(col("n_band_matches") >= minBandMatches)
     val shNew = newDf.select(col(idCol).as("new_id"),
-      charShingleHashes(col(textCol), shingleN).as("sh_a"))
-    val shOld = corpusDf.select(col(idCol).as("corpus_id"),
-      charShingleHashes(col(textCol), shingleN).as("sh_b"))
+      charShingleHashes(col(textCol), index.shingleN).as("sh_a"))
+    val shOld = index.shingles.select(col("id").as("corpus_id"), col("sh").as("sh_b"))
     pairs.join(shNew, "new_id").join(shOld, "corpus_id")
       .filter(sizeCompatible(col("sh_a"), col("sh_b"), threshold))
       .withColumn("jaccard_sim", jaccard(col("sh_a"), col("sh_b")))

@@ -488,6 +488,57 @@ object TrainingData extends QueryModule {
       |      / len(list_distinct(list_concat(a.s, b.s))) > 0.7
       |ORDER BY new_id, corpus_id""".stripMargin
 
+  // Index MAINTENANCE: the full nightly-crawl loop — dedup increment 1
+  // against the corpus index, fold its survivors into the index
+  // (appendToBandIndex), then dedup increment 2 against the maintained
+  // index. Oracle: the exact all-pairs answer for the same two-cycle
+  // protocol (increment-2 pairs may hit corpus docs OR increment-1
+  // survivors), derived independently in DuckDB. Appending must equal
+  // rebuilding (TrainingDataSpec pins the law), so the maintained-index
+  // answer matches the exact recurrence.
+  private def d104(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 4 < 2)
+    val inc1 = docs.filter(col("doc_id") % 4 === 2)
+    val inc2 = docs.filter(col("doc_id") % 4 === 3)
+    val idx0 = Dedup.buildBandIndex(corpus, "doc_id", "text")
+    val p1 = Dedup.minhashNearDupsAgainstIndex(inc1, idx0, "doc_id", "text",
+      threshold = 0.7)
+    val survivors1 = inc1.join(p1.select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val idx1 = Dedup.appendToBandIndex(idx0, survivors1, "doc_id", "text")
+    val p2 = Dedup.minhashNearDupsAgainstIndex(inc2, idx1, "doc_id", "text",
+      threshold = 0.7)
+    p1.unionByName(p2).orderBy("new_id", "corpus_id")
+  }
+
+  private val d104Sql =
+    """WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) t
+      |           FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         generate_series(1, greatest(len(t) - 4, 1)), i -> t[i:i+4])) s
+      |       FROM d),
+      |p1 AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+      |         len(list_intersect(a.s, b.s))::DOUBLE
+      |           / len(list_distinct(list_concat(a.s, b.s))) AS j
+      |       FROM sh a JOIN sh b ON a.doc_id % 4 = 2 AND b.doc_id % 4 < 2
+      |       WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |             / len(list_distinct(list_concat(a.s, b.s))) > 0.7),
+      |surv AS (SELECT doc_id FROM d WHERE doc_id % 4 = 2
+      |           AND doc_id NOT IN (SELECT new_id FROM p1)),
+      |p2 AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+      |         len(list_intersect(a.s, b.s))::DOUBLE
+      |           / len(list_distinct(list_concat(a.s, b.s))) AS j
+      |       FROM sh a JOIN sh b
+      |         ON a.doc_id % 4 = 3
+      |        AND (b.doc_id % 4 < 2 OR b.doc_id IN (SELECT doc_id FROM surv))
+      |       WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |             / len(list_distinct(list_concat(a.s, b.s))) > 0.7)
+      |SELECT new_id, corpus_id, round(j, 6) AS jaccard_sim FROM p1
+      |UNION ALL
+      |SELECT new_id, corpus_id, round(j, 6) AS jaccard_sim FROM p2
+      |ORDER BY new_id, corpus_id""".stripMargin
+
   // Training-mix construction: deterministic per-source weighted sampling.
   // Spark filter and DuckDB oracle are generated from the SAME rate map —
   // the md5-prefix keep rule is engine-portable, so the kept set must
@@ -739,6 +790,7 @@ object TrainingData extends QueryModule {
     "d87_dup_clusters" -> d87,
     "d88_dedup_canonical" -> d88,
     "d93_incremental_dedup" -> d93,
+    "d104_dedup_index_maintenance" -> d104,
     "t66_text_quality_features" -> t66,
     "t67_language_id" -> t67,
     "t68_doc_fingerprint" -> t68,
@@ -769,6 +821,7 @@ object TrainingData extends QueryModule {
     "d87_dup_clusters" -> d87Sql,
     "d88_dedup_canonical" -> d88Sql,
     "d93_incremental_dedup" -> d93Sql,
+    "d104_dedup_index_maintenance" -> d104Sql,
     "t66_text_quality_features" -> t66Sql,
     "t67_language_id" -> t67Sql,
     "t68_doc_fingerprint" -> t68Sql,

@@ -72,6 +72,26 @@ class TrainingDataSpec extends GraftSpec {
     assert(pairs == Set((1L, 0L), (1L, 3L))) // 1 matches 0 and its exact dup 3
   }
 
+  test("appending to a band index equals rebuilding it from the union") {
+    // the index-maintenance law: fold docs {3,4} into an index over {0,2},
+    // probe with doc 1 (near-dup of 0 and of 3) — appended and rebuilt
+    // indexes must answer identically
+    val corpus = docs.filter($"doc_id".isin(0L, 2L))
+    val late = docs.filter($"doc_id".isin(3L, 4L))
+    val probe = docs.filter($"doc_id" === 1L)
+    val appended = Dedup.appendToBandIndex(
+      Dedup.buildBandIndex(corpus, "doc_id", "text", numHashes = 60, bands = 20),
+      late, "doc_id", "text")
+    val rebuilt = Dedup.buildBandIndex(corpus.unionByName(late), "doc_id", "text",
+      numHashes = 60, bands = 20)
+    def pairs(ix: Dedup.BandIndex) =
+      Dedup.minhashNearDupsAgainstIndex(probe, ix, "doc_id", "text", threshold = 0.5)
+        .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val a = pairs(appended)
+    assert(a == pairs(rebuilt))
+    assert(a == Set((1L, 0L), (1L, 3L)))
+  }
+
   test("bpe training reproduces the canonical merge order; encoding is lossless") {
     import graft.text.Bpe
     // Sennrich et al.'s worked example: low×5 lower×2 newest×6 widest×3
