@@ -22,15 +22,27 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.parquet declares INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs
-    * (legacy conf) and convert to microsecond TimestampType explicitly —
-    * the same truncation DuckDB applies (its TIMESTAMP is micros), so
-    * both engines see identical values. */
+  /** The driver has shipped events.parquet with two physical `ts`
+    * layouts across rounds, so adapt on the actual schema:
+    *  - INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects
+    *    (PARQUET_TYPE_ILLEGAL): read nanos as raw longs (legacy conf) and
+    *    convert to microsecond TimestampType explicitly — the same
+    *    truncation DuckDB applies (its TIMESTAMP is micros);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which arrives as
+    *    TIMESTAMP_NTZ: cast to TimestampType (sessions run UTC, so the
+    *    values are identical) to keep one downstream type.
+    * Either way every query sees microsecond TimestampType and matches
+    * the oracle byte-for-byte. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // integer div: ns values exceed double's 2^53 mantissa
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) // integer div: ns values exceed double's 2^53 mantissa
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
