@@ -17,10 +17,14 @@ object Bench {
     val docs = spark.table("pipeline_documents")
     val emb = spark.table("pipeline_embeddings")
     val nVec = graft.sources.PipelineCorpus.vecsFor(scale)
-    // ~200 query vectors at any scale: a stable recall@10 estimate (2000
-    // neighbor labels) while the brute-force baseline — linear in
-    // queries × corpus — stays minutes, not hours, at scale 10+
-    val qVecs = emb.filter(col("vec_id") % lit(math.max(nVec / 200L, 1L)) === 0)
+    // Query count budgets the brute-force baseline (linear in
+    // queries × corpus) to ~constant work: target ≈ 4·10^8 scored pairs,
+    // clamped to [48, 200] queries. 200 queries at ≤2M vectors (the r5
+    // shape, 2000 neighbor labels); 48 at 20M (480 labels — still a
+    // stable recall@10 estimate, and the exact baseline stays ~6 min
+    // instead of 25).
+    val nQueries = math.max(48L, math.min(200L, 400000000L / math.max(nVec, 1L)))
+    val qVecs = emb.filter(col("vec_id") % lit(math.max(nVec / nQueries, 1L)) === 0)
       .persist()
     qVecs.count()
     var times = Map.empty[String, Double]
@@ -40,10 +44,13 @@ object Bench {
       f.count(); f
     }
     // recall vs planted pairs whose exact shingle Jaccard clears the
-    // 0.7 query threshold (the denominator is known by construction)
+    // 0.7 query threshold (the denominator is known by construction).
+    // Only ids ≡ 8,9 (mod 10) participate in planted pairs — filtering
+    // BEFORE shingling cuts the verify join's shingle compute and shuffle
+    // 5x (at scale 100 that is 2M docs shingled instead of 10M).
     val planted = docs.filter(col("dup_of") >= 0)
       .select(col("dup_of").as("id_a"), col("doc_id").as("id_b"))
-    val sh = docs.select(col("doc_id"),
+    val sh = docs.filter(col("doc_id") % 10 >= 8).select(col("doc_id"),
       graft.functions.charShingleHashes(col("text"), 5).as("sh"))
     val plantedTrue = planted
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -124,14 +131,18 @@ object Bench {
     // index granularity must scale with the corpus: bucket/cell population
     // (n/2^bits, n/nlist) is what bounds per-query work, so at 2M vectors
     // 64 cells means ~31k candidates per probe — slower than brute force.
-    // 1024 LSH buckets / 256 IVF cells keep candidates in the hundreds.
+    // The derivation rules live in Similarity.{lsh,ivf}ParamsFor (pinned
+    // by spec to the r5-tuned anchors at 2M: nBits=10/tables=12,
+    // nlist=256/nprobe=16) so the index tracks the corpus at every scale.
+    val (lshBits, lshTables) = graft.similarity.Similarity.lshParamsFor(nVec)
+    val (ivfNlist, ivfNprobe) = graft.similarity.Similarity.ivfParamsFor(nVec)
     annRecall("ann_lsh") {
       graft.similarity.Similarity.lshTopK(emb, qVecs, "vec_id", "embedding",
-        10, nBits = 10, tables = 12)
+        10, nBits = lshBits, tables = lshTables)
     }
     annRecall("ann_ivf") {
       graft.similarity.Similarity.ivfTopK(emb, qVecs, "vec_id", "embedding",
-        10, nlist = 256, nprobe = 16)
+        10, nlist = ivfNlist, nprobe = ivfNprobe)
     }
     brute.unpersist(); qVecs.unpersist()
     (times, recalls)

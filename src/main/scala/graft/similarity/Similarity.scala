@@ -52,6 +52,45 @@ private[similarity] class TopKAgg[T: TypeTag](k: Int)(implicit idOrd: Ordering[T
   */
 object Similarity {
 
+  /** Corpus-derived LSH granularity `(nBits, tables)` — the codified form
+    * of the round-5 scale lesson (constants tuned for 2M vectors collapsed
+    * at other sizes; index granularity must track the corpus).
+    *
+    * Per-table bucket population is `n / 2^nBits`; a query's candidate set
+    * is `tables × n / 2^nBits`. Holding the bucket population near
+    * `targetBucket` keeps per-query work bounded as the corpus grows:
+    * `nBits = ceil(log2(n / targetBucket))`. Narrower buckets lower the
+    * per-table collision probability for true neighbors (p^nBits), so
+    * `tables` grows one-for-one with the extra bits to hold recall
+    * (miss ≈ (1-p^nBits)^tables). At 2M vectors this derives exactly the
+    * hand-tuned round-5 values (nBits=10, tables=12, recall@10 0.974);
+    * the spec pins that anchor.
+    */
+  def lshParamsFor(corpusSize: Long, targetBucket: Long = 2000L): (Int, Int) = {
+    require(corpusSize > 0 && targetBucket > 0)
+    val raw = math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2.0)).toInt
+    val nBits = math.min(20, math.max(4, raw))
+    val tables = math.min(24, math.max(8, 8 + (nBits - 6)))
+    (nBits, tables)
+  }
+
+  /** Corpus-derived IVF granularity `(nlist, nprobe)`: the standard
+    * `nlist ≈ sqrt(n)` rule (divided by 4 and rounded to a power of two so
+    * the codebook stays small and bucket counts stay file-system friendly),
+    * with `nprobe = nlist/16` clamped to [8, 32]. Cell population and
+    * per-query candidates both grow ~sqrt(n) — the sub-linear scale path —
+    * while probing enough cells to cover a cluster that the finer
+    * quantizer has split. Derives the round-5 anchor (nlist=256,
+    * nprobe=16) at 2M vectors; pinned in the spec. */
+  def ivfParamsFor(corpusSize: Long): (Int, Int) = {
+    require(corpusSize > 0)
+    val target = math.sqrt(corpusSize.toDouble) / 4.0
+    val log2 = math.round(math.log(math.max(1.0, target)) / math.log(2.0)).toInt
+    val nlist = math.min(4096, math.max(16, 1 << math.max(0, log2)))
+    val nprobe = math.min(32, math.max(8, nlist / 16))
+    (nlist, nprobe)
+  }
+
   /** Final ranking stage shared by all tiers: per-partition bounded-heap
     * partial top-k (TopKAgg) then a k-sized merge per query — no stage ever
     * materializes a query's full candidate set on one task. Expects columns

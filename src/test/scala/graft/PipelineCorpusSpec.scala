@@ -66,4 +66,36 @@ class PipelineCorpusSpec extends GraftSpec {
       s"top-1 neighbor in query's cluster only $same/$total")
     emb.unpersist()
   }
+
+  test("corpus-derived ANN params: r5 anchors pinned, granularity tracks corpus") {
+    // the 2M-vector anchor: these exact values measured recall@10 0.974
+    // (LSH) and 1.0 (IVF) in round 5 — the derivation must reproduce them
+    assert(Similarity.lshParamsFor(2000000L) == (10, 12))
+    assert(Similarity.ivfParamsFor(2000000L) == (256, 16))
+    // one decade up (the 20M scale-100 corpus): finer buckets, more tables
+    assert(Similarity.lshParamsFor(20000000L) == (14, 16))
+    assert(Similarity.ivfParamsFor(20000000L) == (1024, 32))
+    // bucket population stays within ~2x of target across 4 decades: this
+    // is the invariant that bounds per-query candidate work at any size
+    for (n <- Seq(100000L, 1000000L, 10000000L, 100000000L)) {
+      val (bits, tables) = Similarity.lshParamsFor(n)
+      val pop = n.toDouble / (1L << bits)
+      assert(pop <= 2000.0 && pop > 500.0, s"n=$n bucket pop $pop")
+      assert(tables >= 8 && tables <= 24)
+      val (nlist, nprobe) = Similarity.ivfParamsFor(n)
+      assert(nlist >= 16 && nlist <= 4096 && nprobe >= 8 && nprobe <= 32)
+      // nlist ~ sqrt(n)/4 within the power-of-two rounding
+      assert(nlist <= math.sqrt(n.toDouble) / 2 && nlist >= math.sqrt(n.toDouble) / 16,
+        s"n=$n nlist $nlist")
+    }
+    // monotone: a bigger corpus never gets a coarser index
+    val sizes = Seq(10000L, 100000L, 1000000L, 10000000L, 100000000L)
+    val lsh = sizes.map(Similarity.lshParamsFor(_))
+    assert(lsh == lsh.sortBy(_._1))
+    val ivf = sizes.map(Similarity.ivfParamsFor(_))
+    assert(ivf == ivf.sortBy(_._1))
+    // tiny corpora clamp to the floor instead of degenerate 1-bucket tables
+    assert(Similarity.lshParamsFor(100L)._1 == 4)
+    assert(Similarity.ivfParamsFor(100L)._1 == 16)
+  }
 }
