@@ -1,0 +1,96 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.cosineSim
+
+/** Semantic deduplication over an embedding column — SemDeDup (Abbas et
+  * al. 2023, arXiv:2303.09540): near-duplicate SEMANTICS (paraphrases,
+  * templated rewrites, translations back and forth) that shares few
+  * n-grams and so slips past MinHash/SimHash, caught by cosine proximity
+  * in embedding space.
+  *
+  * The published recipe is exactly the scale shape implemented here:
+  * k-means the embeddings into many clusters, compare pairs ONLY within a
+  * cluster (semantic duplicates land in the same cell; cross-cluster
+  * pairs are below threshold by construction of the quantizer), keep one
+  * representative per duplicate group. The all-pairs alternative is
+  * O(n²) and dead at 100 TB; within-cluster with `nlist ~ sqrt(n)` cells
+  * (the [[graft.similarity.Similarity.ivfParamsFor]] rule) bounds pair
+  * work per cell, and a per-cell population cap skips pathological cells
+  * outright (same guard as the LSH bucket cap — a cell that big is a
+  * degenerate mass, not a dedup candidate set).
+  *
+  * Reference behaviour target: the reference has no embedding-level
+  * dedup; this extends the dedup family (exact → MinHash → SimHash →
+  * semantic) the training-data tier requires.
+  */
+object SemDeDup {
+
+  /** Within-cluster candidate pairs with cosine >= `tau`, as
+    * (id_a, id_b, cosine_sim), id_a < id_b, scores rounded to `roundTo`.
+    * The k-means fit samples `trainFraction` of the corpus (driver-held
+    * codebook); assignment is one scan-stage pass; the pairwise stage is
+    * an equi-join on the cell id — cells over `maxClusterSize` are
+    * dropped BEFORE the join, so no task ever materializes a huge cell's
+    * cross product. `nlist <= 0` derives the cell count from the corpus
+    * size via the ivfParamsFor rule. */
+  def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nlist: Int = 0, seed: Long = 42L, maxIter: Int = 5,
+      trainFraction: Double = 0.1, maxClusterSize: Int = 10000,
+      roundTo: Int = 6): DataFrame = {
+    val cells = assignCells(emb, idCol, vecCol,
+      if (nlist > 0) nlist
+      else graft.similarity.Similarity.ivfParamsFor(
+        math.max(emb.count(), 1L))._1,
+      seed, maxIter, trainFraction)
+    val ok = cells.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxClusterSize).select("cell")
+    val capped = cells.join(ok, Seq("cell"), "left_semi")
+    val a = capped.select(col("cell"), col("id").as("id_a"), col("cv").as("cv_a"))
+    val b = capped.select(col("cell"), col("id").as("id_b"), col("cv").as("cv_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", round(cosineSim(col("cv_a"), col("cv_b")), roundTo))
+      .filter(col("cosine_sim") >= tau)
+      .select("id_a", "id_b", "cosine_sim")
+  }
+
+  /** One row per kept embedding: [[semanticPairs]] resolved to duplicate
+    * GROUPS by connected components (a chain a~b~c is one group even when
+    * cos(a,c) < tau), keeping the minimum id of each group — the same
+    * pairs → components → canonical pipeline as the MinHash path, so the
+    * two dedup families compose. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nlist: Int = 0, seed: Long = 42L, maxIter: Int = 5,
+      trainFraction: Double = 0.1, maxClusterSize: Int = 10000): DataFrame = {
+    val pairs = semanticPairs(emb, idCol, vecCol, tau, nlist, seed, maxIter,
+      trainFraction, maxClusterSize)
+    DupClusters.dedupKeepCanonical(emb, idCol, pairs, "id_a", "id_b")
+  }
+
+  /** K-means cell assignment: (cell, id, cv). Exposed for callers that
+    * persist the clustered layout (the SemDeDup paper's one-pass-per-
+    * epoch reuse) — bucket by cell exactly as
+    * [[graft.similarity.Similarity.buildIvfIndex]] does. */
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L, maxIter: Int = 5,
+      trainFraction: Double = 0.1): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("features", array_to_vector(col("cv")))
+    val sampled =
+      if (trainFraction >= 1.0) c
+      else {
+        val s = c.sample(withReplacement = false, trainFraction, seed)
+        if (s.count() >= nlist.toLong * 10) s else c
+      }
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .fit(sampled.select("features"))
+    model.transform(c)
+      .withColumn("cell", col("prediction").cast("int"))
+      .select("cell", "id", "cv")
+  }
+}

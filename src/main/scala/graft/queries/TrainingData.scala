@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.dedup.{Dedup, DupClusters}
+import graft.dedup.{Dedup, DupClusters, SemDeDup}
 import graft.similarity.Similarity
 import graft.api.Sampling
 import graft.pack.Packing
@@ -779,6 +779,102 @@ object TrainingData extends QueryModule {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // Semantic dedup (SemDeDup, Abbas et al. 2023): k-means cells, pairwise
+  // cosine within a cell only. Gate corpus = embeddings plus an exact
+  // copy of every vec_id ≡ 0 (mod 7) at id+10000: identical vectors are
+  // assigned to the same cell by construction, and the max NON-planted
+  // pairwise cosine in the testdata is 0.60 (measured at all three SFs) —
+  // so at tau 0.9 the within-cell answer must equal the exact all-pairs
+  // answer the oracle computes, hash-for-hash.
+  private def d105(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val copies = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    SemDeDup.semanticPairs(emb.unionByName(copies), "vec_id", "embedding",
+      tau = 0.9, nlist = 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val d105Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |aug AS (SELECT vec_id, v FROM e
+      |        UNION ALL
+      |        SELECT vec_id + 10000, v FROM e WHERE vec_id % 7 = 0)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // Benchmark decontamination: 5-gram collisions between the training
+  // split (doc_id % 31 <> 0) and the "benchmark" split (doc_id % 31 = 0).
+  // The planted near-dup pairs that straddle the split are what gets
+  // flagged — random-word documents share essentially no 5-grams
+  // otherwise.
+  private def t106(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 31 === 0)
+    graft.text.Decontaminate.flagContaminated(
+      docs.filter(col("doc_id") % 31 =!= 0), "doc_id", "text",
+      bench, "text", n = 5, minHits = 3)
+      .select(col("doc_id"), col("n_hits"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val t106Sql =
+    """WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |           FROM documents),
+      |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM d),
+      |g AS (SELECT doc_id, list_distinct(list_transform(
+      |        generate_series(1, len(toks) - 4),
+      |        i -> array_to_string(toks[i:i+4], ' '))) AS grams
+      |      FROM tok WHERE len(toks) >= 5),
+      |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 31 = 0),
+      |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 31 <> 0),
+      |hits AS (SELECT cg.doc_id, count(*) AS n_hits
+      |         FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id)
+      |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  coalesce(h.n_hits, 0) >= 3 AS contaminated
+      |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 31 <> 0 ORDER BY d.doc_id""".stripMargin
+
+  // n-ary Z-order + rank normalization: 3-way interleave (bit i of col j
+  // at position 3i+j) over one uniform, one multiplicative, and one
+  // QUANTILE-BUCKETED power-law column — the full api/Layout.zorderBy
+  // stack with the approxQuantile boundaries replaced by pinned literals
+  // so DuckDB reproduces the identical closed form. LayoutSpec proves the
+  // physical effect (row-group skipping under predicates on any of the
+  // three dims).
+  private val p103Bounds = Seq(1e6, 8e6, 2.7e7, 6.4e7, 1.25e8, 2.16e8, 3.43e8)
+
+  private def p103(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("a"),
+        ((col("doc_id") * 7) % 8).as("b"),
+        ((col("doc_id") % 800).cast("double") * (col("doc_id") % 800)
+          * (col("doc_id") % 800)).as("w"))
+      .withColumn("wb", graft.api.Layout.rankBucket(col("w"), p103Bounds))
+      .withColumn("z", graft.api.Layout.zValueN(
+        Seq(col("a"), col("b"), col("wb")), bits = 3))
+      .select("doc_id", "a", "b", "wb", "z")
+      .orderBy("doc_id")
+
+  private val p103Sql = {
+    val wExpr = "(CAST(doc_id % 800 AS DOUBLE) * (doc_id % 800) * (doc_id % 800))"
+    val wbExpr = p103Bounds
+      .map(b => s"(CASE WHEN $wExpr >= $b THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val srcs = Seq("(doc_id % 8)", "((doc_id * 7) % 8)", wbExpr)
+    val terms = for {
+      i <- 0 until 3
+      (src, j) <- srcs.zipWithIndex
+    } yield s"((($src >> $i) & 1) << ${3 * i + j})"
+    s"""SELECT doc_id, doc_id % 8 AS a, (doc_id * 7) % 8 AS b,
+       |  CAST($wbExpr AS BIGINT) AS wb,
+       |  CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d60_exact_dedup" -> d60,
     "d61_ngram_jaccard_probe" -> d61,
@@ -791,6 +887,8 @@ object TrainingData extends QueryModule {
     "d88_dedup_canonical" -> d88,
     "d93_incremental_dedup" -> d93,
     "d104_dedup_index_maintenance" -> d104,
+    "d105_semantic_dedup" -> d105,
+    "t106_decontaminate" -> t106,
     "t66_text_quality_features" -> t66,
     "t67_language_id" -> t67,
     "t68_doc_fingerprint" -> t68,
@@ -802,6 +900,7 @@ object TrainingData extends QueryModule {
     "p90_pack_concat_chunk" -> p90,
     "p91_pack_greedy" -> p91,
     "p102_zorder_curve" -> p102,
+    "p103_zorder_nary_ranked" -> p103,
     "m69_multimodal_decode" -> m69,
     "m70_frame_sampling" -> m70,
     "m94_ppm_decode" -> m94,
@@ -822,6 +921,8 @@ object TrainingData extends QueryModule {
     "d88_dedup_canonical" -> d88Sql,
     "d93_incremental_dedup" -> d93Sql,
     "d104_dedup_index_maintenance" -> d104Sql,
+    "d105_semantic_dedup" -> d105Sql,
+    "t106_decontaminate" -> t106Sql,
     "t66_text_quality_features" -> t66Sql,
     "t67_language_id" -> t67Sql,
     "t68_doc_fingerprint" -> t68Sql,
@@ -833,6 +934,7 @@ object TrainingData extends QueryModule {
     "p90_pack_concat_chunk" -> p90Sql,
     "p91_pack_greedy" -> p91Sql,
     "p102_zorder_curve" -> p102Sql,
+    "p103_zorder_nary_ranked" -> p103Sql,
     "m69_multimodal_decode" -> m69Sql,
     "m70_frame_sampling" -> m70Sql,
     "m94_ppm_decode" -> m94Sql,

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.SemDeDup
+import graft.functions.cosineSim
+import graft.text.Decontaminate
+
+/** Semantic dedup + benchmark decontamination contracts. */
+class SemDeDupSpec extends GraftSpec {
+  import spark.implicits._
+
+  /** Two well-separated blobs around e1/e2 with deterministic per-id
+    * noise; within-blob cosines are high, cross-blob ~0. */
+  private def blobs(n: Int, noise: Double) = {
+    def vec(id: Int): Array[Float] = {
+      val dim = 8
+      val base = Array.fill(dim)(0.0)
+      base(if (id % 2 == 0) 0 else 1) = 1.0
+      Array.tabulate(dim) { i =>
+        val h = ((id * 1103515245L + i * 12345L) % 1000).toDouble / 1000.0 - 0.5
+        (base(i) + noise * h).toFloat
+      }
+    }
+    (0 until n).map(id => (id.toLong, vec(id))).toDF("vec_id", "embedding")
+  }
+
+  test("semanticPairs with cells covering the blobs equals exact all-pairs") {
+    val emb = blobs(80, noise = 0.35).cache()
+    val tau = 0.97
+    val exact = {
+      val a = emb.select(col("vec_id").as("id_a"),
+        col("embedding").cast("array<double>").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"),
+        col("embedding").cast("array<double>").as("vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine_sim", round(cosineSim(col("va"), col("vb")), 6))
+        .filter(col("cosine_sim") >= tau)
+        .select("id_a", "id_b", "cosine_sim")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(exact.nonEmpty, "test corpus produced no exact pairs — thresholds broken")
+    val found = SemDeDup.semanticPairs(emb, "vec_id", "embedding",
+      tau = tau, nlist = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    // k=2 cells recover the two blobs; every >= tau pair is within-blob
+    assert(found == exact, s"within-cell pairs ${found.size} != exact ${exact.size}")
+    emb.unpersist()
+  }
+
+  test("semanticDedup keeps the component minimum across a chained group") {
+    // a~b and b~c clear tau, a~c does not: one GROUP via components
+    val theta = math.acos(0.95)
+    def rot(t: Double): Array[Float] =
+      Array(math.cos(t).toFloat, math.sin(t).toFloat, 0f, 0f)
+    val far = Array(0f, 0f, 1f, 0f)
+    val emb = Seq(
+      (10L, rot(0)), (11L, rot(theta)), (12L, rot(2 * theta)),
+      (20L, far)).toDF("vec_id", "embedding")
+    val pairs = SemDeDup.semanticPairs(emb, "vec_id", "embedding",
+      tau = 0.9, nlist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L), (11L, 12L)), s"got $pairs")
+    val kept = SemDeDup.semanticDedup(emb, "vec_id", "embedding",
+      tau = 0.9, nlist = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L), s"kept $kept")
+  }
+
+  test("cells over maxClusterSize are skipped, not exploded") {
+    val emb = blobs(60, noise = 0.05)
+    // blob cells have ~30 members; cap below that -> zero pairs anywhere
+    val found = SemDeDup.semanticPairs(emb, "vec_id", "embedding",
+      tau = 0.9, nlist = 2, maxClusterSize = 10)
+    assert(found.count() == 0)
+  }
+
+  test("decontamination counts distinct shared n-grams and drops flagged docs") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // contains the full benchmark sentence -> all 5 of its 5-grams
+      (100L, "intro words then the quick brown fox jumps over the lazy dog and more"),
+      // shares exactly one 5-gram window
+      (101L, "the quick brown fox jumps somewhere else entirely now"),
+      (102L, "completely unrelated clean training document text here")
+    ).toDF("doc_id", "text")
+    val flagged = Decontaminate.flagContaminated(docs, "doc_id", "text",
+      bench, "text", n = 5, minHits = 2)
+      .select("doc_id", "n_hits", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(flagged.toSeq == Seq((100L, 5L, true), (101L, 1L, false),
+      (102L, 0L, false)), s"got ${flagged.toSeq}")
+    val survivors = Decontaminate.decontaminate(docs, "doc_id", "text",
+      bench, "text", n = 5, minHits = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(101L, 102L))
+    // the drop form restores the original schema
+    assert(Decontaminate.decontaminate(docs, "doc_id", "text", bench, "text")
+      .columns.toSeq == docs.columns.toSeq)
+  }
+}
