@@ -70,6 +70,44 @@ object SemDeDup {
     DupClusters.dedupKeepCanonical(emb, idCol, pairs, "id_a", "id_b")
   }
 
+  /** The data-independent scale path: candidate pairs from HYPERPLANE
+    * signature buckets (cosine LSH) instead of k-means cells. A k-means
+    * fine enough for per-cell pairwise at 10^8+ vectors needs more
+    * centroids than a distributed fit can deliver; hyperplane buckets
+    * cost one codegen'd pass, and `tables` independent tables recover the
+    * recall a single narrow bucket loses (a tau=0.95 pair agrees on a
+    * random hyperplane with p ≈ 0.9, so 8 tables at pop-50 buckets catch
+    * ~85% per table-union — raise `tables` for harder targets). Bucket
+    * width derives from the corpus via
+    * [[graft.similarity.Similarity.lshParamsFor]] with a dedup-sized
+    * `targetBucket`; per-bucket population caps apply BEFORE the join.
+    * Only (table, signature, id) rows shuffle for candidate generation;
+    * vectors travel once per surviving candidate pair. */
+  def semanticPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, targetBucket: Long = 50L, tables: Int = 8,
+      maxBucketSize: Int = 2000, roundTo: Int = 6): DataFrame = {
+    val n = math.max(emb.count(), 1L)
+    val (nBits, _) = graft.similarity.Similarity.lshParamsFor(n, targetBucket)
+    val c = emb.select(col(idCol).as("id"), col(vecCol))
+    val sigs = c.select(col("id"),
+      posexplode(graft.functions.hyperplaneSignatures(col(vecCol), nBits, tables)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
+    val ok = sigs.groupBy("tbl", "sig").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select("tbl", "sig")
+    val capped = sigs.join(ok, Seq("tbl", "sig"), "left_semi")
+    val cand = capped.select(col("tbl"), col("sig"), col("id").as("id_a"))
+      .join(capped.select(col("tbl"), col("sig"), col("id").as("id_b")),
+        Seq("tbl", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("cv_a"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("cv_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine_sim", round(cosineSim(col("cv_a"), col("cv_b")), roundTo))
+      .filter(col("cosine_sim") >= tau)
+      .select("id_a", "id_b", "cosine_sim")
+  }
+
   /** K-means cell assignment: (cell, id, cv). Exposed for callers that
     * persist the clustered layout (the SemDeDup paper's one-pass-per-
     * epoch reuse) — bucket by cell exactly as

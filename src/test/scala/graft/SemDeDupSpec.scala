@@ -75,6 +75,27 @@ class SemDeDupSpec extends GraftSpec {
     assert(found.count() == 0)
   }
 
+  test("LSH-bucketed semantic pairs recover every planted near-copy") {
+    val base = blobs(1000, noise = 0.35)
+    // plant a barely-perturbed copy of every 10th vector at id+10000:
+    // cosine ~0.9999, far above tau, across every hyperplane with
+    // overwhelming probability at 8 tables
+    val copies = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(0.003f) * (x - lit(0.1f))).as("embedding"))
+    val emb = base.unionByName(copies).cache()
+    val found = SemDeDup.semanticPairsLsh(emb, "vec_id", "embedding",
+      tau = 0.99, targetBucket = 50L, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 1000 by 10).map(i => (i.toLong, i + 10000L)).toSet
+    val missed = planted -- found
+    assert(missed.isEmpty, s"missed ${missed.size} planted pairs: ${missed.take(5)}")
+    // soundness is by construction (exact cosine filter), but check anyway
+    assert(found.forall { case (a, b) => a < b })
+    emb.unpersist()
+  }
+
   test("decontamination counts distinct shared n-grams and drops flagged docs") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
