@@ -95,10 +95,21 @@ object Dedup {
       maxBucketSize: Int = 1000, minBandMatches: Int = 2): DataFrame = {
     val pairs = minhashCandidatePairs(df, idCol, textCol, shingleN,
       numHashes, bands, maxBucketSize, minBandMatches)
-    val sh = df.select(col(idCol).as("id"), charShingleHashes(col(textCol), shingleN).as("sh"))
-    pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // Shingle ONLY docs that survive candidate generation: a left-semi
+    // against the pair ids BEFORE computing shingle sets, then the
+    // shingle projection runs post-join on survivors. Order matters at
+    // scale — shingle sets are ~10x the text size (one long per distinct
+    // character 5-gram), so attaching them corpus-wide would shuffle
+    // ~100 GB at 10M docs where the survivor set is a few percent. The
+    // duplicated `pairs` subtree stays single-scan: its exchanges (band
+    // pipeline, pair aggregate, corpus-by-id) are identical subtrees and
+    // Spark's exchange reuse materializes each once.
+    def side(idName: String): DataFrame =
+      df.select(col(idCol).as(idName), col(textCol).as("__t"))
+        .join(pairs.select(idName), Seq(idName), "left_semi")
+        .select(col(idName),
+          charShingleHashes(col("__t"), shingleN).as(s"sh${idName.stripPrefix("id")}"))
+    pairs.join(side("id_a"), "id_a").join(side("id_b"), "id_b")
   }
 
   /** Exact Jaccard similarity of two (distinct-element) shingle arrays.

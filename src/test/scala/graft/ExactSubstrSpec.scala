@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.ExactSubstr
+import graft.similarity.Similarity
+
+class ExactSubstrSpec extends GraftSpec {
+  import spark.implicits._
+
+  // 0/1 share a verbatim 46-char passage embedded in different text;
+  // 2 repeats a 40-char line twice WITHIN itself; 3 is clean.
+  private val shared = "alpha beta gamma delta epsilon zeta eta theta" // 45 chars
+  private val selfRep = "this exact line repeats twice in one doc" // 40 chars
+  private lazy val docs = Seq(
+    (0L, s"unique preamble zero || $shared || unique tail zero"),
+    (1L, s"totally different head one .. $shared .. other tail"),
+    (2L, s"$selfRep and then $selfRep"),
+    (3L, "completely original text with no repeated passages at all anywhere"))
+    .toDF("doc_id", "text")
+
+  test("duplicateSpans finds cross-doc and within-doc repeats, skips clean docs") {
+    val spans = ExactSubstr.duplicateSpans(docs, "doc_id", "text", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = spans.groupBy(_._1)
+    assert(byDoc.contains(0L) && byDoc.contains(1L), s"cross-doc pair missed: ${spans.toSeq}")
+    assert(byDoc.contains(2L), s"within-doc repeat missed: ${spans.toSeq}")
+    assert(!byDoc.contains(3L), s"clean doc flagged: ${spans.toSeq}")
+    // doc 0's span must cover the shared passage exactly where it sits
+    val t0 = docs.filter($"doc_id" === 0).select("text").as[String].head()
+    val (s0, e0) = (byDoc(0L).map(_._2).min, byDoc(0L).map(_._3).max)
+    val covered = t0.substring(s0.toInt - 1, e0.toInt)
+    assert(covered.contains(shared), s"span [$s0,$e0] covers '$covered'")
+  }
+
+  test("spans are maximal: overlapping duplicated grams merge into one span per region") {
+    val spans = ExactSubstr.duplicateSpans(docs, "doc_id", "text", minLen = 40)
+    // the shared passage in doc 0 is one contiguous region → exactly 1 span
+    assert(spans.filter($"doc_id" === 0).count() == 1)
+    // doc 2's repeated 40-char line marks positions 1 and 51 only (grams
+    // crossing the ' and then ' junction occur once); the 50-char gap
+    // exceeds minLen, so the two copies stay two separate exact spans
+    val s2 = spans.filter($"doc_id" === 2)
+      .select("span_start", "span_end").as[(Long, Long)].collect().toSet
+    assert(s2 == Set((1L, 40L), (51L, 90L)), s"doc 2 spans: $s2")
+  }
+
+  test("scrub removes exactly the spanned characters and preserves clean docs") {
+    val spans = ExactSubstr.duplicateSpans(docs, "doc_id", "text", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val covered = spans.groupBy(_._1).view.mapValues(_.map(s => s._3 - s._2 + 1).sum).toMap
+    val out = ExactSubstr.scrubDuplicateSpans(docs, "doc_id", "text", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val orig = docs.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    orig.foreach { case (id, t) =>
+      assert(out(id).length == t.length - covered.getOrElse(id, 0L),
+        s"doc $id: scrubbed len ${out(id).length} vs orig ${t.length} minus ${covered.getOrElse(id, 0L)}")
+    }
+    assert(out(3L) == orig(3L)) // untouched
+    assert(!out(0L).contains(shared) && !out(1L).contains(shared))
+  }
+
+  test("winnowed anchors catch every duplicated span of length >= minLen + w - 1") {
+    // guarantee: dup length >= L + w - 1 = 40 + 10 - 1 = 49; the shared
+    // 45-char passage sits inside a 49+-char duplicated region (the
+    // surrounding ' || '/' .. ' differ, so pad the plant to be safe)
+    val longShared = shared + " iota kappa lambda" // 63 chars duplicated
+    val d2 = Seq(
+      (10L, s"head A $longShared tail A"),
+      (11L, s"other head B $longShared closing B"),
+      (12L, "no duplication in this document whatsoever truly original"))
+      .toDF("doc_id", "text")
+    val cand = ExactSubstr.winnowedCandidates(d2, "doc_id", "text", minLen = 40, w = 10)
+    val pairs = cand.select("id_a", "id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)), s"guaranteed anchor match missed: $pairs")
+    assert(!pairs.exists { case (a, b) => a == 12L || b == 12L })
+  }
+
+  test("ivf-pq with exact rerank matches brute force on clustered vectors") {
+    // 3 tight clusters in 16-d; every query's true top-3 is its own cluster
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 120).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(16)(d => if (d % 3 == c) 1.0 else 0.05)
+      (i.toLong, base.map(x => (x + rng.nextGaussian() * 0.02).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3)
+    // rerank must cover a full 40-member cluster: the tight clusters
+    // quantize to IDENTICAL codes, so ADC ties the whole cluster and the
+    // shortlist below ~40 is an arbitrary tied subset
+    val pq = Similarity.ivfPqTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 4, m = 4, ksub = 8, rerank = 60)
+    val e = exact.select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val p = pq.select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    assert((e intersect p).size >= 8, s"recall too low: exact=$e pq=$p")
+  }
+
+  test("pq codes compress: encode emits m small codes plus the stored norm") {
+    val rng = new scala.util.Random(3)
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(vecs, "embedding", m = 4, ksub = 8,
+      trainFraction = 1.0)
+    assert(books.length == 4 && books.forall(_.length == 8) &&
+      books.forall(_.forall(_.length == 4)))
+    val enc = Similarity.pqEncode(vecs, "vec_id", "embedding", books).collect()
+    assert(enc.length == 64)
+    enc.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 8))
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+}
