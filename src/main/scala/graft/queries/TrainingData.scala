@@ -217,6 +217,43 @@ object TrainingData extends QueryModule {
     // to ADC noise on these unclustered gate vectors
   }
 
+  // Model-based quality scoring (fastText-shape hashed-ngram linear
+  // scorer). The gate fixes a closed-form weight vector (so DuckDB can
+  // re-derive it per bucket) and checks the ENTIRE scoring pipeline —
+  // tokenize → unigrams+bigrams → portable md5 bucket → weight lookup →
+  // mean → sigmoid — value-for-value. Training is pinned in the spec
+  // (declarative scorer ≡ fitted model probability).
+  private val t110Weights: Array[Double] =
+    Array.tabulate(1024)(i => ((i * 2654435761L) % 1000) / 1000.0 - 0.5)
+
+  private def t110(s: SparkSession, dir: String): DataFrame =
+    graft.text.QualityClassifier.score(
+      Tables.documents(s, dir), "text", t110Weights, bias = 0.0)
+      .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"))
+      .orderBy("doc_id")
+
+  private val t110Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_concat(toks,
+      |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS grams
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(grams) = 0 THEN 0.0
+      |         ELSE list_sum(list_transform(grams, x ->
+      |           (((('0x' || substr(md5(x), 1, 6))::BIGINT % 1024)
+      |              * 2654435761) % 1000) / 1000.0 - 0.5)) / len(grams)
+      |    END AS mw
+      |  FROM g)
+      |SELECT doc_id, round(1.0 / (1.0 + exp(-mw)), 6) AS quality_score
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // Text features: token counts, ratios, quality score — full SQL oracle.
   private def t66(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withTextFeatures(Tables.documents(s, dir), "text")
@@ -974,6 +1011,7 @@ object TrainingData extends QueryModule {
     "d104_dedup_index_maintenance" -> d104,
     "d105_semantic_dedup" -> d105,
     "t106_decontaminate" -> t106,
+    "t110_quality_score" -> t110,
     "t66_text_quality_features" -> t66,
     "t67_language_id" -> t67,
     "t68_doc_fingerprint" -> t68,
@@ -1011,6 +1049,7 @@ object TrainingData extends QueryModule {
     "d104_dedup_index_maintenance" -> d104Sql,
     "d105_semantic_dedup" -> d105Sql,
     "t106_decontaminate" -> t106Sql,
+    "t110_quality_score" -> t110Sql,
     "t66_text_quality_features" -> t66Sql,
     "t67_language_id" -> t67Sql,
     "t68_doc_fingerprint" -> t68Sql,

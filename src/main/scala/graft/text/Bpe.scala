@@ -88,7 +88,7 @@ object Bpe {
     * still the global (count, lex) argmax when sequential training would
     * reach it. Disjointness makes the batch application order-free. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      batchSize: Int = 100): Model = {
+      batchSize: Int = 100, localDictMax: Long = 2000000L): Model = {
     val spark = df.sparkSession
     import spark.implicits._
     var words = df
@@ -101,6 +101,19 @@ object Bpe {
         array_remove(split(col("w"), "(?!^)"), "").as("syms"))
       .as[(String, Long, Seq[String])]
       .localCheckpoint(true)
+
+    // The dictionary is vocabulary-bound (~10^7 rows at 100 TB), so it
+    // usually FITS on the driver even when the corpus never could — and
+    // the merge loop is then pure local compute instead of one Spark job
+    // pair per batch round (the scheduler overhead, not the data, is
+    // what dominates distributed rounds on a small dict: symbol
+    // disjointness caps real batches far below batchSize early on, so a
+    // 2k-merge train is ~100+ rounds). This is the standard
+    // word-dict-in-memory trainer; the distributed batched loop below
+    // remains the >localDictMax fallback, and the spec pins both paths
+    // merge-for-merge equal.
+    if (words.count() <= localDictMax)
+      return trainLocal(words.collect(), numMerges)
 
     val merges = Vector.newBuilder[(String, String)]
     var m = 0
@@ -145,6 +158,65 @@ object Bpe {
           (w, f, batch.foldLeft(syms)((s, p) => applyMerge(s, p._1, p._2)))
         }.localCheckpoint(true)
         m += batch.length
+      }
+    }
+    Model(merges.result())
+  }
+
+  /** Driver-local sequential trainer over a collected word dict —
+    * EXACTLY the one-merge-at-a-time definition (max count, lex
+    * tie-break, stop below count 2), with the classic incremental
+    * bookkeeping: a (pair → count) multiset, a (pair → words containing
+    * it) index so a merge touches only affected words, and an ordered
+    * view for O(log n) argmax. */
+  private def trainLocal(dict: Array[(String, Long, Seq[String])],
+      numMerges: Int): Model = {
+    import scala.collection.mutable
+    val freqs = dict.map(_._2)
+    val syms = dict.map(_._3.toVector)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // ordered view: highest count first, then lexicographic pair
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering[Long].reverse, Ordering[String], Ordering[String])
+    val queue = mutable.TreeSet.empty[(Long, String, String)]
+    def bump(p: (String, String), delta: Long, wi: Int, add: Boolean): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) queue.remove((old, p._1, p._2))
+      val nu = old + delta
+      if (nu != 0L) { counts(p) = nu; queue.add((nu, p._1, p._2)) }
+      else counts.remove(p)
+      val set = where.getOrElseUpdate(p, mutable.Set.empty[Int])
+      if (add) set += wi
+    }
+    def pairsOf(v: Vector[String]): Iterator[(String, String)] =
+      v.iterator.zip(v.iterator.drop(1))
+    var wi = 0
+    while (wi < syms.length) {
+      pairsOf(syms(wi)).foreach(p => bump(p, freqs(wi), wi, add = true))
+      wi += 1
+    }
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      queue.headOption match {
+        case Some((c, a, b)) if c >= 2 =>
+          merges += ((a, b))
+          val touched = where.getOrElse((a, b), mutable.Set.empty[Int]).toArray
+          touched.foreach { i =>
+            val old = syms(i)
+            val nu = applyMerge(old, a, b).toVector
+            if (nu != old) {
+              pairsOf(old).foreach(p => bump(p, -freqs(i), i, add = false))
+              syms(i) = nu
+              pairsOf(nu).foreach(p => bump(p, freqs(i), i, add = true))
+            }
+          }
+          // the merged pair's surviving index entries are stale by now
+          where.remove((a, b))
+          m += 1
+        case _ => done = true
       }
     }
     Model(merges.result())

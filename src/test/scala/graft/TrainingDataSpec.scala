@@ -114,11 +114,32 @@ class TrainingDataSpec extends GraftSpec {
     // the equivalence claim behind batchSize: the no-skip disjoint prefix
     // + strictly-above-stopper rule must reproduce sequential training
     // merge-for-merge on a real corpus, not just the Sennrich example
+    // (localDictMax = 0 forces the distributed path for both)
     val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
-    val sequential = Bpe.train(real, "text", numMerges = 60, batchSize = 1)
-    val batched = Bpe.train(real, "text", numMerges = 60, batchSize = 100)
+    val sequential = Bpe.train(real, "text", numMerges = 60, batchSize = 1,
+      localDictMax = 0L)
+    val batched = Bpe.train(real, "text", numMerges = 60, batchSize = 100,
+      localDictMax = 0L)
     assert(sequential.merges.size == 60)
     assert(batched.merges == sequential.merges)
+  }
+
+  test("driver-local bpe training equals the distributed path merge-for-merge") {
+    import graft.text.Bpe
+    // the dict-fits-on-driver fast path (the default for vocabulary-bound
+    // dicts) must be indistinguishable from distributed training — same
+    // merges, same order, same early exhaustion behavior
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val local = Bpe.train(real, "text", numMerges = 60) // dict ≪ localDictMax
+    val dist = Bpe.train(real, "text", numMerges = 60, localDictMax = 0L)
+    assert(local.merges.size == 60 && local.merges == dist.merges)
+    // canonical Sennrich example through the local path
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    assert(Bpe.train(corpus, "text", numMerges = 4).merges ==
+      Vector(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
   }
 
   test("bpe tokenize is a broadcast scan pass with exact token counts") {
