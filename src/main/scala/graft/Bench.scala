@@ -114,6 +114,21 @@ object Bench {
       graft.text.TextAnalysis.withRepetitionFeatures(docs, "text")
         .write.format("noop").mode("overwrite").save()
     }
+    // model-based quality scoring: hashed-ngram sigmoid scorer, pure
+    // scan-stage (weights are arbitrary here — the cost is the feature
+    // hashing, identical whatever the fit produced)
+    timed("quality_score") {
+      graft.text.QualityClassifier.score(docs, "text",
+        Array.tabulate(1024)(i => (i % 7 - 3) * 0.1), bias = 0.0)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // exact-substring candidate discovery at scale: the winnowed path
+    // (only ~2/w of positions reach the exchange). Candidate-pair count,
+    // not spans — span extension is O(pairs), the exchange is the cost.
+    timed("exact_substr_winnowed") {
+      graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
     val brute = timed("ann_brute_force") {
       val b = graft.similarity.Similarity
         .bruteForceTopK(emb, qVecs, "vec_id", "embedding", 10).persist()
@@ -143,6 +158,14 @@ object Bench {
     annRecall("ann_ivf") {
       graft.similarity.Similarity.ivfTopK(emb, qVecs, "vec_id", "embedding",
         10, nlist = ivfNlist, nprobe = ivfNprobe)
+    }
+    // IVF-PQ with exact rerank (IVFADC+R): the memory-bounded serving
+    // shape — codes+norms resident instead of raw vectors. Same coarse
+    // grid as IVF so recall differences isolate the quantization+rerank.
+    annRecall("ann_ivfpq") {
+      graft.similarity.Similarity.ivfPqTopK(emb, qVecs, "vec_id", "embedding",
+        10, nlist = ivfNlist, nprobe = ivfNprobe, m = 8, ksub = 256,
+        rerank = 50)
     }
     brute.unpersist(); qVecs.unpersist()
     (times, recalls)
@@ -371,7 +394,9 @@ object Bench {
     // persists age the shared driver JVM, and running it before the
     // Nexmark tiers cost them 3-10x in measured throughput (the
     // within-JVM aging artifact, at tier granularity).
-    val pipelineScale = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_SCALE", "10").toInt
+    // default 100 = 10M docs / 20M vectors — the second decade after r5's
+    // 1M/2M proof; recall gates re-measured at this scale every round
+    val pipelineScale = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_SCALE", "100").toInt
     val (pipelineSec, pipelineRecall): (Map[String, Double], Map[String, Double]) =
       if (sys.env.contains("SPARK_GRAFT_ONLY")) (Map.empty, Map.empty)
       else try {

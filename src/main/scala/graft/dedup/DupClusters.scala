@@ -130,4 +130,30 @@ object DupClusters {
     val losers = labels.filter(col(idCol) =!= col("cluster_id")).select(idCol)
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Leakage-safe train/test split: assign every document a split by
+    * hashing its duplicate-CLUSTER label, not its own id — near-duplicate
+    * documents land on the same side by construction, so the held-out set
+    * never contains a paraphrase of a training document (the train/test
+    * contamination a per-document split silently creates; Lee et al.,
+    * ACL'22 measure the resulting eval inflation). Documents in no
+    * cluster are their own singleton label.
+    *
+    * Deterministic and engine-portable: split = "train" iff the 4-hex md5
+    * prefix of the label sorts below [[graft.api.Sampling.rateThreshold]]
+    * (trainFrac) — same closed form as the corpus-mix operator, so the
+    * split is restartable and reproducible at any scale. Cost beyond the
+    * pair-finding: the components fixpoint on |dup pairs| rows + one
+    * broadcast-sized left join of labels onto the corpus. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      trainFrac: Double): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol, idCol, "cluster_id")
+    val thr = graft.api.Sampling.rateThreshold(trainFrac)
+    docs.join(labels, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split",
+        when(substring(md5(col("cluster_id").cast("string")), 1, 4) < thr,
+          lit("train")).otherwise(lit("test")))
+  }
 }

@@ -994,7 +994,109 @@ object TrainingData extends QueryModule {
        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // Leakage-safe train/test split: split assignment hashes the duplicate
+  // CLUSTER label (transitive closure over the near-dup pairs), so
+  // paraphrases never straddle the split. Oracle: the same recursive-CTE
+  // closure as d87 + the same md5-prefix threshold closed form as t92.
+  private def d114(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    DupClusters.leakageSafeSplit(docs, "doc_id",
+      Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.7, shingleN = 5, numHashes = 200, bands = 50)
+        .select(col("id_a"), col("id_b")),
+      "id_a", "id_b", trainFrac = 0.8)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  private val d114Sql = pairsCte +
+    """
+      |SELECT d.doc_id,
+      |  coalesce(l.comp, d.doc_id) AS cluster_id,
+      |  CASE WHEN substring(md5(CAST(coalesce(l.comp, d.doc_id) AS VARCHAR)), 1, 4)
+      |            < 'cccd' THEN 'train' ELSE 'test' END AS split
+      |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // Fixed-size chunking with overlap (RAG / context-window splitter):
+  // chunk i covers [1 + 180*i, +200); identical closed form in DuckDB.
+  private def t115(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkWithOverlap(Tables.documents(s, dir), "text",
+      size = 200, overlap = 20)
+      .select(col("doc_id"), col("chunk_id"), col("chunk"),
+        length(col("chunk")).as("chunk_len"))
+      .orderBy("doc_id", "chunk_id")
+
+  private val t115Sql =
+    """WITH n AS (SELECT doc_id, text,
+      |    CAST(ceil(greatest(len(text) - 20, 1) / 180.0) AS INT) AS nc
+      |  FROM documents),
+      |c AS (SELECT doc_id, text, unnest(generate_series(0, nc - 1)) AS chunk_id
+      |      FROM n)
+      |SELECT doc_id, chunk_id, text[1 + 180 * chunk_id : 180 * chunk_id + 200] AS chunk,
+      |  CAST(len(text[1 + 180 * chunk_id : 180 * chunk_id + 200]) AS BIGINT) AS chunk_len
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // Unicode NFC normalization: a decomposed combining sequence (e +
+  // U+0301) planted on both sides must compose to the precomposed form.
+  // DuckDB's independent nfc_normalize is the oracle; lengths prove the
+  // composition actually shortened the string.
+  private def t116(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir)
+      .withColumn("text", concat(col("text"), lit(" cafe\u0301 re\u0301sume\u0301")))
+    TextAnalysis.normalizeUnicode(planted, "text")
+      .select(col("doc_id"), length(col("text")).as("len_raw"),
+        length(col("text_nfc")).as("len_nfc"),
+        substring(col("text_nfc"), -12, 12).as("tail_nfc"))
+      .orderBy("doc_id")
+  }
+
+  private val t116Sql =
+    """WITH p AS (SELECT doc_id, text || ' cafe\u0301 re\u0301sume\u0301' AS text FROM documents),
+      |n AS (SELECT doc_id, length(text) AS len_raw,
+      |        trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')) AS t
+      |      FROM p)
+      |SELECT doc_id, len_raw, length(t) AS len_nfc,
+      |  t[-12:] AS tail_nfc
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  // Stupid-backoff bigram LM perplexity scoring (CCNet's quality signal):
+  // the model is trained on the corpus itself (counts are closed-form),
+  // bigrams pruned below count 2 so the backoff path is exercised; the
+  // oracle rebuilds counts and the scoring rule from scratch in DuckDB.
+  private def t117(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val model = graft.text.NgramLm.train(docs, "text", minBigramCount = 2L)
+    graft.text.NgramLm.score(docs, "doc_id", "text", model)
+      .orderBy("doc_id")
+  }
+
+  private val t117Sql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tk
+      |  FROM documents),
+      |words AS (SELECT unnest(tk) AS w FROM d),
+      |uni AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+      |n AS (SELECT sum(c) AS total FROM uni),
+      |pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM d),
+      |pairs AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM pos),
+      |bi AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+      |  round(avg(CASE WHEN b.c IS NOT NULL
+      |    THEN log10(b.c::DOUBLE / u1.c)
+      |    ELSE log10(0.4) + log10(u2.c::DOUBLE / (SELECT total FROM n)) END), 6)
+      |    AS avg_logp
+      |FROM pairs p
+      |LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+      |JOIN uni u1 ON u1.w = p.w1
+      |JOIN uni u2 ON u2.w = p.w2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d114_leakage_safe_split" -> d114,
+    "t115_chunk_overlap" -> t115,
+    "t116_nfc_normalize" -> t116,
+    "t117_ngram_lm_perplexity" -> t117,
     "d60_exact_dedup" -> d60,
     "d107_exact_substring_spans" -> d107,
     "d108_exact_substring_scrub" -> d108,
@@ -1033,6 +1135,10 @@ object TrainingData extends QueryModule {
     "m98_y4m_frame_sampling" -> m98)
 
   override val oracles: Map[String, String] = Map(
+    "d114_leakage_safe_split" -> d114Sql,
+    "t115_chunk_overlap" -> t115Sql,
+    "t116_nfc_normalize" -> t116Sql,
+    "t117_ngram_lm_perplexity" -> t117Sql,
     "d60_exact_dedup" -> d60Sql,
     "d107_exact_substring_spans" -> d107Sql,
     "d108_exact_substring_scrub" -> d108Sql,

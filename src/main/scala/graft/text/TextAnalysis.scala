@@ -119,4 +119,39 @@ object TextAnalysis {
       PiiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, tok)) =>
         regexp_replace(c, pat, tok)
       })
+
+  /** Fixed-size character chunks with overlap (the RAG / context-window
+    * splitter): chunk i covers [1 + i*(size-overlap), +size). The last
+    * chunk may be short; every character is covered; consecutive chunks
+    * share exactly `overlap` characters. Pure scan-stage explode — the
+    * per-document start list is array arithmetic, no shuffle; output rows
+    * ≈ len/(size-overlap) per document. Emits (input columns) + chunk_id
+    * (0-based) + chunk. */
+  def chunkWithOverlap(df: DataFrame, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val n = ceil(greatest(length(col(textCol)) - overlap, lit(1))
+      .cast("double") / stride).cast("int")
+    df.withColumn("chunk_id", explode(sequence(lit(0), n - 1)))
+      .withColumn("chunk",
+        substring(col(textCol), lit(1) + col("chunk_id") * stride, lit(size)))
+  }
+
+  /** Unicode NFC normalization + whitespace collapse — the "fix the
+    * crawl's encoding mess" pass (compose combining sequences so
+    * `e`+U+0301 and precomposed `é` dedup/tokenize identically).
+    * java.text.Normalizer via UDF: Spark has no NFC builtin (the
+    * documented UDF exception — no built-in exists); still a scan-stage
+    * projection, zero shuffles, I/O-bound at scale. */
+  def normalizeUnicode(df: DataFrame, textCol: String,
+      outCol: String = "text_nfc"): DataFrame = {
+    val nfc = udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+    df.withColumn(outCol,
+      trim(regexp_replace(nfc(col(textCol)), "\\s+", " ")))
+  }
 }
