@@ -92,4 +92,57 @@ object Packing {
       }
     }.toDF(idCol, "stream", "seq_no", "offset")
   }
+
+  /** Deterministic global shuffle + token-budget shard assignment: the
+    * step that turns a curated corpus into training shards of ~`budget`
+    * tokens each, in a reproducible pseudo-random document order.
+    *
+    * Order is `md5("shard:" <> id)` — content-independent, portable
+    * across engines and runs, and free of RNG state (the same
+    * reproducibility contract as [[graft.api.Sampling.weightedMix]]).
+    * A document's shard is `floor(exclusivePrefixTokens / budget)`:
+    * greedy fill in hash order, so shards are contiguous runs of the
+    * shuffled order and every shard except the last holds ≥ `budget`
+    * tokens counting its straddling tail document.
+    *
+    * The global prefix sum is computed the scale-correct way — NO
+    * single-partition window:
+    *   1. the first `bucketHexChars` of the hash splits rows into 16^c
+    *      buckets that are CONTIGUOUS ranges of the global hash order;
+    *   2. per-bucket token subtotals (one tiny agg, 16^c rows) turn into
+    *      bucket start offsets with a window over that tiny frame;
+    *   3. offsets broadcast-join back and a per-bucket window adds the
+    *      within-bucket running sum.
+    * Per-bucket work is ~n/16^c rows; pick `bucketHexChars` so a bucket
+    * fits a task (3 hex chars = 4096 buckets ≈ 25M docs/bucket at 100 TB).
+    *
+    * Output: input columns + `shard` (long). Write with [[writeShards]].
+    */
+  def shardByTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, bucketHexChars: Int = 2): DataFrame = {
+    require(budget > 0 && bucketHexChars >= 1 && bucketHexChars <= 8)
+    val keyed = df
+      .withColumn("__h", md5(concat(lit("shard:"), col(idCol).cast("string"))))
+      .withColumn("__b", substring(col("__h"), 1, bucketHexChars))
+    val offsets = keyed.groupBy("__b")
+      .agg(sum(col(tokensCol).cast("long")).as("__btok"))
+      .withColumn("__off", coalesce(sum("__btok").over(
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__btok")
+    val wIn = Window.partitionBy("__b").orderBy("__h", idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__cum",
+        col("__off") + coalesce(sum(col(tokensCol).cast("long")).over(wIn), lit(0L)))
+      // integer division: token totals at 100 TB exceed double's exact
+      // range, so floating division could misassign boundary documents
+      .withColumn("shard", expr(s"__cum DIV $budget"))
+      .drop("__h", "__b", "__off", "__cum")
+  }
+
+  /** Materialize shards as a parquet dataset partitioned by shard id —
+    * each shard directory is one training-ready file group. */
+  def writeShards(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").partitionBy("shard").parquet(outDir)
 }

@@ -1092,8 +1092,127 @@ object TrainingData extends QueryModule {
       |JOIN uni u2 ON u2.w = p.w2
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // Edit-distance similarity join (fuzzy entity resolution): all distinct
+  // part-name pairs within 2 edits, found via FastSS deletion-neighborhood
+  // blocking (never all-pairs) and verified with exact levenshtein; the
+  // oracle IS the all-pairs answer, so completeness of the blocking is
+  // what the gate proves.
+  private def d118(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir).select(col("p_name")).distinct()
+    graft.dedup.EditDistance.edJoin(names, "p_name", "p_name", tau = 2)
+      .select(col("str_a").as("name_a"), col("str_b").as("name_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
+  private val d118Sql =
+    """WITH n AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM n a JOIN n b ON a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
+  // BM25 keyword retrieval: top-10 documents for three fixed keyword
+  // queries; the oracle recomputes tokenization → tf/df → the Okapi
+  // formula → (score desc, doc_id) ranking from scratch with DuckDB list
+  // ops. Scores round to 6 before ranking on both sides so the order is
+  // engine-portable.
+  private val bm25Queries = Seq(
+    (0L, "spark hash join"), (1L, "slow scan table"), (2L, "window sort"))
+
+  private def t119(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = bm25Queries.toDF("query_id", "qtext")
+    graft.text.Bm25.topK(Tables.documents(s, dir), "doc_id", "text",
+      q, "query_id", "qtext", k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  private val t119Sql = {
+    val values = bm25Queries
+      .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tk
+       |  FROM documents),
+       |s AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM d),
+       |q AS (SELECT * FROM (VALUES $values) AS t(query_id, qtext)),
+       |qt AS (SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term
+       |       FROM q),
+       |m AS (SELECT d.doc_id, len(d.tk)::DOUBLE AS dl, qt.query_id, qt.term,
+       |        len(list_filter(d.tk, x -> x = qt.term))::DOUBLE AS tf
+       |      FROM d, qt
+       |      WHERE len(list_filter(d.tk, x -> x = qt.term)) > 0),
+       |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM m GROUP BY 1),
+       |sc AS (SELECT m.query_id, m.doc_id,
+       |        round(sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+       |          * m.tf * 2.2 / (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl))), 6)
+       |          AS score
+       |      FROM m, s JOIN df ON df.term = m.term
+       |      GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+       |      FROM sc)
+       |SELECT query_id, rnk, doc_id, score FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // Markup stripping: documents wrapped in a deterministic HTML shell
+  // (script/style blocks, comments, tags, double-escaped entities) must
+  // come back as clean prose. The oracle never runs a regex — it
+  // reconstructs the expected plain text CONSTRUCTIVELY from the raw
+  // columns, so the Spark-side scrub is checked against intent, not
+  // against another regex engine.
+  private def t120(s: SparkSession, dir: String): DataFrame = {
+    val html = Tables.documents(s, dir).withColumn("html",
+      concat(lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+        lit("<style>p { color: red; }</style></head><body><h1>"), col("source"),
+        lit("</h1><!-- hidden "), col("lang"), lit(" --><p>"), col("text"),
+        lit(" &amp;lt; &quot;q&#39;s&quot; A&nbsp;B</p></body></html>")))
+    graft.text.TextAnalysis.stripMarkup(html, "html")
+      .select(col("doc_id"), col("text_plain"),
+        length(col("text_plain")).as("n_plain"))
+      .orderBy("doc_id")
+  }
+
+  private val t120Sql =
+    """SELECT doc_id,
+      |  source || ' ' || trim(regexp_replace(text, '\s+', ' ', 'g'))
+      |    || ' &lt; "q''s" A B' AS text_plain,
+      |  length(source || ' ' || trim(regexp_replace(text, '\s+', ' ', 'g'))
+      |    || ' &lt; "q''s" A B') AS n_plain
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // Deterministic shuffle + token-budget shard assignment: the corpus in
+  // md5 order, greedily cut into 512-token shards via the distributed
+  // (bucketed) prefix sum; the oracle derives the same layout with one
+  // global window cumsum.
+  private def p121(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("ntok",
+      size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")).cast("long"))
+    Packing.shardByTokenBudget(docs, "doc_id", "ntok", budget = 512L)
+      .select(col("doc_id"), col("ntok"), col("shard"))
+      .orderBy("doc_id")
+  }
+
+  private val p121Sql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+      |      AS BIGINT) AS ntok,
+      |    md5('shard:' || doc_id) AS h
+      |  FROM documents)
+      |SELECT doc_id, ntok,
+      |  CAST((sum(ntok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - ntok)
+      |    // 512 AS BIGINT) AS shard
+      |FROM d ORDER BY doc_id""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d114_leakage_safe_split" -> d114,
+    "d118_edit_distance_join" -> d118,
+    "t119_bm25_topk" -> t119,
+    "t120_markup_strip" -> t120,
+    "p121_shard_token_budget" -> p121,
     "t115_chunk_overlap" -> t115,
     "t116_nfc_normalize" -> t116,
     "t117_ngram_lm_perplexity" -> t117,
@@ -1136,6 +1255,10 @@ object TrainingData extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "d114_leakage_safe_split" -> d114Sql,
+    "d118_edit_distance_join" -> d118Sql,
+    "t119_bm25_topk" -> t119Sql,
+    "t120_markup_strip" -> t120Sql,
+    "p121_shard_token_budget" -> p121Sql,
     "t115_chunk_overlap" -> t115Sql,
     "t116_nfc_normalize" -> t116Sql,
     "t117_ngram_lm_perplexity" -> t117Sql,

@@ -96,7 +96,7 @@ object Similarity {
     * materializes a query's full candidate set on one task. Expects columns
     * (query_id, nn_id, sim); emits (query_id, rnk, nn_id, sim) with nn_id
     * restored to its original type. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val idType = scored.schema("nn_id").dataType
     // the heap carries ids as Long (integral) or String (uuid/string);
     // any other id type would cast lossily and null every candidate, so

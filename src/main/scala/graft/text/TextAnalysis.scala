@@ -154,4 +154,33 @@ object TextAnalysis {
     df.withColumn(outCol,
       trim(regexp_replace(nfc(col(textCol)), "\\s+", " ")))
   }
+
+  /** HTML/markup stripping — the crawl-to-text pass every web-scale
+    * corpus starts with (reference pipelines do this in user ParDo code;
+    * here it is a first-class scan-stage operator, zero shuffles).
+    *
+    * Order matters and is pinned:
+    *   1. drop `<script>`/`<style>` blocks WITH their content (their text
+    *      is code, not prose) and HTML comments;
+    *   2. every remaining tag becomes a single space (so `a</p><p>b`
+    *      keeps a word boundary);
+    *   3. decode the common entities — `&amp;` strictly LAST, so the
+    *      classic double-escape `&amp;lt;` yields the literal `&lt;` and
+    *      never a phantom `<`;
+    *   4. collapse whitespace and trim.
+    * All chained `regexp_replace`/`replace` projections: codegen'd,
+    * I/O-bound at 100 TB like the PII scrub. */
+  def stripMarkup(df: DataFrame, textCol: String,
+      outCol: String = "text_plain"): DataFrame = {
+    val noBlocks = regexp_replace(col(textCol),
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]+>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'",
+      "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, v)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(e), v)
+    }
+    df.withColumn(outCol, trim(regexp_replace(decoded, "\\s+", " ")))
+  }
 }

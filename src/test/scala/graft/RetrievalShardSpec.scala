@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Bm25, TextAnalysis}
+import graft.pack.Packing
+
+/** BM25 retrieval, markup stripping, and token-budget shard assignment on
+  * hand-built inputs with by-eye expected answers. */
+class RetrievalShardSpec extends GraftSpec {
+  import spark.implicits._
+
+  // --- BM25 ---
+
+  private lazy val docs = Seq(
+    (1L, "apple banana apple"),        // dl 3, tf(apple)=2
+    (2L, "apple cherry"),              // dl 2
+    (3L, "banana banana banana kiwi"), // dl 4
+    (4L, "durian melon fig"),          // no query term
+    (5L, "apple")).toDF("doc_id", "text")
+
+  test("bm25 ranks exact math: rarer terms and denser docs score higher") {
+    val q = Seq((0L, "apple"), (1L, "banana kiwi")).toDF("qid", "qt")
+    val got = Bm25.topK(docs, "doc_id", "text", q, "qid", "qt", k = 10)
+      .select("query_id", "rnk", "doc_id", "score")
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toList).toMap
+
+    // recompute by hand: N=5, avgdl = (3+2+4+3+1)/5 = 2.6
+    val N = 5.0; val avgdl = 2.6; val k1 = 1.2; val b = 0.75
+    def idf(df: Double) = math.log((N - df + 0.5) / (df + 0.5) + 1)
+    def w(tf: Double, dl: Double, df: Double) =
+      BigDecimal(idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // query 0 "apple": df=3; docs 1 (tf2,dl3), 2 (tf1,dl2), 5 (tf1,dl1)
+    val q0 = Map(1L -> w(2, 3, 3), 2L -> w(1, 2, 3), 5L -> w(1, 1, 3))
+    assert(got(0L).toMap == q0)
+    assert(got(0L).map(_._1) ==
+      q0.toList.sortBy { case (id, s) => (-s, id) }.map(_._1))
+    // query 1 "banana kiwi": banana df=2, kiwi df=1; doc 3 matches both
+    val q1 = Map(1L -> w(1, 3, 2), 3L -> (w(3, 4, 2) + w(1, 4, 1)))
+    assert(got(1L).map(_._1).toSet == q1.keySet)
+    val d3 = got(1L).toMap.apply(3L)
+    assert(math.abs(d3 - q1(3L)) < 2e-6) // two rounded contribs vs one rounded sum
+    assert(got(1L).head._1 == 3L) // both-terms doc on top
+  }
+
+  test("bm25 k caps per-query results and ties break by doc id") {
+    val q = Seq((0L, "apple")).toDF("qid", "qt")
+    val top2 = Bm25.topK(docs, "doc_id", "text", q, "qid", "qt", k = 2)
+    assert(top2.count() == 2)
+    // identical docs score identically -> id ascending order
+    val clones = Seq((10L, "pear"), (11L, "pear"), (12L, "pear"))
+      .toDF("doc_id", "text")
+    val tied = Bm25.topK(clones, "doc_id", "text",
+      Seq((0L, "pear")).toDF("qid", "qt"), "qid", "qt", k = 3)
+      .select("doc_id").as[Long].collect().toList
+    assert(tied == List(10L, 11L, 12L))
+  }
+
+  // --- markup strip ---
+
+  test("stripMarkup drops script/style/comments, spaces tags, decodes entities last") {
+    val in = Seq(
+      ("<html><script>var a = 1 < 2;</script><style>p{}</style>" +
+        "<body><h1>Title</h1><!-- secret --><p>Hello</p>world</body></html>",
+        "Title Hello world"),
+      ("a</p><p>b", "a b"),                      // tag becomes a word boundary
+      ("x &amp;lt; y &nbsp; &quot;z&#39;", "x &lt; y \"z'"), // amp decoded LAST
+      ("<SCRIPT>upper</SCRIPT>ok <Style x=1>s</stylE >ok2", "ok ok2"), // case-insensitive
+      ("no markup at all", "no markup at all"),
+      ("  spaced   <b>out</b>  ", "spaced out"))
+      .toDF("text", "expect")
+    val out = TextAnalysis.stripMarkup(in, "text")
+      .select("text_plain", "expect").as[(String, String)].collect()
+    out.foreach { case (got, want) => assert(got == want, s"got '$got'") }
+  }
+
+  // --- token-budget shards ---
+
+  private lazy val corpus = (0L until 400L)
+    .map(i => (i, 1L + i % 7)).toDF("doc_id", "ntok")
+
+  test("shard assignment is the exclusive-prefix cut of the md5 order") {
+    val got = Packing.shardByTokenBudget(corpus, "doc_id", "ntok", budget = 50L)
+      .select("doc_id", "ntok", "shard")
+      .as[(Long, Long, Long)].collect()
+    // independent reference: a straight driver-side scan in hash order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(s"shard:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val inOrder = (0L until 400L).map(i => (h(i), i, 1L + i % 7)).sorted
+    var cum = 0L
+    val expect = inOrder.map { case (_, id, t) =>
+      val s = cum / 50L; cum += t; (id, t, s)
+    }.map { case (id, t, sh) => id -> ((t, sh)) }.toMap
+    assert(got.length == 400)
+    got.foreach { case (id, t, sh) =>
+      assert((t, sh) == expect(id), s"doc $id") }
+  }
+
+  test("shards are contiguous in hash order with bounded token totals") {
+    val out = Packing.shardByTokenBudget(corpus, "doc_id", "ntok", budget = 50L)
+    val totals = out.groupBy("shard").agg(sum("ntok").as("tot"), max("ntok").as("mx"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val last = totals.map(_._1).max
+    totals.foreach { case (sh, tot, mx) =>
+      assert(tot <= 50L + mx - 1, s"shard $sh overfull: $tot")
+      if (sh != last) assert(tot >= 50L - (mx - 1), s"shard $sh underfull: $tot")
+    }
+    // shard ids form a gapless 0..last range
+    assert(totals.map(_._1).toList == (0L to last).toList)
+    // bucketing granularity does not change the layout
+    val fine = Packing.shardByTokenBudget(corpus, "doc_id", "ntok",
+      budget = 50L, bucketHexChars = 3)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val coarse = out.select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(fine == coarse)
+  }
+
+  test("writeShards lays out one directory per shard and loses nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val sharded = Packing.shardByTokenBudget(corpus, "doc_id", "ntok", budget = 100L)
+    Packing.writeShards(sharded, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 400)
+    assert(back.select("doc_id").distinct().count() == 400)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.nonEmpty && dirs.length ==
+      sharded.select("shard").distinct().count())
+  }
+}
