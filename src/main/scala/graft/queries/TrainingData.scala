@@ -1207,9 +1207,40 @@ object TrainingData extends QueryModule {
       |    // 512 AS BIGINT) AS shard
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // URL parse + per-domain cap: deterministic URLs are synthesized from
+  // document fields, Spark's parse_url extracts the host, the two-label
+  // heuristic yields the registrable domain, and at most 10 docs per
+  // domain survive (md5-ranked). The oracle never parses a URL — it
+  // reconstructs host/domain constructively from the same fields and
+  // applies the identical md5 ranking.
+  private def t122(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("url",
+      concat(lit("https://"),
+        element_at(array(lit("www"), lit("cdn"), lit("m.site")),
+          (col("doc_id") % 3 + 1).cast("int")),
+        lit("."), col("source"), (col("doc_id") % 2).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string"),
+        lit("?q="), col("lang")))
+    graft.text.Urls.capPerDomain(docs, "url", "doc_id", n = 10)
+      .select(col("doc_id"), col("url_host"), col("url_domain"))
+      .orderBy("doc_id")
+  }
+
+  private val t122Sql =
+    """WITH d AS (SELECT doc_id,
+      |    ['www', 'cdn', 'm.site'][(doc_id % 3 + 1)::INT] AS sub,
+      |    source || (doc_id % 2) || '.com' AS dom
+      |  FROM documents),
+      |r AS (SELECT doc_id, sub || '.' || dom AS url_host, dom AS url_domain,
+      |    row_number() OVER (PARTITION BY dom ORDER BY md5(doc_id::VARCHAR)) AS rk
+      |  FROM d)
+      |SELECT doc_id, url_host, url_domain FROM r WHERE rk <= 10
+      |ORDER BY doc_id""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d114_leakage_safe_split" -> d114,
     "d118_edit_distance_join" -> d118,
+    "t122_url_domain_cap" -> t122,
     "t119_bm25_topk" -> t119,
     "t120_markup_strip" -> t120,
     "p121_shard_token_budget" -> p121,
@@ -1256,6 +1287,7 @@ object TrainingData extends QueryModule {
   override val oracles: Map[String, String] = Map(
     "d114_leakage_safe_split" -> d114Sql,
     "d118_edit_distance_join" -> d118Sql,
+    "t122_url_domain_cap" -> t122Sql,
     "t119_bm25_topk" -> t119Sql,
     "t120_markup_strip" -> t120Sql,
     "p121_shard_token_budget" -> p121Sql,

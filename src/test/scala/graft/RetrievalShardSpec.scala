@@ -75,6 +75,36 @@ class RetrievalShardSpec extends GraftSpec {
     out.foreach { case (got, want) => assert(got == want, s"got '$got'") }
   }
 
+  // --- URL parsing + per-domain cap ---
+
+  test("withUrlParts extracts host/path/query and the two-label domain") {
+    val in = Seq(
+      "https://a.b.example.com/x/y?id=7",
+      "http://example.com/",
+      "https://localhost/p",
+      "https://cdn.site.co/f.js").toDF("url")
+    val got = graft.text.Urls.withUrlParts(in, "url")
+      .select("url_host", "url_path", "url_query", "url_domain")
+      .as[(String, String, Option[String], String)].collect().toList
+    assert(got(0) == (("a.b.example.com", "/x/y", Some("id=7"), "example.com")))
+    assert(got(1) == (("example.com", "/", None, "example.com")))
+    assert(got(2) == (("localhost", "/p", None, "localhost")))
+    assert(got(3) == (("cdn.site.co", "/f.js", None, "site.co")))
+  }
+
+  test("capPerDomain keeps at most n per domain, deterministically") {
+    val docs = (0L until 90L)
+      .map(i => (i, s"https://w.dom${i % 3}.com/p/$i")).toDF("doc_id", "url")
+    val capped = graft.text.Urls.capPerDomain(docs, "url", "doc_id", n = 5)
+    val perDom = capped.groupBy("url_domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(perDom.values.toSet == Set(5L) && perDom.size == 3)
+    // rerun yields the identical kept set (no RNG state)
+    val again = graft.text.Urls.capPerDomain(docs, "url", "doc_id", n = 5)
+    assert(capped.select("doc_id").as[Long].collect().sorted.toList ==
+      again.select("doc_id").as[Long].collect().sorted.toList)
+  }
+
   // --- token-budget shards ---
 
   private lazy val corpus = (0L until 400L)
