@@ -118,6 +118,44 @@ object Extended extends QueryModule {
     """SELECT event_type, CAST(count(*) AS BIGINT) AS est_count
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // Misra-Gries frequent-items sketch (q49's complement: CMS answers
+  // point lookups, MG finds the heavy SET with k counters of state).
+  // Keys are constructed with 4 planted ~5%-frequency heavies over a
+  // long tail of per-order keys; with k=32 the deterministic MG
+  // guarantee (every key above n/(k+1) surfaces; estimates undercount by
+  // at most n/(k+1)) is pinned as booleans, and the heavy count is
+  // recomputed exactly by the oracle.
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val li = Tables.lineitem(s, dir).select(
+      when(col("l_orderkey") % 20 < 4,
+        concat(lit("h"), (col("l_orderkey") % 20).cast("string")))
+        .otherwise(concat(lit("c"), col("l_orderkey").cast("string")))
+        .as("key"))
+    val entries = li.agg(graft.api.FreqItems.sketch(col("key"), k).as("mg"))
+      .select(explode(col("mg")).as(Seq("key", "est")))
+    val exact = li.groupBy("key").agg(count(lit(1)).as("freq"))
+      .crossJoin(li.agg(count(lit(1)).as("n")))
+    val heavyAgg = exact.filter(col("freq") * (k + 1) > col("n"))
+      .join(entries, Seq("key"), "left")
+      .agg(count(lit(1)).as("n_heavy"),
+        bool_and(col("est").isNotNull).as("all_heavy_in_sketch"))
+    val boundsAgg = entries.join(exact, Seq("key"))
+      .agg(bool_and(col("est") <= col("freq") &&
+        (col("freq") - col("est")) * (k + 1) <= col("n")).as("bounds_ok"))
+    heavyAgg.crossJoin(boundsAgg)
+  }
+
+  private val q123Sql =
+    """WITH li AS (SELECT CASE WHEN l_orderkey % 20 < 4
+      |    THEN 'h' || (l_orderkey % 20) ELSE 'c' || l_orderkey END AS key
+      |  FROM lineitem),
+      |t AS (SELECT count(*) AS n FROM li),
+      |e AS (SELECT key, count(*) AS freq FROM li GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_heavy,
+      |  TRUE AS all_heavy_in_sketch, TRUE AS bounds_ok
+      |FROM e, t WHERE freq * 33 > n""".stripMargin
+
   // SQL front end + streaming-SQL windowing syntax: GROUP BY tumble(...)
   // through our SparkSessionExtensions function (≙ the reference's
   // GROUP BY TUMBLE(...) rewrite, BeamAggregationRule.java:121).
@@ -539,6 +577,7 @@ object Extended extends QueryModule {
     "q47_offset_fetch" -> q47,
     "q48_hll_mergeable_sketch" -> q48,
     "q49_count_min_sketch" -> q49,
+    "q123_freq_items_sketch" -> q123,
     "q56_sql_tumble" -> q56,
     "q57_sql_frontend" -> q57,
     "q58_cep_match_recognize" -> q58,
@@ -561,6 +600,7 @@ object Extended extends QueryModule {
     "q47_offset_fetch" -> q47Sql,
     "q48_hll_mergeable_sketch" -> q48Sql,
     "q49_count_min_sketch" -> q49Sql,
+    "q123_freq_items_sketch" -> q123Sql,
     "q56_sql_tumble" -> q56Sql,
     "q57_sql_frontend" -> q57Text,
     "q58_cep_match_recognize" -> q58Sql,

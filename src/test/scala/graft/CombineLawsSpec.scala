@@ -61,4 +61,28 @@ class CombineLawsSpec extends GraftSpec {
       assert(minMax.merge(minMax.zero, acc) == acc)
     }
   }
+
+  test("misra-gries guarantee survives any sharding and merge order") {
+    // MG is NOT equal-to-sequential under resharding (the summary is
+    // path-dependent); the LAW is the deterministic error contract:
+    // size ≤ k, never overcount, undercount ≤ n/(k+1) for EVERY key —
+    // which is what makes the partial+final aggregation plan sound.
+    val k = 8
+    val agg = new graft.api.FreqItemsAgg(k)
+    cases(99L) { rnd =>
+      val xs = List.fill(50 + rnd.nextInt(300))(
+        if (rnd.nextInt(10) < 4) "H" + rnd.nextInt(3) // planted heavies
+        else "t" + rnd.nextInt(120)) // long tail
+      val n = xs.size
+      val partials = xs.grouped(1 + rnd.nextInt(40))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      val merged = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(merged.size <= k)
+      merged.foreach { case (key, est) => assert(est <= exact(key)) }
+      exact.foreach { case (key, c) =>
+        assert(c - merged.getOrElse(key, 0L) <= n.toDouble / (k + 1), key)
+      }
+    }
+  }
 }
