@@ -92,6 +92,64 @@ class PlanSpec extends GraftSpec {
     assert(!physicalPlan(mix).contains("Exchange"), physicalPlan(mix))
   }
 
+  test("edit-distance join never plans a cartesian product") {
+    val names = graft.sources.Tables.part(spark, sf)
+      .select(col("p_name")).distinct()
+    val plan = physicalPlan(
+      graft.dedup.EditDistance.edJoin(names, "p_name", "p_name", tau = 2))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("markup strip is scan-stage (zero exchanges)") {
+    val df = graft.text.TextAnalysis.stripMarkup(
+      graft.sources.Tables.documents(spark, sf), "text")
+    assert(!physicalPlan(df).contains("Exchange"), physicalPlan(df))
+  }
+
+  test("bm25 broadcasts the query side and ranks via partial aggregate") {
+    val qs = Seq((0L, "spark hash join")).toDF("qid", "qt")
+    val plan = physicalPlan(graft.text.Bm25.topK(
+      graft.sources.Tables.documents(spark, sf), "doc_id", "text",
+      qs, "qid", "qt", k = 10))
+    // query terms + df + stats all broadcast; documents are never the
+    // build side of anything and no window ships candidates anywhere
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("token-budget shards never window over a single global partition") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("tok", length(col("text")).cast("long"))
+    val df = graft.pack.Packing.shardByTokenBudget(docs, "doc_id", "tok",
+      budget = 4096L)
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides Window
+    // nodes from collect until execution
+    val plan = df.queryExecution.sparkPlan
+    // every Window over the full corpus must carry a partition spec; the
+    // only partition-less window runs on the 16^c-row bucket offsets frame
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    val partitionless = windows.filter(_.partitionSpec.isEmpty)
+    assert(partitionless.nonEmpty) // the offsets frame
+    // each must sit over the per-bucket aggregate (16^c rows), i.e. a
+    // grouped aggregate whose keys are exactly the bucket prefix — never
+    // over corpus rows
+    partitionless.foreach { w =>
+      val aggs = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.nonEmpty => a
+      }
+      assert(aggs.nonEmpty &&
+        aggs.forall(_.groupingExpressions.forall(_.toString.contains("__b"))),
+        s"single-partition window not over the bucket aggregate:\n$plan")
+    }
+  }
+
   test("concat-and-chunk packing shuffles exactly once (on the stream key)") {
     val df = graft.pack.Packing.concatAndChunk(
       graft.sources.Tables.documents(spark, sf), "doc_id", "n_chars",
