@@ -129,6 +129,35 @@ object Bench {
       graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
+    timed("markup_strip") {
+      graft.text.TextAnalysis.stripMarkup(
+        docs.withColumn("h", concat(lit("<p>"), col("text"),
+          lit(" &amp; more</p><!-- x -->"))), "h")
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("shard_assign") {
+      graft.pack.Packing.shardByTokenBudget(
+        docs.withColumn("tok", length(col("text")).cast("long")),
+        "doc_id", "tok", budget = 65536L, bucketHexChars = 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("domain_cap") {
+      graft.text.Urls.capPerDomain(
+        docs.withColumn("url", concat(lit("https://w."),
+          (col("doc_id") % 4096).cast("string"), lit(".site.com/p/"),
+          col("doc_id").cast("string"))), "url", "doc_id", n = 2000)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // stopword queries = worst-case df (every document matches every
+    // term), so this times the full matched-row exchange, not a lucky
+    // sparse probe
+    timed("bm25_topk") {
+      import spark.implicits._
+      val qs = Seq((0L, "the of and"), (1L, "that it was"),
+        (2L, "with from when")).toDF("qid", "qt")
+      graft.text.Bm25.topK(docs, "doc_id", "text", qs, "qid", "qt", k = 10)
+        .write.format("noop").mode("overwrite").save()
+    }
     val brute = timed("ann_brute_force") {
       val b = graft.similarity.Similarity
         .bruteForceTopK(emb, qVecs, "vec_id", "embedding", 10).persist()
