@@ -1237,9 +1237,37 @@ object TrainingData extends QueryModule {
       |SELECT doc_id, url_host, url_domain FROM r WHERE rk <= 10
       |ORDER BY doc_id""".stripMargin
 
+  // Embedding-cosine near-dup pairs (LSH-bucketed + exact verify): the
+  // natural corpus has no >0.95 pairs (max non-planted cosine ≈ 0.60), so
+  // the gate plants, per base vector (vec_id % 100 = 0), an exact copy
+  // and a ×0.5 copy. Halving is binary-exact and hyperplane signs are
+  // scale-invariant, so all three pair combinations per base land in the
+  // same bucket with cosine exactly 1.0 — the oracle constructs that pair
+  // list arithmetically, never touching a vector.
+  private def d125(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bases = emb.filter(col("vec_id") % 100 === 0)
+    val corpus = emb
+      .union(bases.select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
+      .union(bases.select((col("vec_id") + 2000000L).as("vec_id"),
+        transform(col("v"), x => x * 0.5).as("v")))
+    Dedup.embeddingNearDups(corpus, "vec_id", "v", threshold = 0.95, nBits = 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val d125Sql =
+    """WITH b AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0)
+      |SELECT id_a, id_b, cos FROM (
+      |  SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0::DOUBLE AS cos FROM b
+      |  UNION ALL SELECT vec_id, vec_id + 2000000, 1.0::DOUBLE FROM b
+      |  UNION ALL SELECT vec_id + 1000000, vec_id + 2000000, 1.0::DOUBLE FROM b)
+      |ORDER BY id_a, id_b""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d114_leakage_safe_split" -> d114,
     "d118_edit_distance_join" -> d118,
+    "d125_embedding_near_dups" -> d125,
     "t122_url_domain_cap" -> t122,
     "t119_bm25_topk" -> t119,
     "t120_markup_strip" -> t120,
@@ -1287,6 +1315,7 @@ object TrainingData extends QueryModule {
   override val oracles: Map[String, String] = Map(
     "d114_leakage_safe_split" -> d114Sql,
     "d118_edit_distance_join" -> d118Sql,
+    "d125_embedding_near_dups" -> d125Sql,
     "t122_url_domain_cap" -> t122Sql,
     "t119_bm25_topk" -> t119Sql,
     "t120_markup_strip" -> t120Sql,
