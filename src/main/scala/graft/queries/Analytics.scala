@@ -344,7 +344,27 @@ object Analytics extends QueryModule {
       |  TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // One-pass dataset profile (ANALYZE-for-data-quality): per-column
+  // row/null/distinct counts and native-typed min/max over four
+  // heterogeneous lineitem columns; exact distinct here so the oracle is
+  // a value compare (approx HLL is the documented 100 TB default).
+  private def p126(s: SparkSession, dir: String): DataFrame =
+    graft.api.Profile.describe(Tables.lineitem(s, dir),
+      Seq("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag"),
+      exactDistinct = true)
+      .orderBy("column")
+
+  private val p126Sql = Seq("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+    .map(c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+         |FROM lineitem""".stripMargin)
+    .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p126_dataset_profile" -> p126,
     "q80_tdigest_quantiles" -> q80,
     "q30_window_rank" -> q30,
     "q31_window_running" -> q31,
@@ -362,6 +382,7 @@ object Analytics extends QueryModule {
     "q43_group_into_batches" -> q43)
 
   override val oracles: Map[String, String] = Map(
+    "p126_dataset_profile" -> p126Sql,
     "q80_tdigest_quantiles" -> q80Sql,
     "q30_window_rank" -> q30Sql,
     "q31_window_running" -> q31Sql,
