@@ -75,6 +75,22 @@ class RetrievalShardSpec extends GraftSpec {
     out.foreach { case (got, want) => assert(got == want, s"got '$got'") }
   }
 
+  // --- dataset profile ---
+
+  test("profile counts nulls and distincts per column, native-typed min/max") {
+    val in = Seq((1L, Some(2.5), "b"), (2L, None, "a"), (3L, Some(10.0), "a"))
+      .toDF("id", "x", "s")
+    val got = graft.api.Profile.describe(in, Seq("id", "x", "s"),
+      exactDistinct = true)
+      .orderBy("column")
+      .as[(String, Long, Long, Long, String, String)].collect().toList
+    assert(got == List(
+      ("id", 3L, 0L, 3L, "1", "3"),
+      ("s", 3L, 0L, 2L, "a", "b"),
+      // numeric min/max (2.5 < 10.0), not string order ("10.0" < "2.5")
+      ("x", 3L, 1L, 2L, "2.5", "10.0")))
+  }
+
   // --- URL parsing + per-domain cap ---
 
   test("withUrlParts extracts host/path/query and the two-label domain") {
