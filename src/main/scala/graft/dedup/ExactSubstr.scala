@@ -132,31 +132,24 @@ object ExactSubstr {
     * skip-huge-cluster guard as the LSH bucket cap. */
   def winnowedCandidates(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 50, w: Int = 10, maxPerGram: Int = 1000): DataFrame = {
-    // Anchor selection runs entirely INSIDE the scan stage as array
-    // arithmetic over the per-document gram-hash array — a per-document
-    // rolling min is doc-local by definition, and expressing it as a
-    // window function would first shuffle one row per corpus character
-    // into doc partitions (~200 GB at 10M docs) just to compute values
-    // that never needed to leave the scan. O(w) slice-min per position,
-    // then only the ~2/w anchor rows are exploded onto the wire.
-    // An anchor is a position whose hash is minimal in the w-gram window
-    // ENDING at it (ties keep every minimal position — a superset of
-    // robust winnowing's rightmost-min, so the ≥ minLen+w-1 detection
-    // guarantee still holds).
-    val hs = when(length(col("__t")) >= minLen,
-      transform(sequence(lit(1), length(col("__t")) - (minLen - 1)),
-        i => xxhash64(col("__t").substr(i, lit(minLen)))))
-      .otherwise(array().cast("array<bigint>"))
-    val anchorStructs = filter(
-      transform(sequence(lit(1), size(col("__hs"))), i =>
-        struct(i.cast("long").as("i"), element_at(col("__hs"), i).as("h"),
-          array_min(slice(col("__hs"), greatest(lit(1), i - (w - 1)),
-            i - greatest(lit(1), i - (w - 1)) + 1)).as("m"))),
-      s => s.getField("h") === s.getField("m"))
-    val anchors = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .withColumn("__hs", hs)
-      .filter(size(col("__hs")) > 0)
-      .select(col("id"), explode(anchorStructs).as("a"))
+    // Anchor selection runs entirely INSIDE the scan stage — a
+    // per-document rolling min is doc-local by definition, and expressing
+    // it as a window function would first shuffle one row per corpus
+    // character into doc partitions (~200 GB at 10M docs) just to compute
+    // values that never needed to leave the scan. The kernel is the
+    // native graft.plans.WinnowedAnchors expression: one O(len) byte walk
+    // per document (sliding xxhash64 + monotonic-deque window minimum)
+    // instead of the equivalent-but-interpreted O(len·minLen) array
+    // arithmetic (`transform(sequence…, i -> xxhash64(substr(t,i,minLen)))`
+    // + per-position slice-min), which cost tens of MINUTES over a
+    // 10M-doc corpus. Equality of the two formulations is pinned in
+    // ExactSubstrSpec. An anchor is a position whose hash is minimal in
+    // the w-gram window ENDING at it (ties keep every minimal position —
+    // a superset of robust winnowing's rightmost-min, so the ≥ minLen+w-1
+    // detection guarantee still holds). Only anchors (~2/w of positions)
+    // are exploded onto the wire.
+    val anchors = df.select(col(idCol).as("id"),
+        explode(graft.functions.winnowedAnchors(col(textCol), minLen, w)).as("a"))
       .select(col("id"), col("a.i").as("i"), col("a.h").as("h"))
     val ok = anchors.groupBy("h").agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxPerGram)).select("h")

@@ -98,6 +98,14 @@ package object functions {
     * scan stage — the scale path for LSH banding (see
     * graft.plans.MinHashSignature for the algorithm and why densification
     * is required on short documents). */
+  /** Winnowed anchor positions + gram hashes (array<struct<i,h>>) for
+    * exact-substring dedup, selected in one native O(len) pass inside the
+    * scan stage (graft.plans.WinnowedAnchors). */
+  def winnowedAnchors(text: Column, minLen: Int, w: Int): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.WinnowedAnchors(
+        org.apache.spark.sql.graftbridge.expression(text), minLen, w))
+
   def minhashSignatureNative(text: Column, n: Int, k: Int): Column = {
     val norm = lower(regexp_replace(trim(text), "\\s+", " "))
     org.apache.spark.sql.graftbridge.column(

@@ -76,6 +76,44 @@ class ExactSubstrSpec extends GraftSpec {
     assert(!pairs.exists { case (a, b) => a == 12L || b == 12L })
   }
 
+  test("native winnowed anchors equal the declarative formulation") {
+    // the interpreted reference: per-position xxhash64 of the minLen-gram
+    // + array_min over the w-window ending at each position — the exact
+    // formulation the native WinnowedAnchors expression replaced
+    import org.apache.spark.sql.functions._
+    val minLen = 8
+    val w = 4
+    val docs = Seq(
+      "abcdefghijklmnopqrstuvwxyz abcdefghijklmnop",
+      "aaaaaaaaaaaaaaaaaaaa",            // all-equal hashes: every tie kept
+      "short",                           // < minLen: no anchors
+      "exactly8",                        // == minLen: one gram
+      "café au lait crème brûlée et café au lait", // multibyte
+      "")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val hs = when(length(col("t")) >= minLen,
+      transform(sequence(lit(1), length(col("t")) - (minLen - 1)),
+        i => xxhash64(col("t").substr(i, lit(minLen)))))
+      .otherwise(array().cast("array<bigint>"))
+    val reference = docs.withColumn("__hs", hs)
+      .filter(size(col("__hs")) > 0)
+      .select(col("id"), explode(filter(
+        transform(sequence(lit(1), size(col("__hs"))), i =>
+          struct(i.cast("long").as("i"), element_at(col("__hs"), i).as("h"),
+            array_min(slice(col("__hs"), greatest(lit(1), i - (w - 1)),
+              i - greatest(lit(1), i - (w - 1)) + 1)).as("m"))),
+        s => s.getField("h") === s.getField("m"))).as("a"))
+      .select(col("id"), col("a.i"), col("a.h"))
+      .as[(Long, Long, Long)].collect().toSet
+    val native = docs.select(col("id"),
+        explode(graft.functions.winnowedAnchors(col("t"), minLen, w)).as("a"))
+      .select(col("id"), col("a.i"), col("a.h"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(native == reference)
+    assert(native.nonEmpty && native.exists(_._1 == 1L)) // ties all kept
+    assert(!native.exists(r => r._1 == 2L || r._1 == 5L)) // short/empty
+  }
+
   test("ivf-pq with exact rerank matches brute force on clustered vectors") {
     // 3 tight clusters in 16-d; every query's true top-3 is its own cluster
     val rng = new scala.util.Random(7)
