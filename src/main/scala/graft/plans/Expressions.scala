@@ -525,3 +525,76 @@ object WinnowedAnchors {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** Native hashed-gram quality score: the fastText-shape linear scorer
+  * (graft.text.QualityClassifier) evaluated in one pass per document —
+  * tokenize, unigram+bigram, md5-prefix bucket, mean weight, sigmoid.
+  *
+  * Feature semantics are IDENTICAL to the declarative formulation (and so
+  * to the DuckDB oracle's closed form): UTF8String trim/toLowerCase (the
+  * exact kernels Spark's trim/lower call), Java-regex "\\s+" split, grams
+  * enumerated unigrams-then-bigrams, bucket = first 6 md5 hex chars mod
+  * dims, weights summed in gram order (bit-identical double fold),
+  * sigmoid via Math.exp. The declarative version evaluates an interpreted
+  * lambda + a full md5 expression tree PER GRAM (~300 per document);
+  * this walks the grams in a tight loop with one reused MessageDigest.
+  * Equality is pinned in QualityClassifierSpec.
+  */
+case class QualityScore(child: Expression, weights: Seq[Double], bias: Double)
+    extends UnaryExpression {
+
+  require(weights.nonEmpty)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quality_score requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quality_score"
+
+  private lazy val weightArr = weights.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    QualityScore.compute(input.asInstanceOf[UTF8String], weightArr, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", weightArr, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.QualityScore.compute($c, $wRef, $bias)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QualityScore =
+    copy(child = newChild)
+}
+
+object QualityScore {
+
+  /** Called from generated code. */
+  def compute(s: UTF8String, weights: Array[Double], bias: Double): Double = {
+    // trim/lowercase with Spark's own UTF8String kernels, then the same
+    // Java-regex split the declarative split("\\s+") uses
+    val toks0 = s.trim().toLowerCase().toString.split("\\s+")
+    var nTok = 0
+    var i = 0
+    while (i < toks0.length) { if (toks0(i).nonEmpty) nTok += 1; i += 1 }
+    val toks = if (nTok == toks0.length) toks0 else toks0.filter(_.nonEmpty)
+    val nGrams = toks.length + math.max(toks.length - 1, 0)
+    if (nGrams == 0) return 1.0 / (1.0 + Math.exp(-bias))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dims = weights.length
+    def w(term: String): Double = {
+      md.reset()
+      val d = md.digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 6 hex chars = first 3 bytes, as a positive int, mod dims
+      val v = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+      weights(v % dims)
+    }
+    var acc = 0.0
+    i = 0
+    while (i < toks.length) { acc += w(toks(i)); i += 1 } // unigrams first
+    i = 0
+    while (i < toks.length - 1) { acc += w(toks(i) + " " + toks(i + 1)); i += 1 }
+    val mean = acc / nGrams
+    1.0 / (1.0 + Math.exp(-(bias + mean)))
+  }
+}

@@ -52,8 +52,22 @@ object QualityClassifier {
       .otherwise(lit(0.0))
   }
 
-  /** Sigmoid quality score in (0,1): 1/(1+exp(-(bias + meanWeight))). */
+  /** Sigmoid quality score in (0,1): 1/(1+exp(-(bias + meanWeight))).
+    * Evaluates through the native graft.plans.QualityScore expression —
+    * one tight loop per document instead of an interpreted lambda + md5
+    * expression tree per gram (~300 grams/doc; the difference is minutes
+    * vs hours on a 10M-doc corpus). Feature semantics are identical;
+    * [[scoreColDeclarative]] keeps the pure-SQL formulation and the spec
+    * pins the two bit-for-bit. */
   def scoreCol(text: Column, weights: Array[Double], bias: Double): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.QualityScore(
+        org.apache.spark.sql.graftbridge.expression(text),
+        weights.toIndexedSeq, bias))
+
+  /** The declarative twin of [[scoreCol]] (the DuckDB oracle's closed
+    * form, spelled in Spark SQL expressions). */
+  def scoreColDeclarative(text: Column, weights: Array[Double], bias: Double): Column =
     lit(1.0) / (lit(1.0) + exp(-(lit(bias) + meanWeight(text, weights))))
 
   /** Score every document: input columns + quality_score. */

@@ -64,6 +64,18 @@ class QualityClassifierSpec extends GraftSpec {
     assert(sql.toSeq == jvm)
   }
 
+  test("native scorer equals the declarative closed form bit-for-bit") {
+    val w = Array.tabulate(64)(i => (i % 9 - 4) * 0.17)
+    val docs = Seq("some text here", "", "   ", "single",
+      "a b c d e f g h i j k", "Mixed CASE\tspacing  and tabs",
+      "Ünïcode çöp gürültü metin örneği").toDF("text")
+    val both = docs.select(
+      QualityClassifier.scoreCol(col("text"), w, 0.3).as("n"),
+      QualityClassifier.scoreColDeclarative(col("text"), w, 0.3).as("d"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, d) => assert(n == d, s"$n != $d") }
+  }
+
   test("empty and single-token text score through the bias path") {
     val w = Array.fill(64)(1.0)
     val out = QualityClassifier.score(
