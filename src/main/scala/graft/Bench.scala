@@ -10,23 +10,24 @@ object Bench {
     * clears the 0.7 threshold, and LSH/IVF ANN recall@10 vs the exact
     * brute-force top-k on the same queries. Returns (seconds, recalls).
     * Callable standalone (spark-shell) for iteration. */
-  def pipelineTier(spark: SparkSession,
+  def pipelineTier(mkSession: () => SparkSession,
       scale: Int): (Map[String, Double], Map[String, Double]) = {
     import org.apache.spark.sql.functions._
+    var spark = mkSession()
     graft.sources.PipelineCorpus.ensure(spark, scale) // generate-once, untimed
-    val docs = spark.table("pipeline_documents")
-    val emb = spark.table("pipeline_embeddings")
+    // session recycling BETWEEN stage groups: one long-lived session
+    // accumulates every stage's shuffle files on local disk (the
+    // ContextCleaner only removes them when the corresponding RDDs are
+    // GC'd), and at scale 100 the tier's cumulative spill exceeded the
+    // disk (observed: ENOSPC ~45 min in). stop() deletes the session's
+    // blockmgr/spill dirs, bounding footprint to one group's working set.
+    def recycle(): Unit = {
+      spark.stop(); spark = mkSession()
+      graft.sources.PipelineCorpus.ensure(spark, scale)
+    }
+    def docs = spark.table("pipeline_documents")
+    def emb = spark.table("pipeline_embeddings")
     val nVec = graft.sources.PipelineCorpus.vecsFor(scale)
-    // Query count budgets the brute-force baseline (linear in
-    // queries × corpus) to ~constant work: target ≈ 4·10^8 scored pairs,
-    // clamped to [48, 200] queries. 200 queries at ≤2M vectors (the r5
-    // shape, 2000 neighbor labels); 48 at 20M (480 labels — still a
-    // stable recall@10 estimate, and the exact baseline stays ~6 min
-    // instead of 25).
-    val nQueries = math.max(48L, math.min(200L, 400000000L / math.max(nVec, 1L)))
-    val qVecs = emb.filter(col("vec_id") % lit(math.max(nVec / nQueries, 1L)) === 0)
-      .persist()
-    qVecs.count()
     var times = Map.empty[String, Double]
     var recalls = Map.empty[String, Double]
     def timed[T](name: String)(body: => T): T = {
@@ -70,6 +71,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     found.unpersist()
+    recycle() // free the band/pair shuffle files before the text stages
     timed("pii_redact") {
       graft.text.TextAnalysis.redactPii(docs, "text")
         .write.format("noop").mode("overwrite").save()
@@ -91,6 +93,7 @@ object Bench {
       graft.text.Bpe.tokenize(docs, "doc_id", "text", bpeModel)
         .write.format("noop").mode("overwrite").save()
     }
+    recycle() // free the BPE dict shuffles
     val docsTok = docs.withColumn("tok", length(col("text")))
     timed("pack_chunk") {
       graft.pack.Packing.concatAndChunk(docsTok, "doc_id", "tok",
@@ -129,6 +132,7 @@ object Bench {
       graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
+    recycle() // free the anchor-exchange shuffle files
     timed("markup_strip") {
       graft.text.TextAnalysis.stripMarkup(
         docs.withColumn("h", concat(lit("<p>"), col("text"),
@@ -152,12 +156,24 @@ object Bench {
     // term), so this times the full matched-row exchange, not a lucky
     // sparse probe
     timed("bm25_topk") {
-      import spark.implicits._
+      val s = spark // stable identifier for the implicits import
+      import s.implicits._
       val qs = Seq((0L, "the of and"), (1L, "that it was"),
         (2L, "with from when")).toDF("qid", "qt")
       graft.text.Bm25.topK(docs, "doc_id", "text", qs, "qid", "qt", k = 10)
         .write.format("noop").mode("overwrite").save()
     }
+    recycle() // ANN group on a clean session
+    // Query count budgets the brute-force baseline (linear in
+    // queries x corpus) to ~constant work: target ~4e8 scored pairs,
+    // clamped to [48, 200] queries. 200 queries at <=2M vectors (the r5
+    // shape, 2000 neighbor labels); 48 at 20M (480 labels -- still a
+    // stable recall@10 estimate, and the exact baseline stays ~6 min
+    // instead of 25).
+    val nQueries = math.max(48L, math.min(200L, 400000000L / math.max(nVec, 1L)))
+    val qVecs = emb.filter(col("vec_id") % lit(math.max(nVec / nQueries, 1L)) === 0)
+      .persist()
+    qVecs.count()
     val brute = timed("ann_brute_force") {
       val b = graft.similarity.Similarity
         .bruteForceTopK(emb, qVecs, "vec_id", "embedding", 10).persist()
@@ -197,6 +213,7 @@ object Bench {
         rerank = 50)
     }
     brute.unpersist(); qVecs.unpersist()
+    spark.stop()
     (times, recalls)
   }
 
@@ -249,7 +266,8 @@ object Bench {
     // pipeline scale tier and exits
     if (sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) {
       val sc = sys.env("SPARK_GRAFT_PIPELINE_ONLY").toInt
-      val (sec, rec) = pipelineTier(spark, sc)
+      spark.stop()
+      val (sec, rec) = pipelineTier(() => newSession(), sc)
       println("[pipeline-only] sec " +
         sec.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
       println("[pipeline-only] recall " +
@@ -429,8 +447,8 @@ object Bench {
     val (pipelineSec, pipelineRecall): (Map[String, Double], Map[String, Double]) =
       if (sys.env.contains("SPARK_GRAFT_ONLY")) (Map.empty, Map.empty)
       else try {
-        spark.stop(); spark = newSession()
-        pipelineTier(spark, pipelineScale)
+        spark.stop()
+        pipelineTier(() => newSession(), pipelineScale)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench-pipeline] $e")
