@@ -85,6 +85,47 @@ class EditDistanceSpec extends GraftSpec {
     assert(!got.exists(_._1 == 102L)) // nothing within 2 of "zzzz"
   }
 
+  test("randomized: blocked join equals brute force on 200 clustered strings") {
+    // seeded random corpus built AS clusters of edits around base words, so
+    // true pairs exist at every distance; equality with the brute-force
+    // answer proves FastSS completeness beyond the hand-picked cases
+    val rnd = new scala.util.Random(4242L)
+    val alpha = "abcde" // small alphabet maximizes collisions and ties
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    def edit(s: String): String = {
+      if (s.isEmpty) word(1)
+      else rnd.nextInt(3) match {
+        case 0 => // substitute
+          val i = rnd.nextInt(s.length)
+          s.updated(i, alpha(rnd.nextInt(alpha.length)))
+        case 1 => // delete
+          val i = rnd.nextInt(s.length); s.take(i) + s.drop(i + 1)
+        case _ => // insert
+          val i = rnd.nextInt(s.length + 1)
+          s.take(i) + alpha(rnd.nextInt(alpha.length)) + s.drop(i)
+      }
+    }
+    val strings = (0 until 50).flatMap { _ =>
+      val base = word(2 + rnd.nextInt(8))
+      Seq(base, edit(base), edit(edit(base)), edit(edit(edit(base))))
+    }.distinct
+    val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    for (tau <- Seq(1, 2)) {
+      val got = EditDistance.edJoin(df, "id", "s", tau, maxBucketSize = 10000)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+      val a = df.select(col("id").as("id_a"), col("s").as("sa"))
+      val b = df.select(col("id").as("id_b"), col("s").as("sb"))
+      val want = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("sa"), col("sb")))
+        .filter(col("dist") <= tau)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+      assert(got == want, s"tau=$tau: missing=${(want -- got).take(5)} " +
+        s"extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty)
+    }
+  }
+
   test("part-name gate shape: blocked join equals all-pairs on real data") {
     val names = graft.sources.Tables.part(spark, "/root/testdata/sf0.001")
       .select(col("p_name")).distinct()
