@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
   private val modules: Seq[QueryModule] =
     Seq(Relational, Scalar, Analytics, EventTime, TrainingData, Temporal,
-      Extended, IOQueries, TpcDsQueries)
+      Curation, Extended, IOQueries, TpcDsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: pushdown filter + hash aggregate with map-side

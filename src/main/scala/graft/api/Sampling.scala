@@ -40,6 +40,29 @@ object Sampling {
       .filter(col("__rank") <= n)
       .drop("__rank")
 
+  /** Deterministic uniform in (0,1) for a key: 13 hex digits (52 bits —
+    * exactly a double mantissa) of md5, +0.5 so 0 and 1 are excluded.
+    * Portable: an independent engine reproduces it from the same md5. */
+  private def hashUniform(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 13), 16, 10)
+      .cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+
+  /** Weight-proportional sampling WITHOUT replacement, n per key —
+    * Efraimidis–Spirakis A-ES: each row draws an exponential rank
+    * `-ln(u)/w` (u a deterministic hash-uniform of its id) and the n
+    * SMALLEST ranks per key win; P(row first) = w/Σw exactly. Same 100 TB
+    * contract as [[fixedSizePerKey]]: deterministic, partition-independent,
+    * restartable; one shuffle on the key for the row_number window. Rank
+    * ties (FP-impossible in practice) break by id for full determinism. */
+  def weightedFixedSizePerKey(df: DataFrame, n: Int, keyCol: Column,
+      idCol: Column, weightCol: Column): DataFrame = {
+    val rank = -log(hashUniform(idCol)) / weightCol.cast("double")
+    df.withColumn("__wrank",
+        row_number().over(Window.partitionBy(keyCol).orderBy(rank, idCol)))
+      .filter(col("__wrank") <= n)
+      .drop("__wrank")
+  }
+
   /** The 4-hex-char keep threshold for a rate: a row survives when the
     * md5 prefix of its id sorts strictly below it. "g" > every hex char,
     * so rate ≥ 1 keeps all; "0000" (rate ≤ 0) keeps none. */

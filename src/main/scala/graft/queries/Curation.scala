@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.{Diff, Sampling}
+import graft.graph.PageRank
+import graft.sources.Tables
+import graft.text.Boilerplate
+
+/** Corpus-curation operators: per-source boilerplate removal, weighted
+  * sampling without replacement, snapshot diffing, and link-graph
+  * PageRank. Every oracle mirrors the full algorithm (md5 fingerprints,
+  * hash-uniform draws, the PageRank recurrence) in DuckDB, so the gates
+  * prove value-for-value agreement, not just plausible output. */
+object Curation extends QueryModule {
+
+  // ---- t127: per-source boilerplate line removal -------------------------
+  // The synthetic documents are single-line, so the gate constructs a
+  // multi-line corpus with planted boilerplate at three frequencies:
+  // NAV + Copyright on 100% of a source's docs (stripped), PROMO on ~52%
+  // (stripped at minFrac=0.3), RARE on ~28% (kept). doc_id % 20 decides
+  // the source, so the planted frequencies use % 40 / % 80 to vary WITHIN
+  // a source. The oracle re-runs the whole algorithm (line split →
+  // per-doc-distinct md5 fingerprints → frequency threshold → capped set
+  // → scan-stage strip) independently in DuckDB.
+  private def builtDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("text2", concat(
+      lit("NAV home about contact "), col("source"), lit("\n"),
+      when(col("doc_id") % 40 < 20,
+        concat(lit("PROMO follow "), col("source"), lit(" on social\n")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 80 < 20,
+        concat(lit("RARE banner "), col("source"), lit("\n")))
+        .otherwise(lit("")),
+      col("text"), lit("\n"),
+      lit("Copyright "), col("source"), lit(" all rights reserved")))
+
+  private def t127(s: SparkSession, dir: String): DataFrame =
+    Boilerplate.stripBoilerplate(builtDocs(s, dir), "doc_id", "text2",
+        "source", minFrac = 0.3, minDocs = 2, maxPerSource = 1000)
+      .select(col("doc_id"),
+        substring(md5(col("clean_text")), 1, 16).as("clean_fp"),
+        length(col("clean_text")).cast("long").as("n_clean"))
+      .orderBy("doc_id")
+
+  private val t127Sql =
+    """WITH built AS (
+      |  SELECT doc_id, source,
+      |    'NAV home about contact ' || source || chr(10) ||
+      |    CASE WHEN doc_id % 40 < 20
+      |         THEN 'PROMO follow ' || source || ' on social' || chr(10) ELSE '' END ||
+      |    CASE WHEN doc_id % 80 < 20
+      |         THEN 'RARE banner ' || source || chr(10) ELSE '' END ||
+      |    text || chr(10) ||
+      |    'Copyright ' || source || ' all rights reserved' AS text2
+      |  FROM documents),
+      |lines AS (
+      |  SELECT DISTINCT src, id, substring(md5(l), 1, 16) AS lfp
+      |  FROM (SELECT source AS src, doc_id AS id,
+      |          unnest(string_split(text2, chr(10))) AS l FROM built)
+      |  WHERE trim(l) <> ''),
+      |dc AS (SELECT source AS src, count(*) AS n_docs FROM built GROUP BY 1),
+      |freq AS (
+      |  SELECT lines.src, lfp, count(*) AS n_docs_with, any_value(n_docs) AS n_docs
+      |  FROM lines JOIN dc ON lines.src = dc.src GROUP BY 1, 2),
+      |bp AS (
+      |  SELECT src, lfp FROM (
+      |    SELECT src, lfp, row_number() OVER (
+      |      PARTITION BY src ORDER BY n_docs_with DESC, lfp) AS rk
+      |    FROM freq
+      |    WHERE n_docs_with >= 2
+      |      AND CAST(n_docs_with AS DOUBLE) >= CAST(0.3 AS DOUBLE) * n_docs)
+      |  WHERE rk <= 1000),
+      |bset AS (SELECT src, list(lfp) AS bl FROM bp GROUP BY 1),
+      |cleaned AS (
+      |  SELECT doc_id, array_to_string(list_filter(string_split(text2, chr(10)),
+      |    x -> NOT coalesce(list_contains(bl, substring(md5(x), 1, 16)), FALSE)),
+      |    chr(10)) AS clean
+      |  FROM built LEFT JOIN bset ON built.source = bset.src)
+      |SELECT doc_id, substring(md5(clean), 1, 16) AS clean_fp,
+      |  length(clean) AS n_clean
+      |FROM cleaned ORDER BY doc_id""".stripMargin
+
+  // ---- t128: weighted sampling without replacement (Efraimidis–Spirakis)
+  // 5 docs per source, weight = n_chars; the deterministic hash-uniform
+  // (md5 52-bit prefix) and the exponential rank -ln(u)/w are reproduced
+  // closed-form in DuckDB, so the SELECTED ids must agree exactly.
+  private def t128(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedFixedSizePerKey(Tables.documents(s, dir), 5,
+        col("source"), col("doc_id"), col("n_chars"))
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+
+  private val t128Sql =
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |    -ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+      |         + CAST(0.5 AS DOUBLE)) / CAST(4503599627370496 AS DOUBLE))
+      |      / CAST(n_chars AS DOUBLE) AS rk
+      |  FROM documents),
+      |s AS (SELECT source, doc_id,
+      |        row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rn
+      |      FROM r)
+      |SELECT source, doc_id FROM s WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin
+
+  // ---- p129: corpus snapshot diff ---------------------------------------
+  // new = old minus ids %17=0, text of %13=0 modified, %19=0 re-added
+  // under shifted ids — constructed identically on both sides; the diff
+  // must classify every id added/removed/changed/unchanged with matching
+  // fingerprints.
+  private def p129(s: SparkSession, dir: String): DataFrame = {
+    val old = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val nw = old.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text", when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(old.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text")))
+    Diff.snapshotDiff(old, nw, "doc_id", Seq("text"))
+      .select(col("id"), col("status"), col("fp_old"), col("fp_new"))
+      .orderBy("id")
+  }
+
+  private val p129Sql =
+    """WITH old AS (SELECT doc_id, text FROM documents),
+      |nw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM old WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'new ' || text FROM old WHERE doc_id % 19 = 0),
+      |o AS (SELECT doc_id, substring(md5(text), 1, 16) AS fp_old FROM old),
+      |n AS (SELECT doc_id, substring(md5(text), 1, 16) AS fp_new FROM nw)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN fp_old <> fp_new THEN 'changed'
+      |       ELSE 'unchanged' END AS status,
+      |  fp_old, fp_new
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY id""".stripMargin
+
+  // ---- p130: link-graph PageRank ----------------------------------------
+  // Graph: customer → supplier edges from the order lines (distinct
+  // pairs; suppliers offset by 1e6 into a shared id space). 5 power
+  // iterations at d=0.85; the oracle unrolls the identical recurrence
+  // with a recursive CTE. Ranks rounded to 7 decimals on both sides to
+  // absorb summation-order ulps.
+  private def p130(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      .distinct()
+    val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+      .union(Tables.supplier(s, dir).select((col("s_suppkey") + 1000000L).as("node")))
+      .distinct()
+    PageRank.run(edges, nodes, iters = 5, d = 0.85)
+      .select(col("node"), round(col("rank"), 7).as("rank"))
+      .orderBy("node")
+  }
+
+  private val p130Sql =
+    """WITH RECURSIVE nodes AS (
+      |  SELECT c_custkey AS node FROM customer
+      |  UNION
+      |  SELECT s_suppkey + 1000000 FROM supplier),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |od AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
+      |we AS (
+      |  SELECT e.src, e.dst, CAST(1 AS DOUBLE) / odeg AS w
+      |  FROM e JOIN od ON e.src = od.src
+      |  UNION ALL
+      |  SELECT node, node, CAST(0 AS DOUBLE) FROM nodes),
+      |pr AS (
+      |  SELECT 0 AS it, node, (SELECT CAST(1 AS DOUBLE) / n FROM nn) AS rank
+      |  FROM nodes
+      |  UNION ALL
+      |  SELECT pr.it + 1, we.dst AS node,
+      |    (SELECT (1 - CAST(0.85 AS DOUBLE)) / n FROM nn)
+      |      + CAST(0.85 AS DOUBLE) * sum(pr.rank * we.w) AS rank
+      |  FROM pr JOIN we ON pr.node = we.src
+      |  WHERE pr.it < 5
+      |  GROUP BY pr.it + 1, we.dst)
+      |SELECT node, round(rank, 7) AS rank FROM pr WHERE it = 5
+      |ORDER BY node""".stripMargin
+
+  override def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t127_boilerplate_strip" -> (t127 _),
+    "t128_weighted_sample" -> (t128 _),
+    "p129_snapshot_diff" -> (p129 _),
+    "p130_pagerank" -> (p130 _))
+
+  override def oracles: Map[String, String] = Map(
+    "t127_boilerplate_strip" -> t127Sql,
+    "t128_weighted_sample" -> t128Sql,
+    "p129_snapshot_diff" -> p129Sql,
+    "p130_pagerank" -> p130Sql)
+}

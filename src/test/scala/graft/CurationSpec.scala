@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{Diff, Sampling}
+import graft.graph.PageRank
+import graft.text.Boilerplate
+
+class CurationSpec extends GraftSpec {
+  import spark.implicits._
+
+  // ---- boilerplate -------------------------------------------------------
+
+  private lazy val bpDocs = Seq(
+    (0L, "siteA", "NAV bar\nunique zero content\nCopyright A"),
+    (1L, "siteA", "NAV bar\nunique one content\nCopyright A"),
+    (2L, "siteA", "NAV bar\nunique two content\nCopyright A"),
+    (3L, "siteA", "NAV bar\nrare promo\nunique three content\nCopyright A"),
+    (4L, "siteB", "NAV bar\nonly doc of B keeps everything")) // 1 doc < minDocs
+    .toDF("doc_id", "source", "text")
+
+  test("boilerplate: frequent lines stripped, rare and unique kept") {
+    val out = Boilerplate.stripBoilerplate(bpDocs, "doc_id", "text", "source",
+        minFrac = 0.5, minDocs = 2)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    // NAV (4/4) and Copyright (4/4) stripped from siteA; rare promo (1/4) kept
+    assert(out(0L) == "unique zero content")
+    assert(out(3L) == "rare promo\nunique three content")
+    // siteB's single doc: nothing reaches minDocs=2, text unchanged
+    assert(out(4L) == "NAV bar\nonly doc of B keeps everything")
+  }
+
+  test("boilerplate: minFrac threshold is per-source, not global") {
+    // line appears in 2/4 of siteA docs = 0.5; stripped at 0.5, kept at 0.6
+    val docs = Seq(
+      (0L, "siteA", "HALF line\na"), (1L, "siteA", "HALF line\nb"),
+      (2L, "siteA", "c"), (3L, "siteA", "d")).toDF("doc_id", "source", "text")
+    val at50 = Boilerplate.stripBoilerplate(docs, "doc_id", "text", "source",
+      minFrac = 0.5).filter(col("doc_id") === 0)
+      .select("clean_text").as[String].head()
+    val at60 = Boilerplate.stripBoilerplate(docs, "doc_id", "text", "source",
+      minFrac = 0.6).filter(col("doc_id") === 0)
+      .select("clean_text").as[String].head()
+    assert(at50 == "a")
+    assert(at60 == "HALF line\na")
+  }
+
+  test("boilerplate: whitespace-only lines are never candidates") {
+    val docs = Seq(
+      (0L, "s", "x\n\ny"), (1L, "s", "x\n\nz")).toDF("doc_id", "source", "text")
+    val out = Boilerplate.stripBoilerplate(docs, "doc_id", "text", "source",
+        minFrac = 0.5).filter(col("doc_id") === 0)
+      .select("clean_text").as[String].head()
+    assert(out == "\ny") // frequent "x" stripped, blank line survives
+  }
+
+  test("boilerplate: maxPerSource cap keeps the most frequent lines") {
+    val docs = Seq(
+      (0L, "s", "AAA\nBBB\na"), (1L, "s", "AAA\nBBB\nb"),
+      (2L, "s", "AAA\nc")).toDF("doc_id", "source", "text")
+    // AAA in 3/3, BBB in 2/3 — cap 1 keeps only AAA in the strip set
+    val out = Boilerplate.stripBoilerplate(docs, "doc_id", "text", "source",
+        minFrac = 0.5, minDocs = 2, maxPerSource = 1)
+      .filter(col("doc_id") === 0).select("clean_text").as[String].head()
+    assert(out == "BBB\na")
+  }
+
+  // ---- weighted sampling -------------------------------------------------
+
+  test("weighted sample: n per key, deterministic, partition-independent") {
+    val df = (0L until 200L).map(i => (s"k${i % 4}", i, (i % 7 + 1).toDouble))
+      .toDF("key", "id", "w")
+    val a = Sampling.weightedFixedSizePerKey(df, 10, col("key"), col("id"),
+      col("w")).select("key", "id").as[(String, Long)].collect().toSet
+    val b = Sampling.weightedFixedSizePerKey(df.repartition(13), 10, col("key"),
+      col("id"), col("w")).select("key", "id").as[(String, Long)].collect().toSet
+    assert(a == b)
+    assert(a.groupBy(_._1).forall(_._2.size == 10))
+  }
+
+  test("weighted sample: selection probability rises with weight") {
+    // one key, weights 1 vs 20 split evenly; the heavy half must dominate
+    // the sample (A-ES: P(select) strictly increasing in w)
+    val df = (0L until 1000L).map(i => ("k", i, if (i < 500) 1.0 else 20.0))
+      .toDF("key", "id", "w")
+    val picked = Sampling.weightedFixedSizePerKey(df, 100, col("key"),
+        col("id"), col("w"))
+      .select("id").as[Long].collect()
+    val heavy = picked.count(_ >= 500)
+    assert(heavy > 80, s"heavy-weight rows picked: $heavy of 100")
+  }
+
+  // ---- snapshot diff -----------------------------------------------------
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val nw = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("id", "text")
+    val out = Diff.snapshotDiff(old, nw, "id", Seq("text"))
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added"))
+  }
+
+  test("snapshot diff fingerprints multiple columns value-level") {
+    val old = Seq((1L, "a", 10)).toDF("id", "t", "n")
+    val nw = Seq((1L, "a", 11)).toDF("id", "t", "n")
+    val sameCols = Diff.snapshotDiff(old, nw, "id", Seq("t"))
+      .select("status").as[String].head()
+    val bothCols = Diff.snapshotDiff(old, nw, "id", Seq("t", "n"))
+      .select("status").as[String].head()
+    assert(sameCols == "unchanged") // n not compared
+    assert(bothCols == "changed")
+  }
+
+  // ---- pagerank ----------------------------------------------------------
+
+  test("pagerank: uniform on a cycle, sums to <= 1, star center dominates") {
+    // 4-cycle: stationary distribution is exactly uniform at every iter
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val nodes = (1L to 4L).toDF("node")
+    val ranks = PageRank.run(cyc, nodes, iters = 5)
+      .select("rank").as[Double].collect()
+    assert(ranks.forall(r => math.abs(r - 0.25) < 1e-12))
+
+    // star: spokes 2..5 -> hub 1; hub must outrank every spoke
+    val star = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)).toDF("src", "dst")
+    val snodes = (1L to 5L).toDF("node")
+    val out = PageRank.run(star, snodes, iters = 5)
+      .select("node", "rank").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L) * 3)
+    assert((2L to 5L).map(out).distinct.size == 1) // spokes symmetric
+    assert(out.values.sum <= 1.0 + 1e-9) // dangling hub leaks mass, never gains
+  }
+
+  test("pagerank matches a local power iteration on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 30
+    val edges = (0 until 120).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .distinct
+    val d = 0.85
+    // local reference: same recurrence, dangling mass dropped
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var r = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to 5) {
+      val nx = Array.fill(n)((1 - d) / n)
+      for ((u, vs) <- out; v <- vs) nx(v.toInt) += d * r(u.toInt) / vs.size
+      r = nx
+    }
+    val got = PageRank.run(edges.toDF("src", "dst"),
+        (0L until n.toLong).toDF("node"), iters = 5, d = d)
+      .select("node", "rank").as[(Long, Double)].collect().toMap
+    assert(got.size == n)
+    for (i <- 0 until n)
+      assert(math.abs(got(i.toLong) - r(i)) < 1e-12, s"node $i")
+  }
+}
