@@ -21,9 +21,13 @@ object Bench {
     // GC'd), and at scale 100 the tier's cumulative spill exceeded the
     // disk (observed: ENOSPC ~45 min in). stop() deletes the session's
     // blockmgr/spill dirs, bounding footprint to one group's working set.
-    def recycle(): Unit = {
+    def recycle(): Unit = try {
       spark.stop(); spark = mkSession()
       graft.sources.PipelineCorpus.ensure(spark, scale)
+    } catch { case e: Throwable =>
+      // leave the tier degraded-but-alive: later stages fail one by one
+      // under their own guards instead of zeroing the whole tier
+      System.err.println(s"[bench-pipeline] recycle failed: $e")
     }
     def docs = spark.table("pipeline_documents")
     def emb = spark.table("pipeline_embeddings")
@@ -36,10 +40,22 @@ object Bench {
       times += name -> (System.nanoTime() - t0) / 1e9
       r
     }
-    timed("exact_dedup") {
+    // Per-stage failure isolation: a single stage dying (ENOSPC mid-spill,
+    // an OOM) must cost THAT stage's number, not the whole tier's — the
+    // r5 lesson at tier granularity, applied per stage. Value-producing
+    // stage groups (minhash→recall→clusters, bpe, ANN) wrap their whole
+    // dependent group the same way below.
+    def timedSafe(name: String)(body: => Unit): Unit =
+      try timed(name)(body)
+      catch { case e: Throwable =>
+        times -= name
+        System.err.println(s"[bench-pipeline] $name failed: $e")
+      }
+    timedSafe("exact_dedup") {
       graft.dedup.Dedup.exact(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
+    try {
     val found = timed("minhash_lsh_neardups") {
       val f = graft.dedup.Dedup.minhashNearDups(docs, "doc_id", "text").persist()
       f.count(); f
@@ -65,18 +81,21 @@ object Bench {
     // cluster resolution over the found pairs: the large-star/small-star
     // fixpoint at real pair volume (planted chains make multi-doc
     // components, so rounds > 1)
-    timed("dup_clusters") {
+    timedSafe("dup_clusters") {
       graft.dedup.DupClusters.connectedComponents(
         found.select("id_a", "id_b"), "id_a", "id_b")
         .write.format("noop").mode("overwrite").save()
     }
     found.unpersist()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench-pipeline] minhash group failed: $e")
+    }
     recycle() // free the band/pair shuffle files before the text stages
-    timed("pii_redact") {
+    timedSafe("pii_redact") {
       graft.text.TextAnalysis.redactPii(docs, "text")
         .write.format("noop").mode("overwrite").save()
     }
-    timed("weighted_mix") {
+    timedSafe("weighted_mix") {
       graft.api.Sampling.weightedMix(
         docs.withColumn("source", (col("doc_id") % 16).cast("string")),
         "source", "doc_id",
@@ -86,41 +105,45 @@ object Bench {
     // 2000 merges = a production-shaped vocabulary run; batched training
     // makes it ~20 driver round-trips (the r5 finding: one round-trip per
     // merge meant vocab-size-bound scheduler latency)
-    val bpeModel = timed("bpe_train") {
-      graft.text.Bpe.train(docs, "text", numMerges = 2000)
-    }
-    timed("bpe_tokenize") {
-      graft.text.Bpe.tokenize(docs, "doc_id", "text", bpeModel)
-        .write.format("noop").mode("overwrite").save()
+    try {
+      val bpeModel = timed("bpe_train") {
+        graft.text.Bpe.train(docs, "text", numMerges = 2000)
+      }
+      timed("bpe_tokenize") {
+        graft.text.Bpe.tokenize(docs, "doc_id", "text", bpeModel)
+          .write.format("noop").mode("overwrite").save()
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench-pipeline] bpe group failed: $e")
     }
     recycle() // free the BPE dict shuffles
     val docsTok = docs.withColumn("tok", length(col("text")))
-    timed("pack_chunk") {
+    timedSafe("pack_chunk") {
       graft.pack.Packing.concatAndChunk(docsTok, "doc_id", "tok",
         budget = 4096L, streams = 64)
         .write.format("noop").mode("overwrite").save()
     }
-    timed("pack_greedy") {
+    timedSafe("pack_greedy") {
       graft.pack.Packing.greedyPack(docsTok, "doc_id", "tok",
         budget = 4096L, streams = 64)
         .write.format("noop").mode("overwrite").save()
     }
-    timed("simhash_neardups") {
+    timedSafe("simhash_neardups") {
       graft.dedup.Dedup.simhashNearDups(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
-    timed("text_features") {
+    timedSafe("text_features") {
       graft.text.TextAnalysis.withTextFeatures(docs, "text")
         .write.format("noop").mode("overwrite").save()
     }
-    timed("repetition_features") {
+    timedSafe("repetition_features") {
       graft.text.TextAnalysis.withRepetitionFeatures(docs, "text")
         .write.format("noop").mode("overwrite").save()
     }
     // model-based quality scoring: hashed-ngram sigmoid scorer, pure
     // scan-stage (weights are arbitrary here — the cost is the feature
     // hashing, identical whatever the fit produced)
-    timed("quality_score") {
+    timedSafe("quality_score") {
       graft.text.QualityClassifier.score(docs, "text",
         Array.tabulate(1024)(i => (i % 7 - 3) * 0.1), bias = 0.0)
         .write.format("noop").mode("overwrite").save()
@@ -128,24 +151,24 @@ object Bench {
     // exact-substring candidate discovery at scale: the winnowed path
     // (only ~2/w of positions reach the exchange). Candidate-pair count,
     // not spans — span extension is O(pairs), the exchange is the cost.
-    timed("exact_substr_winnowed") {
+    timedSafe("exact_substr_winnowed") {
       graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
     recycle() // free the anchor-exchange shuffle files
-    timed("markup_strip") {
+    timedSafe("markup_strip") {
       graft.text.TextAnalysis.stripMarkup(
         docs.withColumn("h", concat(lit("<p>"), col("text"),
           lit(" &amp; more</p><!-- x -->"))), "h")
         .write.format("noop").mode("overwrite").save()
     }
-    timed("shard_assign") {
+    timedSafe("shard_assign") {
       graft.pack.Packing.shardByTokenBudget(
         docs.withColumn("tok", length(col("text")).cast("long")),
         "doc_id", "tok", budget = 65536L, bucketHexChars = 3)
         .write.format("noop").mode("overwrite").save()
     }
-    timed("domain_cap") {
+    timedSafe("domain_cap") {
       graft.text.Urls.capPerDomain(
         docs.withColumn("url", concat(lit("https://w."),
           (col("doc_id") % 4096).cast("string"), lit(".site.com/p/"),
@@ -155,7 +178,7 @@ object Bench {
     // stopword queries = worst-case df (every document matches every
     // term), so this times the full matched-row exchange, not a lucky
     // sparse probe
-    timed("bm25_topk") {
+    timedSafe("bm25_topk") {
       val s = spark // stable identifier for the implicits import
       import s.implicits._
       val qs = Seq((0L, "the of and"), (1L, "that it was"),
@@ -170,6 +193,7 @@ object Bench {
     // shape, 2000 neighbor labels); 48 at 20M (480 labels -- still a
     // stable recall@10 estimate, and the exact baseline stays ~6 min
     // instead of 25).
+    try {
     val nQueries = math.max(48L, math.min(200L, 400000000L / math.max(nVec, 1L)))
     val qVecs = emb.filter(col("vec_id") % lit(math.max(nVec / nQueries, 1L)) === 0)
       .persist()
@@ -179,7 +203,7 @@ object Bench {
         .bruteForceTopK(emb, qVecs, "vec_id", "embedding", 10).persist()
       b.count(); b
     }
-    def annRecall(name: String)(run: => org.apache.spark.sql.DataFrame): Unit = {
+    def annRecall(name: String)(run: => org.apache.spark.sql.DataFrame): Unit = try {
       val approx = timed(name) { val a = run.persist(); a.count(); a }
       val inter = brute.select("query_id", "nn_id")
         .join(approx.select("query_id", "nn_id"), Seq("query_id", "nn_id"), "left_semi")
@@ -187,6 +211,9 @@ object Bench {
       val total = brute.count()
       if (total > 0) recalls += s"${name}@10" -> inter.toDouble / total
       approx.unpersist()
+    } catch { case e: Throwable =>
+      times -= name
+      System.err.println(s"[bench-pipeline] $name failed: $e")
     }
     // index granularity must scale with the corpus: bucket/cell population
     // (n/2^bits, n/nlist) is what bounds per-query work, so at 2M vectors
@@ -196,13 +223,15 @@ object Bench {
     // nlist=256/nprobe=16) so the index tracks the corpus at every scale.
     val (lshBits, lshTables) = graft.similarity.Similarity.lshParamsFor(nVec)
     val (ivfNlist, ivfNprobe) = graft.similarity.Similarity.ivfParamsFor(nVec)
+    val pqRerank = graft.similarity.Similarity.pqRerankFor(nVec, ivfNlist, ivfNprobe, 10)
+    val kmFraction = graft.similarity.Similarity.kmeansFractionFor(nVec)
     annRecall("ann_lsh") {
       graft.similarity.Similarity.lshTopK(emb, qVecs, "vec_id", "embedding",
         10, nBits = lshBits, tables = lshTables)
     }
     annRecall("ann_ivf") {
       graft.similarity.Similarity.ivfTopK(emb, qVecs, "vec_id", "embedding",
-        10, nlist = ivfNlist, nprobe = ivfNprobe)
+        10, nlist = ivfNlist, nprobe = ivfNprobe, trainFraction = kmFraction)
     }
     // IVF-PQ with exact rerank (IVFADC+R): the memory-bounded serving
     // shape — codes+norms resident instead of raw vectors. Same coarse
@@ -210,10 +239,13 @@ object Bench {
     annRecall("ann_ivfpq") {
       graft.similarity.Similarity.ivfPqTopK(emb, qVecs, "vec_id", "embedding",
         10, nlist = ivfNlist, nprobe = ivfNprobe, m = 8, ksub = 256,
-        rerank = 50)
+        rerank = pqRerank, trainFraction = kmFraction)
     }
     brute.unpersist(); qVecs.unpersist()
-    spark.stop()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench-pipeline] ANN group failed: $e")
+    }
+    try spark.stop() catch { case _: Throwable => }
     (times, recalls)
   }
 
@@ -248,6 +280,19 @@ object Bench {
       // without this the alphabetically-first ds query absorbs it
       graft.sources.TpcDs.ensure(spark)
     } catch { case _: Throwable => }
+    // iteration aid: SPARK_GRAFT_PIPELINE_ONLY=1 runs just the pipeline
+    // scale tier (at SPARK_GRAFT_PIPELINE_SCALE, default 100) and exits —
+    // for validating the tier end-to-end without the 2x-103-query sweeps
+    if (sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) {
+      spark.stop()
+      val sc = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_SCALE", "100").toInt
+      val (sec, rec) = pipelineTier(() => newSession(), sc)
+      def j(m: Map[String, Double]): String =
+        m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":${"%.3f".format(v)}" }
+          .mkString("{", ",", "}")
+      println(s"""{"pipeline_scale":$sc,"pipeline_sec":${j(sec)},"pipeline_recall":${j(rec)}}""")
+      return
+    }
     // iteration aid: SPARK_GRAFT_STREAM_ONLY=q3,q8 runs just those streaming
     // Nexmark queries (optionally SPARK_GRAFT_STREAM_BATCHES sets rowsPerBatch)
     // and exits — for tuning micro-batch overheads without the full suite

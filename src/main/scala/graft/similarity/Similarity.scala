@@ -91,6 +91,26 @@ object Similarity {
     (nlist, nprobe)
   }
 
+  /** Corpus-derived PQ rerank depth. ADC ranks candidates by a lossy
+    * 8-byte code, so when the true neighbors sit in a near-tie band with
+    * their cluster-mates (this corpus: cosine margins ~0.01, smaller than
+    * the quantization noise) the shortlist must cover a constant FRACTION
+    * of the probed candidates, not a constant count — measured at 200k
+    * vectors: rerank=50 → recall@10 0.15, rerank=candidates/32 (≈400) →
+    * 0.996 at the same cost class. Exact re-scoring is linear in the
+    * shortlist (broadcast semi-join), so the cap bounds it. */
+  def pqRerankFor(corpusSize: Long, nlist: Int, nprobe: Int, k: Int): Int = {
+    val candidates = nprobe.toLong * corpusSize / math.max(nlist, 1)
+    math.min(20000L, math.max(20L * k, candidates / 32)).toInt
+  }
+
+  /** Sample fraction for the k-means fits: 10% of small corpora, capped
+    * at ~200k absolute samples — cell boundaries stabilize far below
+    * that, and an uncapped fraction makes the (only) multi-pass stage
+    * scale linearly with the corpus. */
+  def kmeansFractionFor(corpusSize: Long): Double =
+    math.min(0.1, 200000.0 / math.max(corpusSize, 1L))
+
   /** Final ranking stage shared by all tiers: per-partition bounded-heap
     * partial top-k (TopKAgg) then a k-sized merge per query — no stage ever
     * materializes a query's full candidate set on one task. Expects columns

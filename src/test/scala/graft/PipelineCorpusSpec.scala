@@ -98,4 +98,24 @@ class PipelineCorpusSpec extends GraftSpec {
     assert(Similarity.lshParamsFor(100L)._1 == 4)
     assert(Similarity.ivfParamsFor(100L)._1 == 16)
   }
+
+  test("PQ rerank and k-means fraction derive from corpus size") {
+    // the measured 200k-vector anchor: rerank=candidates/32 ≈ 390 gave
+    // recall@10 0.996 where the old constant 50 gave 0.15
+    val (nl, np) = Similarity.ivfParamsFor(200000L)
+    val r = Similarity.pqRerankFor(200000L, nl, np, 10)
+    assert(r >= 300 && r <= 500, s"rerank at 200k: $r")
+    // floor: never below 20k even when candidates are few
+    assert(Similarity.pqRerankFor(2000L, 16, 12, 10) == 200)
+    // cap bounds exact-rescore work at any corpus size
+    assert(Similarity.pqRerankFor(1000000000L, 4096, 32, 10) == 20000)
+    // rerank never exceeds the candidate pool it ranks (cap << candidates)
+    val (nl20, np20) = Similarity.ivfParamsFor(20000000L)
+    val cand20 = np20.toLong * 20000000L / nl20
+    assert(Similarity.pqRerankFor(20000000L, nl20, np20, 10) <= cand20)
+    // fit sample: 10% small, absolute ~200k cap at scale
+    assert(Similarity.kmeansFractionFor(2000L) == 0.1)
+    assert(Similarity.kmeansFractionFor(2000000L) == 0.1)
+    assert(math.abs(Similarity.kmeansFractionFor(20000000L) - 0.01) < 1e-12)
+  }
 }
