@@ -129,6 +129,19 @@ object Dedup {
     (size(a) + size(b) - u) / u
   }
 
+  /** Containment C(A,B) = |A∩B| / |A| — the ASYMMETRIC near-dup measure:
+    * a short quote embedded in a long document has tiny Jaccard (the union
+    * is dominated by the long side) but containment ≈ 1 for the quote.
+    * This is what catches subset duplication — quoted articles, chunked
+    * re-posts, page-of-a-book — that symmetric MinHash misses by design.
+    * Candidate generation composes with the same LSH banding (containment
+    * ≥ t implies the bands of the SMALL side collide like a Jaccard of
+    * |A∩B|/|A∪B| ≥ t·|A|/|A∪B|); this is the exact verify kernel. */
+  def containment(a: Column, b: Column): Column = {
+    val inter = size(a) + size(b) - size(array_union(a, b))
+    inter.cast("double") / size(a)
+  }
+
   /** Length prefilter for Jaccard threshold t: J(A,B) ≤ min(|A|,|B|)/max,
     * so pairs whose size ratio is below t can be discarded before any set
     * work — on a skewed corpus this prunes most candidate pairs with two
@@ -237,6 +250,48 @@ object Dedup {
       .filter(col("jaccard_sim") > threshold)
       .select(col("new_id"), col("corpus_id"),
         round(col("jaccard_sim"), 6).as("jaccard_sim"))
+  }
+
+  /** Exact incremental dedup of a small increment against a HUGE corpus
+    * via a Bloom-filter membership prefilter — the shape that makes
+    * nightly exact dedup affordable at 100 TB. The corpus is scanned but
+    * NEVER shuffled:
+    *
+    *   1. corpus fingerprints → Bloom filter (one scan, per-partition
+    *      build + driver merge via treeAggregate inside stat.bloomFilter)
+    *   2. increment rows failing `mightContain` are DEFINITELY new
+    *      (Bloom has no false negatives) — they skip all join work
+    *   3. the surviving suspected fingerprints (true dups + fpp of the
+    *      increment) are tiny → broadcast into a corpus LEFT SEMI scan
+    *      to confirm, eliminating Bloom false positives
+    *   4. confirmed fingerprints broadcast into the final anti-join
+    *
+    * The result is EXACT (identical to a plain anti-join on the
+    * fingerprint) for any fpp; fpp only tunes how much of the increment
+    * reaches step 3. Pass `expectedCorpusItems` in production — the
+    * count() fallback is a convenience that costs one extra corpus scan.
+    * Fingerprints use the same whitespace-normalized md5-16 as [[exact]],
+    * so this composes with the nightly loop's d60/d93 stages. */
+  def exactAgainstBloom(newDf: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, expectedCorpusItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = newDf.sparkSession
+    val corpusFp = corpus.select(fingerprint64(col(textCol)).as("fp"))
+    val n = if (expectedCorpusItems > 0L) expectedCorpusItems
+            else math.max(corpusFp.count(), 1L)
+    val bloom = corpusFp.stat.bloomFilter("fp", n, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    // the one UDF-shaped call: mightContain probes broadcast sketch state,
+    // no built-in expression exists (same adjudication as the HLL decode)
+    val might = udf((s: String) => bloomB.value.mightContainString(s))
+    val withFp = newDf.withColumn("__fp", fingerprint64(col(textCol)))
+    val suspected = withFp.filter(might(col("__fp")))
+      .select(col("__fp").as("fp")).distinct()
+    val confirmed = corpusFp
+      .join(broadcast(suspected), Seq("fp"), "left_semi").distinct()
+    withFp.join(broadcast(confirmed),
+        withFp("__fp") === confirmed("fp"), "left_anti")
+      .drop("__fp")
   }
 
   /** Streaming incremental dedup: a document STREAM deduplicated against

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{Diff, Sampling}
 import graft.graph.PageRank
+import graft.similarity.Similarity
 import graft.sources.Tables
 import graft.text.Boilerplate
 
@@ -186,15 +187,80 @@ object Curation extends QueryModule {
       |SELECT node, round(rank, 7) AS rank FROM pr WHERE it = 5
       |ORDER BY node""".stripMargin
 
+  // ---- d131: Johnson–Lindenstrauss random projection --------------------
+  // 64-dim embeddings → 16 dims through the deterministic md5-sign matrix;
+  // the oracle rebuilds every matrix entry and the fold closed-form in
+  // DuckDB, so all 16 projected components match value-for-value (round 4
+  // absorbs summation-order ulps).
+  private def d131(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(Tables.embeddings(s, dir), "embedding", 16,
+        seed = 42L)
+      .select(col("vec_id"),
+        transform(col("proj"), x => round(x, 4)).as("proj"))
+      .orderBy("vec_id")
+
+  private val d131Sql =
+    """SELECT vec_id,
+      |  list_transform(generate_series(1, 16), j ->
+      |    round(list_sum(list_transform(generate_series(1, 64), i ->
+      |      embedding[i]::DOUBLE *
+      |      (CASE WHEN substring(md5('42_' || (i-1) || '_' || (j-1)), 1, 1) < '8'
+      |            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)))
+      |      / sqrt(CAST(16 AS DOUBLE)), 4)) AS proj
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---- d132: containment (asymmetric Jaccard) probe ---------------------
+  // Probe text = doc 1 ++ doc 2: both must surface with containment ≈ 1
+  // (subset duplication that symmetric Jaccard misses — the probe's union
+  // dominates). Shingle hashing is injective on the corpus, so containment
+  // over hashes equals containment over the raw 5-gram sets the oracle
+  // builds.
+  private def d132(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.charShingleHashes
+    val d = Tables.documents(s, dir)
+    val probe = d.filter(col("doc_id").isin(1, 2))
+      .agg(concat_ws(" ",
+        max(when(col("doc_id") === 1, col("text"))),
+        max(when(col("doc_id") === 2, col("text")))).as("ptext"))
+      .select(charShingleHashes(col("ptext"), 5).as("probe_sh"))
+    d.select(col("doc_id"), charShingleHashes(col("text"), 5).as("sh"))
+      .crossJoin(broadcast(probe))
+      .withColumn("c", graft.dedup.Dedup.containment(col("sh"), col("probe_sh")))
+      .filter(col("c") >= 0.8)
+      .select(col("doc_id"), round(col("c"), 6).as("c"))
+      .orderBy("doc_id")
+  }
+
+  private val d132Sql =
+    """WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) t
+      |           FROM documents),
+      |p AS (SELECT lower(trim(regexp_replace(
+      |        (SELECT text FROM documents WHERE doc_id = 1) || ' ' ||
+      |        (SELECT text FROM documents WHERE doc_id = 2), '\s+', ' ', 'g'))) t),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         generate_series(1, greatest(len(t) - 4, 1)), i -> t[i:i+4])) s
+      |       FROM d),
+      |psh AS (SELECT list_distinct(list_transform(
+      |         generate_series(1, greatest(len(t) - 4, 1)), i -> t[i:i+4])) ps
+      |        FROM p)
+      |SELECT doc_id, round(len(list_intersect(s, ps))::DOUBLE / len(s), 6) AS c
+      |FROM sh, psh
+      |WHERE len(list_intersect(s, ps))::DOUBLE / len(s) >= 0.8
+      |ORDER BY doc_id""".stripMargin
+
   override def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t127_boilerplate_strip" -> (t127 _),
     "t128_weighted_sample" -> (t128 _),
     "p129_snapshot_diff" -> (p129 _),
-    "p130_pagerank" -> (p130 _))
+    "p130_pagerank" -> (p130 _),
+    "d131_jl_project" -> (d131 _),
+    "d132_containment_probe" -> (d132 _))
 
   override def oracles: Map[String, String] = Map(
     "t127_boilerplate_strip" -> t127Sql,
     "t128_weighted_sample" -> t128Sql,
     "p129_snapshot_diff" -> p129Sql,
-    "p130_pagerank" -> p130Sql)
+    "p130_pagerank" -> p130Sql,
+    "d131_jl_project" -> d131Sql,
+    "d132_containment_probe" -> d132Sql)
 }

@@ -111,6 +111,40 @@ object Similarity {
   def kmeansFractionFor(corpusSize: Long): Double =
     math.min(0.1, 200000.0 / math.max(corpusSize, 1L))
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (outDim × inDim),
+    * derived from md5 of "seed_i_j" (first hex digit < '8' → +1) so an
+    * independent engine reproduces every entry closed-form. Computed once
+    * driver-side — it rides the plan as a literal, never a shuffle. */
+  def jlSigns(seed: Long, inDim: Int, outDim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(inDim) { i =>
+        val h = md.digest(s"${seed}_${i}_$j".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Random-projection (Achlioptas ±1 JL) dimensionality reduction:
+    * `proj[j] = Σ_i v[i]·sign(i,j) / sqrt(outDim)`. Distances and inner
+    * products are preserved in expectation (distortion ~ 1/√outDim), so
+    * it runs AHEAD of the ANN index at 100 TB: a 1024-dim corpus projected
+    * to 64 dims cuts every downstream signature/cell/ADC cost 16× while
+    * the exact rerank still scores raw vectors. Pure scan-stage
+    * (zip_with + aggregate over a literal matrix), zero shuffles,
+    * codegen-resident. */
+  def randomProject(df: DataFrame, vecCol: String, outDim: Int,
+      seed: Long = 42L, outCol: String = "proj"): DataFrame = {
+    val inDim = df.select(size(col(vecCol))).head().getInt(0)
+    val signs = jlSigns(seed, inDim, outDim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn(outCol, array((0 until outDim).map { j =>
+      aggregate(zip_with(v, lit(signs(j)), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) * scale
+    }: _*))
+  }
+
   /** Final ranking stage shared by all tiers: per-partition bounded-heap
     * partial top-k (TopKAgg) then a k-sized merge per query — no stage ever
     * materializes a query's full candidate set on one task. Expects columns
@@ -406,13 +440,25 @@ object Similarity {
     * cost with candidates-per-query (≈ tables × corpus / 2^nBits). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nBits: Int = 6,
-      tables: Int = 8): DataFrame = {
+      tables: Int = 8, probes: Int = 0): DataFrame = {
     val c = signatures(
       corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv")),
       "nn_id", "cv", nBits, tables)
-    val q = signatures(
+    val q0 = signatures(
       queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv")),
       "query_id", "qv", nBits, tables)
+    // Multi-probe (Lv et al., VLDB'07, bit-flip simplification): each query
+    // additionally probes `probes` Hamming-1 neighbor buckets per table —
+    // a near-threshold vector that lands one bit away is still found, so
+    // the same recall needs ~probes× fewer tables. Only the QUERY side
+    // fans out (queries are broadcast and tiny); the corpus index size and
+    // its one shuffle are unchanged — that is the 100 TB win: index cost
+    // is per-corpus-row, probe cost is per-query.
+    val q =
+      if (probes <= 0) q0
+      else q0.withColumn("sig", explode(array(
+        col("sig") +: (0 until math.min(probes, nBits)).map(b =>
+          col("sig").bitwiseXOR(lit(1L << b))): _*)))
     val scored = c.join(broadcast(q), Seq("tbl", "sig"))
       .filter(col("nn_id") =!= col("query_id"))
       .dropDuplicates("query_id", "nn_id")

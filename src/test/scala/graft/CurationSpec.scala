@@ -131,6 +131,71 @@ class CurationSpec extends GraftSpec {
     assert(out.values.sum <= 1.0 + 1e-9) // dangling hub leaks mass, never gains
   }
 
+  // ---- containment (asymmetric Jaccard) ----------------------------------
+
+  test("containment is asymmetric and exact on known sets") {
+    import graft.dedup.Dedup
+    val df = Seq(
+      (Seq(1, 2, 3), Seq(1, 2, 3, 4, 5, 6)), // a ⊂ b: C(a,b)=1, J=0.5
+      (Seq(1, 2), Seq(3, 4)),                // disjoint
+      (Seq(1, 2, 3, 4), Seq(3, 4, 5, 6, 7, 8))) // |∩|=2, |a|=4
+      .toDF("a", "b")
+    val got = df.select(
+      Dedup.containment(col("a"), col("b")).as("cab"),
+      Dedup.containment(col("b"), col("a")).as("cba"))
+      .as[(Double, Double)].collect()
+    assert(got(0) == ((1.0, 0.5))) // subset: 1 forward, |a|/|b| backward
+    assert(got(1) == ((0.0, 0.0)))
+    assert(got(2) == ((0.5, 2.0 / 6)))
+  }
+
+  // ---- JL random projection ----------------------------------------------
+
+  test("jlSigns is deterministic, ±1, and seed-sensitive") {
+    import graft.similarity.Similarity
+    val a = Similarity.jlSigns(42L, 64, 16)
+    val b = Similarity.jlSigns(42L, 64, 16)
+    val c = Similarity.jlSigns(43L, 64, 16)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.map(_.toSeq).toSeq != c.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(x => x == 1.0 || x == -1.0))
+    // ±1 roughly balanced (md5 first hex digit < '8' ~ Bernoulli(1/2))
+    val pos = a.flatten.count(_ == 1.0)
+    assert(pos > 400 && pos < 624, s"pos=$pos of 1024")
+  }
+
+  test("randomProject matches the closed form and preserves distances") {
+    import graft.similarity.Similarity
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq)).toDF("vec_id", "v")
+    val got = Similarity.randomProject(vecs, "v", 16, seed = 42L)
+      .select("vec_id", "proj").as[(Long, Seq[Double])].collect()
+      .toMap.map { case (k, p) => k -> p.toArray }
+    // closed form recomputed locally from the same sign matrix
+    val signs = Similarity.jlSigns(42L, 64, 16)
+    val raw = vecs.select("vec_id", "v").as[(Long, Seq[Float])].collect().toMap
+    for ((id, v) <- raw; j <- 0 until 16) {
+      val exp = v.zipWithIndex.map { case (x, i) => x.toDouble * signs(j)(i) }
+        .sum / math.sqrt(16.0)
+      assert(math.abs(got(id)(j) - exp) < 1e-9, s"vec $id comp $j")
+    }
+    // JL guarantee, measured (deterministic under the fixed seeds): pairwise
+    // L2 distances survive 64→16 within bounded distortion and no global bias
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ids = raw.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+      dOrig = dist(raw(i).map(_.toDouble).toArray, raw(j).map(_.toDouble).toArray)
+      if dOrig > 0
+    } yield dist(got(i), got(j)) / dOrig
+    assert(ratios.forall(r => r > 0.3 && r < 2.0),
+      s"worst ratios: ${ratios.min} .. ${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.12, s"mean distortion $mean")
+  }
+
   test("pagerank matches a local power iteration on a random graph") {
     val rnd = new scala.util.Random(7)
     val n = 30
