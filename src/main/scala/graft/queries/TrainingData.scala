@@ -183,6 +183,20 @@ object TrainingData extends QueryModule {
     annRecallGate(exact, approx, k = 5, minRecall = 0.7)
   }
 
+  // Multi-probe LSH ANN — same recall floor as d65 with a 4× SMALLER
+  // index (tables 16 → 4): each query also probes 4 Hamming-1 neighbor
+  // buckets per table, so near-threshold vectors one bit away still
+  // surface. Only the broadcast query side fans out; the corpus index
+  // shuffle is per-row identical to plain LSH at tables=4.
+  private def d134(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nBits = 4, tables = 4, probes = 4)
+    annRecallGate(exact, approx, k = 5, minRecall = 0.7)
+  }
+
   // IVF (k-means inverted file) ANN — the learned-quantizer scale path
   // next to d65's LSH; gate: mean recall@5 ≥ 0.9 at nlist=16, nprobe=12
   // (measured: 1.0 at sf0.001, 0.96 at sf0.01; nprobe=8 dipped to 0.76 on
@@ -542,6 +556,30 @@ object TrainingData extends QueryModule {
       |WHERE len(list_intersect(a.s, b.s))::DOUBLE
       |      / len(list_distinct(list_concat(a.s, b.s))) > 0.7
       |ORDER BY new_id, corpus_id""".stripMargin
+
+  // Bloom-prefiltered EXACT incremental dedup: increment = odd ids,
+  // corpus = even ids plus re-idded copies of every doc_id % 10 == 1 doc
+  // (planted cross-boundary exact dups, so ~10% of the increment must
+  // drop). The Bloom prefilter + broadcast confirm is exact for any fpp;
+  // the oracle is the plain anti-join the operator must equal.
+  private def d133(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val incr = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    Dedup.exactAgainstBloom(incr, corpus, "doc_id", "text")
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  private val d133Sql =
+    """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) t
+      |           FROM documents),
+      |c AS (SELECT t FROM n WHERE doc_id % 2 = 0
+      |      UNION ALL SELECT t FROM n WHERE doc_id % 10 = 1)
+      |SELECT doc_id FROM n
+      |WHERE doc_id % 2 = 1 AND NOT EXISTS (SELECT 1 FROM c WHERE c.t = n.t)
+      |ORDER BY doc_id""".stripMargin
 
   // Index MAINTENANCE: the full nightly-crawl loop — dedup increment 1
   // against the corpus index, fold its survivors into the index
@@ -1283,11 +1321,13 @@ object TrainingData extends QueryModule {
     "d63_simhash_neardups" -> d63,
     "d64_embedding_cosine_topk" -> d64,
     "d65_embedding_lsh_ann" -> d65,
+    "d134_embedding_lsh_multiprobe" -> d134,
     "d73_embedding_ivf_ann" -> d73,
     "d109_embedding_ivfpq_ann" -> d109,
     "d87_dup_clusters" -> d87,
     "d88_dedup_canonical" -> d88,
     "d93_incremental_dedup" -> d93,
+    "d133_bloom_incremental_dedup" -> d133,
     "d104_dedup_index_maintenance" -> d104,
     "d105_semantic_dedup" -> d105,
     "t106_decontaminate" -> t106,
@@ -1331,11 +1371,13 @@ object TrainingData extends QueryModule {
     "d63_simhash_neardups" -> d63Sql,
     "d64_embedding_cosine_topk" -> d64Sql,
     "d65_embedding_lsh_ann" -> annOracleSql,
+    "d134_embedding_lsh_multiprobe" -> annOracleSql,
     "d73_embedding_ivf_ann" -> annOracleSql,
     "d109_embedding_ivfpq_ann" -> annOracleSql,
     "d87_dup_clusters" -> d87Sql,
     "d88_dedup_canonical" -> d88Sql,
     "d93_incremental_dedup" -> d93Sql,
+    "d133_bloom_incremental_dedup" -> d133Sql,
     "d104_dedup_index_maintenance" -> d104Sql,
     "d105_semantic_dedup" -> d105Sql,
     "t106_decontaminate" -> t106Sql,

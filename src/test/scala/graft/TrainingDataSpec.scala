@@ -25,6 +25,31 @@ class TrainingDataSpec extends GraftSpec {
     assert(out.count() == 4)
   }
 
+  test("bloom-prefiltered exact incremental dedup equals the plain anti-join") {
+    val corpus = (0L until 300L).map(i => (i, s"corpus doc number $i body"))
+      .toDF("doc_id", "text")
+    // increment: 40 fresh docs + 25 exact dups of corpus docs (new ids) +
+    // one whitespace-variant dup (normalization must still catch it)
+    val incr = ((1000L until 1040L).map(i => (i, s"incr doc number $i body")) ++
+      (0L until 25L).map(i => (2000L + i, s"corpus doc number $i body")) :+
+      (3000L, "  corpus   doc number 30\tbody ")).toDF("doc_id", "text")
+    val expected = incr.join(
+      corpus.select(lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t")),
+      lower(trim(regexp_replace(incr("text"), "\\s+", " "))) === col("t"),
+      "left_anti").select("doc_id").as[Long].collect().toSet
+    assert(expected.size == 40) // all dups (incl. the whitespace variant) drop
+    // default fpp, and fpp=0.9 (floods the confirm path with false
+    // positives) — the result must be EXACT either way
+    for (fpp <- Seq(0.01, 0.9)) {
+      val got = Dedup.exactAgainstBloom(incr, corpus, "doc_id", "text",
+        fpp = fpp).select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"fpp=$fpp")
+    }
+    // schema passes through unchanged (no helper columns leak)
+    assert(Dedup.exactAgainstBloom(incr, corpus, "doc_id", "text")
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("minhash LSH finds the planted near-dup pair") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5,
       numHashes = 60, bands = 20)
@@ -332,6 +357,28 @@ class TrainingDataSpec extends GraftSpec {
     // short docs (fewer tokens than the n-gram width) are kept, not crashed
     val short = Seq((9L, "one")).toDF("doc_id", "text")
     assert(TextAnalysis.repetitionFilter(short, "text").count() == 1L)
+  }
+
+  test("multi-probe LSH recovers neighbors plain LSH misses, never loses any") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 400L).map(i =>
+      (i, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq)).toDF("vec_id", "v")
+    val queries = vecs.filter(col("vec_id") < 8)
+    def hits(probes: Int) = Similarity.lshTopK(vecs, queries, "vec_id", "v",
+      k = 10, nBits = 6, tables = 2, probes = probes)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val plain = hits(0)
+    val multi = hits(6)
+    // the probed buckets are a superset of the plain buckets, so every
+    // plain candidate survives ranking unless displaced by a BETTER
+    // neighbor — recall vs brute force can only improve
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "v", k = 10)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    assert((plain intersect exact).size <= (multi intersect exact).size)
+    // at 2 tables × 6 bits on gaussian data, Hamming-1 probing must
+    // actually widen the candidate pool (not be a no-op)
+    assert(multi.size >= plain.size)
+    assert(multi != plain, "multi-probe changed nothing — probe fan-out broken")
   }
 
   test("IVF ANN with full probing equals brute force; partial probing is a subset") {
