@@ -183,6 +183,33 @@ object TrainingData extends QueryModule {
     annRecallGate(exact, approx, k = 5, minRecall = 0.7)
   }
 
+  // int8 scalar quantization — the embedding STORAGE tier (4× smaller
+  // than float32). Codes are value-checked against DuckDB's identical
+  // closed form (same double arithmetic: round(x·127/max|x|)); the
+  // round-trip cosine ≥ 0.999 contract is pinned TRUE on both sides.
+  private def d135(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.quantizeInt8(emb, "embedding")
+      .withColumn("deq", Similarity.dequantizeInt8("qvec", "qscale"))
+    q.select(col("vec_id"),
+        col("qvec").cast("array<int>").as("qvec"),
+        round(col("qscale"), 6).as("qscale"),
+        (graft.functions.cosineSim(col("embedding").cast("array<double>"),
+          col("deq")) >= 0.999).as("cos_ok"))
+      .orderBy("vec_id")
+  }
+
+  private val d135Sql =
+    """WITH m AS (SELECT vec_id,
+      |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+      |  FROM embeddings)
+      |SELECT e.vec_id,
+      |  list_transform(e.embedding,
+      |    x -> CAST(round(x::DOUBLE * 127.0 / m.mx) AS INT)) AS qvec,
+      |  round(m.mx / 127.0, 6) AS qscale, TRUE AS cos_ok
+      |FROM embeddings e JOIN m ON e.vec_id = m.vec_id
+      |ORDER BY e.vec_id""".stripMargin
+
   // Multi-probe LSH ANN — same recall floor as d65 with a 4× SMALLER
   // index (tables 16 → 4): each query also probes 4 Hamming-1 neighbor
   // buckets per table, so near-threshold vectors one bit away still
@@ -1322,6 +1349,7 @@ object TrainingData extends QueryModule {
     "d64_embedding_cosine_topk" -> d64,
     "d65_embedding_lsh_ann" -> d65,
     "d134_embedding_lsh_multiprobe" -> d134,
+    "d135_embedding_int8_quantize" -> d135,
     "d73_embedding_ivf_ann" -> d73,
     "d109_embedding_ivfpq_ann" -> d109,
     "d87_dup_clusters" -> d87,
@@ -1372,6 +1400,7 @@ object TrainingData extends QueryModule {
     "d64_embedding_cosine_topk" -> d64Sql,
     "d65_embedding_lsh_ann" -> annOracleSql,
     "d134_embedding_lsh_multiprobe" -> annOracleSql,
+    "d135_embedding_int8_quantize" -> d135Sql,
     "d73_embedding_ivf_ann" -> annOracleSql,
     "d109_embedding_ivfpq_ann" -> annOracleSql,
     "d87_dup_clusters" -> d87Sql,

@@ -2,7 +2,7 @@ package graft.similarity
 
 import scala.reflect.runtime.universe.TypeTag
 
-import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -145,6 +145,30 @@ object Similarity {
     }: _*))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column: per-vector
+    * scale = max|x|/127, codes = round(x·127/max|x|) — 4× smaller than
+    * float32 at ~1e-4 cosine error on unit-ish vectors. At 100 TB this is
+    * the storage tier the ANN index actually reads (a 20 TB float corpus
+    * becomes 5 TB of codes + one float per vector); exact rerank reads the
+    * raw column for the shortlist only. Pure scan-stage `transform`
+    * arithmetic, zero shuffles, codegen-resident. Zero vectors quantize to
+    * all-zero codes with scale 0. */
+  def quantizeInt8(df: DataFrame, vecCol: String, qCol: String = "qvec",
+      scaleCol: String = "qscale"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    df.withColumn(scaleCol, maxAbs / 127.0)
+      .withColumn(qCol,
+        when(col(scaleCol) === 0.0,
+          transform(v, _ => lit(0).cast("tinyint")))
+        .otherwise(
+          transform(v, x => round(x * 127.0 / maxAbs).cast("tinyint"))))
+  }
+
+  /** Inverse of [[quantizeInt8]]: codes × scale, as array<double>. */
+  def dequantizeInt8(qCol: String, scaleCol: String): Column =
+    transform(col(qCol), x => x.cast("double") * col(scaleCol))
+
   /** Final ranking stage shared by all tiers: per-partition bounded-heap
     * partial top-k (TopKAgg) then a k-sized merge per query — no stage ever
     * materializes a query's full candidate set on one task. Expects columns
@@ -276,6 +300,38 @@ object Similarity {
       .bucketBy(nlist, "cell").sortBy("cell")
       .format("parquet").saveAsTable(table)
     model.clusterCenters.map(_.toArray)
+  }
+
+  /** Fold NEW vectors into a persisted IVF index without refitting — the
+    * nightly-ingest maintenance step, mirroring Dedup.appendToBandIndex:
+    * assign each new vector to its nearest existing centroid (broadcast
+    * codebook, one scan-stage pass) and APPEND to the cell-bucketed table
+    * with the same bucket spec. No read of the existing index, no shuffle
+    * of history — the append costs only the increment. Centroids drift as
+    * the corpus grows; production refits the codebook when cell-population
+    * skew crosses a threshold (the codebook is a few KB — refit is cheap,
+    * the re-bucketing rewrite is the real cost being deferred).
+    * IvfIndexSpec pins the law: full-probe queries on (build A, append B)
+    * equal brute force over A ∪ B. */
+  def appendToIvfIndex(table: String, centers: Array[Array[Double]],
+      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val assignCell = udf { (v: Seq[Double]) =>
+      var best = 0; var bestD = Double.MaxValue; var i = 0
+      while (i < centers.length) {
+        val ctr = centers(i); var s = 0.0; var j = 0
+        while (j < ctr.length) { val d = ctr(j) - v(j); s += d * d; j += 1 }
+        if (s < bestD) { bestD = s; best = i }
+        i += 1
+      }
+      best
+    }
+    newVecs.select(col(idCol).as("nn_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", assignCell(col("cv")))
+      .repartition(col("cell"))
+      .write.mode("append")
+      .bucketBy(centers.length, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(table)
   }
 
   /** Query a persisted IVF index: each query's `nprobe` nearest cells

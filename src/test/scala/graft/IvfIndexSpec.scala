@@ -43,4 +43,32 @@ class IvfIndexSpec extends GraftSpec {
       assert(spark.table("ivf_idx").inputFiles.length > touched.size)
     } finally spark.sql("DROP TABLE IF EXISTS ivf_idx")
   }
+
+  test("index append: full-probe queries over (build A, append B) equal brute force on A ∪ B") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 5)
+    try {
+      val centers = Similarity.buildIvfIndex(a, "vec_id", "embedding",
+        "ivf_app", nlist = 8, seed = 42L, maxIter = 5)
+      val before = spark.table("ivf_app").count()
+      Similarity.appendToIvfIndex("ivf_app", centers, b, "vec_id", "embedding")
+      // append added exactly the increment, no rewrite of history
+      assert(spark.table("ivf_app").count() == before + b.count())
+      // full probing visits every cell, so assignment drift cannot hide
+      // a vector: the appended index must answer exactly like brute force
+      val viaIndex = Similarity.ivfTopKIndexed(spark, "ivf_app", centers,
+        queries, "vec_id", "embedding", k = 5, nprobe = 8)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      assert(viaIndex.orderBy("query_id", "rnk").collect().map(_.toString).toSeq ==
+        exact.orderBy("query_id", "rnk").collect().map(_.toString).toSeq)
+      // appended rows really landed in their nearest cell (spot-check one)
+      val row = spark.table("ivf_app").filter(col("nn_id") === 1).head()
+      val v = row.getAs[scala.collection.Seq[Double]]("cv")
+      val want = centers.zipWithIndex.minBy { case (c, _) =>
+        c.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum }._2
+      assert(row.getAs[Int]("cell") == want)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_app")
+  }
 }

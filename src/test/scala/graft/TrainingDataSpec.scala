@@ -359,6 +359,32 @@ class TrainingDataSpec extends GraftSpec {
     assert(TextAnalysis.repetitionFilter(short, "text").count() == 1L)
   }
 
+  test("int8 quantization round-trips within cosine 1e-3; zero vectors safe") {
+    val rnd = new scala.util.Random(3)
+    val vecs = ((0L until 50L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian()).toSeq)) :+
+      (99L, Seq.fill(64)(0.0))).toDF("vec_id", "v")
+    val q = Similarity.quantizeInt8(vecs, "v")
+      .withColumn("deq", Similarity.dequantizeInt8("qvec", "qscale"))
+    val rows = q.select("vec_id", "v", "qvec", "qscale", "deq")
+      .as[(Long, Seq[Double], Seq[Byte], Double, Seq[Double])].collect()
+    for ((id, v, codes, scale, deq) <- rows) {
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id code range")
+      if (id == 99L) {
+        assert(scale == 0.0 && codes.forall(_ == 0) && deq.forall(_ == 0.0))
+      } else {
+        assert(codes.exists(c => math.abs(c) == 127), s"vec $id uses full range")
+        val dot = v.zip(deq).map { case (a, b) => a * b }.sum
+        val cos = dot / (math.sqrt(v.map(x => x * x).sum) *
+          math.sqrt(deq.map(x => x * x).sum))
+        assert(cos > 0.999, s"vec $id cosine $cos")
+        // per-component error is bounded by half a quantization step
+        v.zip(deq).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= scale / 2 + 1e-12, s"vec $id component") }
+      }
+    }
+  }
+
   test("multi-probe LSH recovers neighbors plain LSH misses, never loses any") {
     val rnd = new scala.util.Random(5)
     val vecs = (0L until 400L).map(i =>
