@@ -7,7 +7,7 @@ import graft.dedup.{Dedup, DupClusters, SemDeDup}
 import graft.similarity.Similarity
 import graft.api.Sampling
 import graft.pack.Packing
-import graft.text.{Bpe, TextAnalysis}
+import graft.text.{Bpe, Decontaminate, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.functions._
 
@@ -182,6 +182,30 @@ object TrainingData extends QueryModule {
       k = 5, nBits = 4, tables = 16)
     annRecallGate(exact, approx, k = 5, minRecall = 0.7)
   }
+
+  // Semantic decontamination — the embedding-side complement of t106's
+  // n-gram rule: corpus docs whose max cosine vs ANY benchmark embedding
+  // clears 0.99 are flagged (benchmark = vec_id < 10, which are corpus
+  // members, so exactly those flag at cos 1.0; natural max cos on this
+  // corpus is ~0.60, leaving wide threshold margin on both engines).
+  private def d136(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bench = emb.filter(col("vec_id") < 10)
+    Decontaminate.semanticFlag(emb, "vec_id", "embedding",
+        bench, "embedding", threshold = 0.99)
+      .select(col("vec_id"), round(col("max_benchmark_cos"), 4)
+        .as("max_benchmark_cos"), col("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  private val d136Sql =
+    """WITH b AS (SELECT embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT e.vec_id,
+      |        max(list_cosine_similarity(e.embedding::DOUBLE[], b.bv)) AS mc
+      |      FROM embeddings e CROSS JOIN b GROUP BY e.vec_id)
+      |SELECT vec_id, round(mc, 4) AS max_benchmark_cos,
+      |  mc >= 0.99 AS contaminated
+      |FROM s ORDER BY vec_id""".stripMargin
 
   // int8 scalar quantization — the embedding STORAGE tier (4× smaller
   // than float32). Codes are value-checked against DuckDB's identical
@@ -1350,6 +1374,7 @@ object TrainingData extends QueryModule {
     "d65_embedding_lsh_ann" -> d65,
     "d134_embedding_lsh_multiprobe" -> d134,
     "d135_embedding_int8_quantize" -> d135,
+    "d136_semantic_decontamination" -> d136,
     "d73_embedding_ivf_ann" -> d73,
     "d109_embedding_ivfpq_ann" -> d109,
     "d87_dup_clusters" -> d87,
@@ -1401,6 +1426,7 @@ object TrainingData extends QueryModule {
     "d65_embedding_lsh_ann" -> annOracleSql,
     "d134_embedding_lsh_multiprobe" -> annOracleSql,
     "d135_embedding_int8_quantize" -> d135Sql,
+    "d136_semantic_decontamination" -> d136Sql,
     "d73_embedding_ivf_ann" -> annOracleSql,
     "d109_embedding_ivfpq_ann" -> annOracleSql,
     "d87_dup_clusters" -> d87Sql,

@@ -61,4 +61,31 @@ object Decontaminate {
     flagContaminated(docs, idCol, textCol, benchmark, benchTextCol, n, minHits)
       .filter(!col("contaminated"))
       .drop("n_hits", "contaminated")
+
+  /** SEMANTIC decontamination: flag corpus documents whose embedding is
+    * near-identical to any benchmark embedding — catches paraphrased or
+    * reformatted eval leakage the n-gram rule misses (the rephrased-GSM8K
+    * failure mode). Exact by construction: eval sets are small, so the
+    * benchmark side is broadcast whole and every corpus row scores its
+    * true max cosine in one scan pass — no LSH, no recall risk, and the
+    * only shuffle is the map-side-combined (id → max) collapse. At 100 TB
+    * corpus cost is rows × |benchmark| multiply-adds, embarrassingly
+    * parallel; shrink the constant with [[graft.similarity.Similarity
+    * .randomProject]] on both sides when the benchmark is large. */
+  def semanticFlag(emb: DataFrame, idCol: String, vecCol: String,
+      benchmark: DataFrame, benchVecCol: String,
+      threshold: Double = 0.99): DataFrame = {
+    val c = emb.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val b = benchmark
+      .select(col(benchVecCol).cast("array<double>").as("__bv"))
+    val scored = c.crossJoin(broadcast(b))
+      .withColumn("__cos", graft.functions.cosineSim(col("__v"), col("__bv")))
+      .groupBy(idCol).agg(max(col("__cos")).as("max_benchmark_cos"))
+    emb.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("max_benchmark_cos"), lit(-1.0)).as("max_benchmark_cos"),
+        (coalesce(col("max_benchmark_cos"), lit(-1.0)) >= threshold)
+          .as("contaminated"))
+  }
 }

@@ -96,6 +96,26 @@ class SemDeDupSpec extends GraftSpec {
     emb.unpersist()
   }
 
+  test("semantic decontamination flags exact and near benchmark copies only") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)),            // exact benchmark copy
+      (1L, Seq(0.999f, 0.01f, 0f, 0f)),       // near copy, cos > 0.99
+      (2L, Seq(0.7f, 0.7f, 0f, 0f)),          // cos ~0.707 — clean
+      (3L, Seq(0f, 0f, 1f, 0f)))              // orthogonal — clean
+      .toDF("doc_id", "v")
+    val bench = Seq(Tuple1(Seq(1.0f, 0f, 0f, 0f))).toDF("bv")
+    val out = Decontaminate.semanticFlag(corpus, "doc_id", "v", bench, "bv")
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
+
+    // empty benchmark: nothing flags, every doc still present with cos -1
+    val none = Decontaminate.semanticFlag(corpus, "doc_id", "v",
+      bench.limit(0), "bv")
+    assert(none.count() == 4)
+    assert(none.filter(col("contaminated")).count() == 0)
+    assert(none.select(max(col("max_benchmark_cos"))).head().getDouble(0) == -1.0)
+  }
+
   test("decontamination counts distinct shared n-grams and drops flagged docs") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
