@@ -92,6 +92,38 @@ class PlanSpec extends GraftSpec {
     assert(!physicalPlan(mix).contains("Exchange"), physicalPlan(mix))
   }
 
+  test("int8 quantization and JL projection are scan-stage (zero exchanges)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = graft.similarity.Similarity.quantizeInt8(emb, "embedding")
+    assert(!physicalPlan(q).contains("Exchange"), physicalPlan(q))
+    val p = graft.similarity.Similarity.randomProject(emb, "embedding", 8)
+    assert(!physicalPlan(p).contains("Exchange"), physicalPlan(p))
+  }
+
+  test("semantic decontamination broadcasts the benchmark; corpus never shuffles rows") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val out = graft.text.Decontaminate.semanticFlag(emb, "vec_id", "embedding",
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), "embedding")
+    val plan = physicalPlan(out)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    // the only wide exchanges key on the doc id (the max-collapse and the
+    // final outer join) — narrow (id, cos) rows, never embedding payloads
+    val wide = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(wide <= 2, s"expected <= 2 hash exchanges, got $wide\n$plan")
+  }
+
+  test("bloom-prefiltered dedup plans broadcast joins only (corpus side never shuffles)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = graft.dedup.Dedup.exactAgainstBloom(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      "doc_id", "text")
+    val plan = physicalPlan(out)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("edit-distance join never plans a cartesian product") {
     val names = graft.sources.Tables.part(spark, sf)
       .select(col("p_name")).distinct()
