@@ -55,11 +55,23 @@ object Bench {
       graft.dedup.Dedup.exact(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
+    // The minhash group is split by a mid-group recycle: banding+verify is
+    // the tier's biggest spill producer and the recall join (2M docs
+    // shingled, joined twice) is the second — running both in one session
+    // stacked their shuffle files and was the ENOSPC that killed this
+    // group at scale 100 (observed 10:13 8/14 under disk contention).
+    // Found pairs are tiny (~pairs × 24 B), so parking them in parquet
+    // and recycling between the two halves caps peak disk at max(half),
+    // not sum. The pairs write rides inside the minhash timing (disclosed:
+    // it is ~500k rows at scale 100, noise next to the banding shuffle).
+    val pairsPath = graft.sources.PipelineCorpus.dirFor(scale) + "/tmp_pairs"
     try {
-    val found = timed("minhash_lsh_neardups") {
-      val f = graft.dedup.Dedup.minhashNearDups(docs, "doc_id", "text").persist()
-      f.count(); f
+    timedSafe("minhash_lsh_neardups") {
+      graft.dedup.Dedup.minhashNearDups(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(pairsPath)
     }
+    recycle() // banding/verify shuffles released before the recall join
+    val found = spark.read.parquet(pairsPath).persist()
     // recall vs planted pairs whose exact shingle Jaccard clears the
     // 0.7 query threshold (the denominator is known by construction).
     // Only ids ≡ 8,9 (mod 10) participate in planted pairs — filtering
@@ -132,6 +144,10 @@ object Bench {
       graft.dedup.Dedup.simhashNearDups(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
+    // pack×2 + simhash all exchange full-width rows; the stages after this
+    // point are scan-stage until the winnowed anchor exchange, so one
+    // recycle here caps the group's shuffle-file accumulation
+    recycle()
     timedSafe("text_features") {
       graft.text.TextAnalysis.withTextFeatures(docs, "text")
         .write.format("noop").mode("overwrite").save()
