@@ -196,7 +196,9 @@ object Curation extends QueryModule {
     Similarity.randomProject(Tables.embeddings(s, dir), "embedding", 16,
         seed = 42L)
       .select(col("vec_id"),
-        transform(col("proj"), x => round(x, 4)).as("proj"))
+        // + 0.0 canonicalizes IEEE -0.0 → 0.0 (DuckDB rounds tiny
+        // negatives to -0.0, Spark to 0.0; the driver hash is bit-exact)
+        transform(col("proj"), x => round(x, 4) + lit(0.0)).as("proj"))
       .orderBy("vec_id")
 
   private val d131Sql =
@@ -206,7 +208,7 @@ object Curation extends QueryModule {
       |      embedding[i]::DOUBLE *
       |      (CASE WHEN substring(md5('42_' || (i-1) || '_' || (j-1)), 1, 1) < '8'
       |            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)))
-      |      / sqrt(CAST(16 AS DOUBLE)), 4)) AS proj
+      |      / sqrt(CAST(16 AS DOUBLE)), 4) + 0.0) AS proj
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ---- d132: containment (asymmetric Jaccard) probe ---------------------
