@@ -89,4 +89,24 @@ object Sampling {
     }
     df.filter(substring(hashRank(col(idCol)), 1, 4) < thr)
   }
+
+  /** Temperature-derived per-source keep rates for [[weightedMix]] —
+    * the standard multilingual/source rebalancing rule (mBERT, XLM-R,
+    * mT5 all published it): sampling probability ∝ count^alpha, so the
+    * keep RATE per source is ∝ count^(alpha-1), normalized so the
+    * largest implied rate is 1.0 (pure downsampling — no source is
+    * upsampled, which a rate filter cannot do anyway). alpha = 1
+    * reproduces the natural distribution (all rates 1); alpha = 0 gives
+    * every source the same expected row count (rate ∝ 1/count).
+    * Counts are whatever one groupBy produced; the math is driver-side
+    * on |sources| numbers. */
+  def temperatureRates(counts: Map[String, Long],
+      alpha: Double): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha outside [0, 1]")
+    val pos = counts.filter(_._2 > 0L)
+    if (pos.isEmpty) return Map.empty
+    val raw = pos.map { case (k, n) => k -> math.pow(n.toDouble, alpha - 1.0) }
+    val mx = raw.values.max
+    raw.map { case (k, r) => k -> r / mx }
+  }
 }

@@ -89,6 +89,29 @@ class CurationSpec extends GraftSpec {
     assert(heavy > 80, s"heavy-weight rows picked: $heavy of 100")
   }
 
+  // ---- temperature rates -------------------------------------------------
+
+  test("temperature rates: alpha=1 natural, alpha=0 equalizing, monotone in between") {
+    val counts = Map("big" -> 1000000L, "mid" -> 10000L, "small" -> 100L)
+    // alpha = 1: natural distribution, every rate 1.0
+    assert(Sampling.temperatureRates(counts, 1.0).values.forall(_ == 1.0))
+    // alpha = 0: expected kept rows equal across sources (rate ∝ 1/count,
+    // normalized so the SMALLEST source keeps everything)
+    val eq = Sampling.temperatureRates(counts, 0.0)
+    assert(eq("small") == 1.0)
+    assert(math.abs(eq("big") * 1000000L - eq("small") * 100L) < 1e-6)
+    // 0 < alpha < 1: bigger sources get strictly smaller rates; expected
+    // kept rows still ordered big >= mid >= small (partial rebalance)
+    val t = Sampling.temperatureRates(counts, 0.7)
+    assert(t("small") == 1.0 && t("big") < t("mid") && t("mid") < t("small"))
+    assert(t("big") * 1000000L > t("mid") * 10000L)
+    // closed form: rate ratio = (n_a/n_b)^(alpha-1)
+    assert(math.abs(t("big") / t("mid") - math.pow(100.0, -0.3)) < 1e-12)
+    // zero-count sources drop out rather than dividing by zero
+    assert(!Sampling.temperatureRates(counts + ("empty" -> 0L), 0.5)
+      .contains("empty"))
+  }
+
   // ---- snapshot diff -----------------------------------------------------
 
   test("snapshot diff classifies added/removed/changed/unchanged") {
