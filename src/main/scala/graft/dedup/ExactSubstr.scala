@@ -151,13 +151,26 @@ object ExactSubstr {
     val anchors = df.select(col(idCol).as("id"),
         explode(graft.functions.winnowedAnchors(col(textCol), minLen, w)).as("a"))
       .select(col("id"), col("a.i").as("i"), col("a.h").as("h"))
-    val ok = anchors.groupBy("h").agg(count(lit(1)).as("__n"))
-      .filter(col("__n").between(2, maxPerGram)).select("h")
-    val kept = anchors.join(ok, Seq("h"), "left_semi")
-    kept.select(col("h"), col("id").as("id_a"), col("i").as("pos_a"))
-      .join(kept.select(col("h"), col("id").as("id_b"), col("i").as("pos_b")), Seq("h"))
-      .filter(col("id_a") < col("id_b") ||
-        (col("id_a") === col("id_b") && col("pos_a") < col("pos_b")))
-      .select("id_a", "pos_a", "id_b", "pos_b", "h")
+    // ONE aggregate per fingerprint bucket: the cap filter and the
+    // pairwise expansion both read the collected (id, pos) list, so the
+    // anchor pipeline runs once and its rows cross the wire once. The
+    // previous self-join formulation executed the whole anchor scan per
+    // join side and held both sides' shuffle files simultaneously —
+    // ~4 copies of a ~1G-row exchange at 10M docs, the tier's remaining
+    // ENOSPC (observed at scale 100 with 66 GB of scratch). Same design
+    // as minhashCandidatePairs; per-bucket work is capped by maxPerGram.
+    anchors
+      .groupBy("h").agg(collect_list(struct(col("id"), col("i"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxPerGram))
+      .select(col("h"), explode(flatten(transform(col("xs"), x =>
+        transform(
+          filter(col("xs"), y => y.getField("id") > x.getField("id") ||
+            (y.getField("id") === x.getField("id") &&
+             y.getField("i") > x.getField("i"))),
+          y => struct(
+            x.getField("id").as("id_a"), x.getField("i").as("pos_a"),
+            y.getField("id").as("id_b"), y.getField("i").as("pos_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.pos_a").as("pos_a"),
+        col("p.id_b").as("id_b"), col("p.pos_b").as("pos_b"), col("h"))
   }
 }

@@ -76,6 +76,44 @@ class ExactSubstrSpec extends GraftSpec {
     assert(!pairs.exists { case (a, b) => a == 12L || b == 12L })
   }
 
+  test("bucket pair expansion equals the self-join formulation (incl. cap and within-doc pairs)") {
+    // randomized docs with planted shared passages + within-doc repeats;
+    // the single-shuffle per-bucket expansion must emit exactly the pair
+    // set of the reference two-sided join at every (minLen, w, cap)
+    val rnd = new scala.util.Random(17)
+    def words(n: Int) = Seq.fill(n)(f"w${rnd.nextInt(40)}%02d").mkString(" ")
+    val passage = "the planted shared passage that recurs across documents verbatim"
+    val docs = (0L until 30L).map { i =>
+      val t = i % 3 match {
+        case 0 => s"${words(8)} $passage ${words(8)}"
+        case 1 => s"${words(5)} $passage ${words(3)} $passage ${words(4)}" // within-doc repeat
+        case _ => words(20)
+      }
+      (i, t)
+    }.toDF("doc_id", "text")
+    for ((minLen, w, cap) <- Seq((40, 10, 1000), (30, 5, 1000), (40, 10, 3))) {
+      val got = ExactSubstr.winnowedCandidates(docs, "doc_id", "text",
+        minLen, w, cap).select("id_a", "pos_a", "id_b", "pos_b", "h")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // reference: the original two-sided join over capped buckets
+      val anchors = docs.select(col("doc_id").as("id"),
+          explode(graft.functions.winnowedAnchors(col("text"), minLen, w)).as("a"))
+        .select(col("id"), col("a.i").as("i"), col("a.h").as("h"))
+      val ok = anchors.groupBy("h").agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, cap)).select("h")
+      val kept = anchors.join(ok, Seq("h"), "left_semi")
+      val want = kept.select(col("h"), col("id").as("id_a"), col("i").as("pos_a"))
+        .join(kept.select(col("h"), col("id").as("id_b"), col("i").as("pos_b")), Seq("h"))
+        .filter(col("id_a") < col("id_b") ||
+          (col("id_a") === col("id_b") && col("pos_a") < col("pos_b")))
+        .select("id_a", "pos_a", "id_b", "pos_b", "h")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"minLen=$minLen w=$w cap=$cap: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      assert(got.nonEmpty, s"degenerate test at minLen=$minLen w=$w cap=$cap")
+    }
+  }
+
   test("native winnowed anchors equal the declarative formulation") {
     // the interpreted reference: per-position xxhash64 of the minLen-gram
     // + array_min over the w-window ending at each position — the exact
