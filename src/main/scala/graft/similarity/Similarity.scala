@@ -94,14 +94,23 @@ object Similarity {
   /** Corpus-derived PQ rerank depth. ADC ranks candidates by a lossy
     * 8-byte code, so when the true neighbors sit in a near-tie band with
     * their cluster-mates (this corpus: cosine margins ~0.01, smaller than
-    * the quantization noise) the shortlist must cover a constant FRACTION
-    * of the probed candidates, not a constant count — measured at 200k
-    * vectors: rerank=50 → recall@10 0.15, rerank=candidates/32 (≈400) →
-    * 0.996 at the same cost class. Exact re-scoring is linear in the
-    * shortlist (broadcast semi-join), so the cap bounds it. */
+    * the quantization noise) the shortlist must cover a FRACTION of the
+    * probed candidates, not a constant count — measured at 200k vectors:
+    * rerank=50 → recall@10 0.15, rerank=candidates/32 (≈400) → 0.996.
+    * The fraction itself must grow with CELL DENSITY: nlist grows only
+    * as √n, so cells at 20M vectors hold ~13× the near-ties of the 200k
+    * tuning corpus and the same 1/32 fraction measured recall 0.592
+    * there — the density term restores the tuned band coverage
+    * (re-measured at 20M via tools/AnnTune). Exact re-scoring stays
+    * linear in the shortlist and bounded far below brute force by the
+    * cap. */
   def pqRerankFor(corpusSize: Long, nlist: Int, nprobe: Int, k: Int): Int = {
     val candidates = nprobe.toLong * corpusSize / math.max(nlist, 1)
-    math.min(20000L, math.max(20L * k, candidates / 32)).toInt
+    val cellPop = corpusSize / math.max(nlist, 1)
+    val densityBoost = math.max(1.0, cellPop / 2000.0)
+    math.min(candidates,
+      math.min(250000L, math.max(20L * k,
+        (candidates / 32 * densityBoost).toLong))).toInt
   }
 
   /** Sample fraction for the k-means fits: 10% of small corpora, capped
@@ -386,7 +395,8 @@ object Similarity {
     * vectors cannot. Encoding is a scan-stage map with the codebooks in
     * the task closure (same shape as IVF's probeCells). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+      codebooks: Array[Array[Array[Double]]],
+      keepCols: Seq[String] = Nil): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
     val enc = udf { (v: Seq[Double]) =>
@@ -405,9 +415,12 @@ object Similarity {
       }
       codes
     }
-    corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
-      .select(col("nn_id"), enc(col("cv")).as("codes"),
-        sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)).as("norm"))
+    corpus.select((col(idCol).as("nn_id") +: keepCols.map(col)) ++ Seq(
+      col(vecCol).cast("array<double>").as("cv")): _*)
+      .select((col("nn_id") +: keepCols.map(col)) ++ Seq(
+        enc(col("cv")).as("codes"),
+        sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x))
+          .as("norm")): _*)
   }
 
   /** IVF-PQ ANN: coarse k-means cell routing (as [[ivfTopK]]) with
@@ -441,8 +454,10 @@ object Similarity {
     val assigned = coarse.transform(c.withColumn("features", array_to_vector(col("cv"))))
       .withColumn("cell", col("prediction").cast("int"))
       .select("nn_id", "cv", "cell")
-    val encoded = pqEncode(assigned, "nn_id", "cv", books)
-      .join(assigned.select("nn_id", "cell"), "nn_id")
+    // cell rides through the encoder — the previous join-back re-shuffled
+    // the whole encoded corpus against `assigned` (two wide exchanges of
+    // n rows) just to restore a column the scan already had
+    val encoded = pqEncode(assigned, "nn_id", "cv", books, keepCols = Seq("cell"))
     val probeCells = udf { (v: Seq[Double]) =>
       centers.zipWithIndex.map { case (ctr, i) =>
         var s = 0.0; var j = 0

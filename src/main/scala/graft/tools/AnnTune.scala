@@ -23,8 +23,9 @@ object AnnTune {
       .bruteForceTopK(emb, qVecs, "vec_id", "embedding", 10).persist()
     val total = brute.count()
     val (nlist, nprobe) = graft.similarity.Similarity.ivfParamsFor(nVec)
-    println(s"[annTune] nVec=$nVec nlist=$nlist nprobe=$nprobe totalTrue=$total")
-    for ((m, rerank) <- Seq((8, 50), (8, 400), (16, 50), (16, 200), (16, 400))) {
+    val derived = graft.similarity.Similarity.pqRerankFor(nVec, nlist, nprobe, 10)
+    println(s"[annTune] nVec=$nVec nlist=$nlist nprobe=$nprobe rerankDerived=$derived totalTrue=$total")
+    for ((m, rerank) <- Seq((8, derived / 4), (8, derived), (16, derived / 4))) {
       val t0 = System.nanoTime()
       val approx = graft.similarity.Similarity.ivfPqTopK(emb, qVecs, "vec_id",
         "embedding", 10, nlist = nlist, nprobe = nprobe, m = m, ksub = 256,
