@@ -108,11 +108,23 @@ class PipelineCorpusSpec extends GraftSpec {
     // floor: never below 20k even when candidates are few
     assert(Similarity.pqRerankFor(2000L, 16, 12, 10) == 200)
     // cap bounds exact-rescore work at any corpus size
-    assert(Similarity.pqRerankFor(1000000000L, 4096, 32, 10) == 20000)
-    // rerank never exceeds the candidate pool it ranks (cap << candidates)
+    assert(Similarity.pqRerankFor(1000000000L, 4096, 32, 10) == 250000)
+    // density factor: nlist grows only as sqrt(n), so cell population —
+    // and with it the ADC near-tie band — outgrows the flat 1/32 rule
+    // (measured: 1/32 → recall 0.996 at 200k but 0.592 at 20M); the 20M
+    // depth must widen by ~the cell-population ratio vs the 200k anchor
     val (nl20, np20) = Similarity.ivfParamsFor(20000000L)
+    val r20 = Similarity.pqRerankFor(20000000L, nl20, np20, 10)
+    assert(r20 > 100000, s"20M rerank $r20")
+    // rerank never exceeds the candidate pool it ranks
     val cand20 = np20.toLong * 20000000L / nl20
-    assert(Similarity.pqRerankFor(20000000L, nl20, np20, 10) <= cand20)
+    assert(r20 <= cand20)
+    // monotone in corpus size at derived (nlist, nprobe)
+    val rr = Seq(10000L, 100000L, 1000000L, 10000000L, 100000000L).map { n =>
+      val (nl, np) = Similarity.ivfParamsFor(n)
+      Similarity.pqRerankFor(n, nl, np, 10)
+    }
+    assert(rr == rr.sorted, s"rerank not monotone: $rr")
     // fit sample: 10% small, absolute ~200k cap at scale
     assert(Similarity.kmeansFractionFor(2000L) == 0.1)
     assert(Similarity.kmeansFractionFor(2000000L) == 0.1)
