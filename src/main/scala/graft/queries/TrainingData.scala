@@ -1218,10 +1218,14 @@ object TrainingData extends QueryModule {
       .orderBy("query_id", "rnk")
   }
 
-  private val t119Sql = {
+  /** The BM25 derivation as a reusable DuckDB CTE chain ending in ranked
+    * hits `r(query_id, doc_id, score, rnk)` with `rnk <= k` — shared by
+    * the t119 gate and the d137 hybrid-fusion oracle so both recompute
+    * the same lexical ranking from scratch. */
+  private def bm25OracleCtes(k: Int): String = {
     val values = bm25Queries
       .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
-    s"""WITH d AS (SELECT doc_id,
+    s"""d AS (SELECT doc_id,
        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tk
        |  FROM documents),
        |s AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM d),
@@ -1239,13 +1243,61 @@ object TrainingData extends QueryModule {
        |          AS score
        |      FROM m, s JOIN df ON df.term = m.term
        |      GROUP BY 1, 2),
-       |r AS (SELECT query_id, doc_id, score,
+       |r0 AS (SELECT query_id, doc_id, score,
        |        CAST(row_number() OVER (PARTITION BY query_id
        |          ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
-       |      FROM sc)
-       |SELECT query_id, rnk, doc_id, score FROM r WHERE rnk <= 10
-       |ORDER BY query_id, rnk""".stripMargin
+       |      FROM sc),
+       |r AS (SELECT * FROM r0 WHERE rnk <= $k)""".stripMargin
   }
+
+  private val t119Sql =
+    s"""WITH ${bm25OracleCtes(10)}
+       |SELECT query_id, rnk, doc_id, score FROM r
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // Hybrid retrieval via reciprocal-rank fusion: BM25 top-20 (lexical,
+  // over documents) fused with brute-force cosine top-20 (semantic, over
+  // the matching embedding ids) into one top-10 per query. The oracle
+  // recomputes BOTH rankings from scratch (the shared BM25 CTE chain +
+  // the d64-style cosine derivation) and then the RRF sum 1/(60+rank) —
+  // nothing is taken from the Spark side.
+  private def d137(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = bm25Queries.toDF("query_id", "qtext")
+    val lex = graft.text.Bm25.topK(Tables.documents(s, dir), "doc_id", "text",
+      q, "query_id", "qtext", k = 20)
+      .select(col("query_id"), col("rnk"), col("doc_id"))
+    val emb = Tables.embeddings(s, dir)
+    val sem = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < bm25Queries.size), "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("rnk"), col("nn_id").as("doc_id"))
+    graft.similarity.Hybrid.rrfFuse(Seq(lex, sem), k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  private val d137Sql =
+    s"""WITH ${bm25OracleCtes(20)},
+       |eq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |       FROM embeddings WHERE vec_id < ${bm25Queries.size}),
+       |es AS (SELECT eq.query_id, e.vec_id AS doc_id,
+       |         round(list_cosine_similarity(eq.qv, e.embedding::DOUBLE[]), 4) AS sim
+       |       FROM eq, embeddings e WHERE e.vec_id <> eq.query_id),
+       |er0 AS (SELECT query_id, doc_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY sim DESC, doc_id) AS rnk
+       |       FROM es),
+       |er AS (SELECT * FROM er0 WHERE rnk <= 20),
+       |contrib AS (
+       |  SELECT query_id, doc_id, 1.0 / (60 + rnk) AS c FROM r
+       |  UNION ALL SELECT query_id, doc_id, 1.0 / (60 + rnk) FROM er),
+       |fused AS (SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score
+       |          FROM contrib GROUP BY 1, 2),
+       |fr AS (SELECT query_id, doc_id, rrf_score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rnk
+       |       FROM fused)
+       |SELECT query_id, rnk, doc_id, rrf_score FROM fr WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
 
   // Markup stripping: documents wrapped in a deterministic HTML shell
   // (script/style blocks, comments, tags, double-escaped entities) must
@@ -1359,6 +1411,7 @@ object TrainingData extends QueryModule {
     "d125_embedding_near_dups" -> d125,
     "t122_url_domain_cap" -> t122,
     "t119_bm25_topk" -> t119,
+    "d137_hybrid_rrf_retrieval" -> d137,
     "t120_markup_strip" -> t120,
     "p121_shard_token_budget" -> p121,
     "t115_chunk_overlap" -> t115,
@@ -1411,6 +1464,7 @@ object TrainingData extends QueryModule {
     "d125_embedding_near_dups" -> d125Sql,
     "t122_url_domain_cap" -> t122Sql,
     "t119_bm25_topk" -> t119Sql,
+    "d137_hybrid_rrf_retrieval" -> d137Sql,
     "t120_markup_strip" -> t120Sql,
     "p121_shard_token_budget" -> p121Sql,
     "t115_chunk_overlap" -> t115Sql,

@@ -163,6 +163,40 @@ class RetrievalShardSpec extends GraftSpec {
     assert(fine == coarse)
   }
 
+  // --- reciprocal-rank fusion ---
+
+  private def rrf6(terms: Double*): Double =
+    BigDecimal(terms.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rrfFuse matches the hand-computed RRF sum and order") {
+    val lex = Seq((0L, 1, 1L), (0L, 2, 2L), (0L, 3, 3L))
+      .toDF("query_id", "rnk", "doc_id")
+    val sem = Seq((0L, 1, 3L), (0L, 2, 1L))
+      .toDF("query_id", "rnk", "doc_id")
+    val got = graft.similarity.Hybrid.rrfFuse(Seq(lex, sem), k = 10)
+      .select("query_id", "rnk", "doc_id", "rrf_score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toList
+    // doc1: 1/61 + 1/62; doc3: 1/63 + 1/61; doc2: 1/62 only
+    val exp = List(
+      (0L, 1, 1L, rrf6(1.0 / 61, 1.0 / 62)),
+      (0L, 2, 3L, rrf6(1.0 / 63, 1.0 / 61)),
+      (0L, 3, 2L, rrf6(1.0 / 62)))
+    assert(got == exp)
+  }
+
+  test("rrfFuse weights shift the fused order") {
+    val lex = Seq((0L, 1, 1L), (0L, 2, 2L), (0L, 3, 3L))
+      .toDF("query_id", "rnk", "doc_id")
+    val sem = Seq((0L, 1, 3L), (0L, 2, 1L))
+      .toDF("query_id", "rnk", "doc_id")
+    // doubling the semantic weight flips doc3 (sem rank 1) above doc1:
+    // doc3 = 1/63 + 2/61 = .048660 > doc1 = 1/61 + 2/62 = .048651
+    val got = graft.similarity.Hybrid
+      .rrfFuse(Seq(lex, sem), k = 2, weights = Seq(1.0, 2.0))
+      .select("rnk", "doc_id").as[(Int, Long)].collect().sortBy(_._1).toList
+    assert(got == List((1, 3L), (2, 1L)))
+  }
+
   test("writeShards lays out one directory per shard and loses nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
     val sharded = Packing.shardByTokenBudget(corpus, "doc_id", "ntok", budget = 100L)
