@@ -1255,6 +1255,57 @@ object TrainingData extends QueryModule {
        |SELECT query_id, rnk, doc_id, score FROM r
        |ORDER BY query_id, rnk""".stripMargin
 
+  // MMR diversified re-ranking: brute-force cosine top-20 candidates per
+  // query, greedily re-ranked to a top-5 trading relevance (λ=0.7)
+  // against max similarity to already-picked docs. The oracle replays the
+  // same greedy trajectory with a recursive CTE — each step selects the
+  // argmax of round(λ·rel − (1−λ)·max-pairwise-sim, 6) with doc-id ties —
+  // so the gate proves step-by-step agreement, not just the final set.
+  private def d138(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val sem = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 20)
+    val cand = sem.join(
+        emb.select(col("vec_id").as("nn_id"), col("embedding").as("vec")), Seq("nn_id"))
+      .select(col("query_id"), col("nn_id").as("doc_id"),
+        col("sim").as("rel"), col("vec"))
+    graft.similarity.Hybrid.mmrRerank(cand, k = 5, lambda = 0.7)
+      .orderBy("query_id", "rnk")
+  }
+
+  private val d138Sql =
+    """WITH RECURSIVE eq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |       FROM embeddings WHERE vec_id < 3),
+      |es AS (SELECT eq.query_id, e.vec_id AS doc_id, e.embedding::DOUBLE[] AS dv,
+      |         round(list_cosine_similarity(eq.qv, e.embedding::DOUBLE[]), 4) AS rel
+      |       FROM eq, embeddings e WHERE e.vec_id <> eq.query_id),
+      |er0 AS (SELECT query_id, doc_id, dv, rel,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rnk
+      |       FROM es),
+      |cand AS (SELECT query_id, doc_id, dv, rel FROM er0 WHERE rnk <= 20),
+      |ps AS (SELECT a.query_id, a.doc_id AS a_id, b.doc_id AS b_id,
+      |         round(list_cosine_similarity(a.dv, b.dv), 4) AS sim
+      |       FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+      |first AS (SELECT query_id, doc_id, round(0.7 * rel, 6) AS sc,
+      |            row_number() OVER (PARTITION BY query_id
+      |              ORDER BY round(0.7 * rel, 6) DESC, doc_id) AS rn
+      |          FROM cand),
+      |walk(query_id, step, sel, doc_id, mmr_score) AS (
+      |  SELECT query_id, 1, [doc_id], doc_id, sc FROM first WHERE rn = 1
+      |  UNION ALL
+      |  SELECT c.query_id, c.wstep + 1, list_append(c.wsel, c.doc_id), c.doc_id, c.sc
+      |  FROM (
+      |    SELECT c0.query_id, c0.doc_id, w.sel AS wsel, w.step AS wstep,
+      |      round(0.7 * c0.rel - 0.3 * (SELECT max(p.sim) FROM ps p
+      |        WHERE p.query_id = c0.query_id AND p.a_id = c0.doc_id
+      |          AND list_contains(w.sel, p.b_id)), 6) AS sc
+      |    FROM cand c0 JOIN walk w ON w.query_id = c0.query_id
+      |    WHERE w.step < 5 AND NOT list_contains(w.sel, c0.doc_id)
+      |    QUALIFY row_number() OVER (PARTITION BY c0.query_id, w.step, w.sel
+      |      ORDER BY sc DESC, c0.doc_id) = 1) c)
+      |SELECT query_id, CAST(step AS INT) AS rnk, doc_id, mmr_score
+      |FROM walk ORDER BY query_id, rnk""".stripMargin
+
   // Hybrid retrieval via reciprocal-rank fusion: BM25 top-20 (lexical,
   // over documents) fused with brute-force cosine top-20 (semantic, over
   // the matching embedding ids) into one top-10 per query. The oracle
@@ -1412,6 +1463,7 @@ object TrainingData extends QueryModule {
     "t122_url_domain_cap" -> t122,
     "t119_bm25_topk" -> t119,
     "d137_hybrid_rrf_retrieval" -> d137,
+    "d138_mmr_diversified_topk" -> d138,
     "t120_markup_strip" -> t120,
     "p121_shard_token_budget" -> p121,
     "t115_chunk_overlap" -> t115,
@@ -1465,6 +1517,7 @@ object TrainingData extends QueryModule {
     "t122_url_domain_cap" -> t122Sql,
     "t119_bm25_topk" -> t119Sql,
     "d137_hybrid_rrf_retrieval" -> d137Sql,
+    "d138_mmr_diversified_topk" -> d138Sql,
     "t120_markup_strip" -> t120Sql,
     "p121_shard_token_budget" -> p121Sql,
     "t115_chunk_overlap" -> t115Sql,

@@ -197,6 +197,29 @@ class RetrievalShardSpec extends GraftSpec {
     assert(got == List((1, 3L), (2, 1L)))
   }
 
+  test("mmrRerank demotes a redundant near-duplicate below a diverse doc") {
+    // doc2 is nearly collinear with doc1 (cos≈1) but almost as relevant;
+    // doc3 is orthogonal. Pure relevance would rank 1,2,3,4 — MMR must
+    // pull the diverse doc3 up to step 2 and push the redundant doc2 down.
+    val cand = Seq(
+      (0L, 1L, 0.9, Seq(1.0, 0.0)),
+      (0L, 2L, 0.89, Seq(1.0, 0.001)),
+      (0L, 3L, 0.5, Seq(0.0, 1.0)),
+      (0L, 4L, 0.4, Seq(1.0, 1.0)))
+      .toDF("query_id", "doc_id", "rel", "vec")
+    val got = graft.similarity.Hybrid.mmrRerank(cand, k = 4, lambda = 0.7)
+      .select("query_id", "rnk", "doc_id", "mmr_score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toList
+    // hand-replay: cos(2,1) rounds to 1.0, cos(3,1)=0, cos(2,3)≈0.001,
+    // cos(4,1)=cos(4,3)=.7071, cos(4,2)=.7078 (all at 4 decimals)
+    val exp = List(
+      (0L, 1, 1L, rrf6(0.7 * 0.9)),
+      (0L, 2, 3L, rrf6(0.7 * 0.5)),
+      (0L, 3, 2L, rrf6(0.7 * 0.89 - 0.3 * 1.0)),
+      (0L, 4, 4L, rrf6(0.7 * 0.4 - 0.3 * 0.7078)))
+    assert(got == exp)
+  }
+
   test("writeShards lays out one directory per shard and loses nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
     val sharded = Packing.shardByTokenBudget(corpus, "doc_id", "ntok", budget = 100L)
