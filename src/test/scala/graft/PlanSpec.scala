@@ -152,6 +152,31 @@ class PlanSpec extends GraftSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("rrf fusion shuffles candidate lists at most twice, never windows") {
+    val lex = Seq((0L, 1, 1L), (0L, 2, 2L)).toDF("query_id", "rnk", "doc_id")
+    val sem = Seq((0L, 1, 2L), (0L, 2, 3L)).toDF("query_id", "rnk", "doc_id")
+    val df = graft.similarity.Hybrid.rrfFuse(Seq(lex, sem), k = 10)
+    val plan = physicalPlan(df) // executedPlan: exchanges exist only post-EnsureRequirements
+    // one exchange for the (query_id, doc_id) sum + one for the bounded
+    // top-k merge; both move only candidate-list-sized data
+    val nEx = "(?m)^\\s*\\+?-?\\s*Exchange ".r.findAllIn(plan).size
+    assert(nEx <= 2, s"$nEx exchanges:\n$plan")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan) // bounded top-k, not a sort
+  }
+
+  test("mmr re-rank is one exchange on the query key, no window, no cartesian") {
+    val cand = graft.sources.Tables.embeddings(spark, sf)
+      .select((col("vec_id") % 4).as("query_id"), col("vec_id").as("doc_id"),
+        (col("vec_id") % 100 / 100.0).as("rel"), col("embedding").as("vec"))
+    val df = graft.similarity.Hybrid.mmrRerank(cand, k = 2)
+    val plan = physicalPlan(df) // executedPlan: exchanges exist only post-EnsureRequirements
+    val nEx = "(?m)^\\s*\\+?-?\\s*Exchange ".r.findAllIn(plan).size
+    assert(nEx == 1, s"$nEx exchanges:\n$plan")
+    assert(plan.contains("MapGroups"), plan) // the per-query greedy loop
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("token-budget shards never window over a single global partition") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .withColumn("tok", length(col("text")).cast("long"))
