@@ -43,7 +43,7 @@ object Sampling {
   /** Deterministic uniform in (0,1) for a key: 13 hex digits (52 bits —
     * exactly a double mantissa) of md5, +0.5 so 0 and 1 are excluded.
     * Portable: an independent engine reproduces it from the same md5. */
-  private def hashUniform(key: Column): Column =
+  private[graft] def hashUniform(key: Column): Column =
     (conv(substring(md5(key.cast("string")), 1, 13), 16, 10)
       .cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
 

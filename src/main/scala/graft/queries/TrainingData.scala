@@ -1181,6 +1181,79 @@ object TrainingData extends QueryModule {
       |JOIN uni u2 ON u2.w = p.w2
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // DSIR importance resampling: top-50 raw docs by Gumbel-noised
+  // importance log-weight log10 p_target − log10 p_raw under two bigram
+  // LMs (target = the English subset). The oracle retrains BOTH count
+  // models, rescores every doc under each (with the OOV backoff for the
+  // target model), and reproduces the Gumbel key from the md5
+  // hash-uniform — the full selection replayed from scratch.
+  private def t139(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.text.Dsir.resample(docs, docs.filter(col("lang") === "en"),
+      "doc_id", "text", n = 50)
+      .orderBy("doc_id")
+  }
+
+  private val t139Sql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tk
+      |  FROM documents),
+      |tgt AS (SELECT d.tk FROM d JOIN documents doc USING (doc_id)
+      |        WHERE doc.lang = 'en'),
+      |uni_t AS (SELECT w, count(*) AS c
+      |          FROM (SELECT unnest(tk) AS w FROM tgt) GROUP BY 1),
+      |n_t AS (SELECT sum(c) AS total FROM uni_t),
+      |bi_t AS (SELECT w1, w2, count(*) AS c FROM (
+      |           SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |           FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+      |                 FROM tgt))
+      |         GROUP BY 1, 2 HAVING count(*) >= 2),
+      |uni_r AS (SELECT w, count(*) AS c
+      |          FROM (SELECT unnest(tk) AS w FROM d) GROUP BY 1),
+      |n_r AS (SELECT sum(c) AS total FROM uni_r),
+      |bi_r AS (SELECT w1, w2, count(*) AS c FROM (
+      |           SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |           FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+      |                 FROM d))
+      |         GROUP BY 1, 2 HAVING count(*) >= 2),
+      |pairs AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      |          FROM (SELECT doc_id, tk,
+      |                  unnest(generate_series(1, len(tk) - 1)) AS i FROM d)),
+      |s_t AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+      |          round(avg(CASE WHEN b.c IS NOT NULL
+      |            THEN log10(b.c::DOUBLE / u1.c)
+      |            ELSE log10(0.4) + log10(coalesce(u2.c, 0.5)::DOUBLE
+      |                   / (SELECT total FROM n_t)) END), 6) AS logp_t
+      |        FROM pairs p
+      |        LEFT JOIN bi_t b ON b.w1 = p.w1 AND b.w2 = p.w2
+      |        LEFT JOIN uni_t u1 ON u1.w = p.w1
+      |        LEFT JOIN uni_t u2 ON u2.w = p.w2
+      |        GROUP BY 1),
+      |s_r AS (SELECT p.doc_id,
+      |          round(avg(CASE WHEN b.c IS NOT NULL
+      |            THEN log10(b.c::DOUBLE / u1.c)
+      |            ELSE log10(0.4) + log10(u2.c::DOUBLE
+      |                   / (SELECT total FROM n_r)) END), 6) AS logp_r
+      |        FROM pairs p
+      |        LEFT JOIN bi_r b ON b.w1 = p.w1 AND b.w2 = p.w2
+      |        JOIN uni_r u1 ON u1.w = p.w1
+      |        JOIN uni_r u2 ON u2.w = p.w2
+      |        GROUP BY 1),
+      |keyed AS (
+      |  SELECT s_t.doc_id, s_t.n_scored,
+      |    round(s_t.n_scored * (s_t.logp_t - s_r.logp_r), 6) AS log_w
+      |  FROM s_t JOIN s_r ON s_t.doc_id = s_r.doc_id),
+      |gk AS (
+      |  SELECT doc_id, n_scored, log_w,
+      |    round(log_w * ln(10) - ln(-ln(
+      |      (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+      |        + CAST(0.5 AS DOUBLE)) / CAST(4503599627370496 AS DOUBLE))), 6)
+      |      AS gumbel_key
+      |  FROM keyed),
+      |sel AS (SELECT * FROM gk ORDER BY gumbel_key DESC, doc_id LIMIT 50)
+      |SELECT doc_id, n_scored, log_w, gumbel_key FROM sel
+      |ORDER BY doc_id""".stripMargin
+
   // Edit-distance similarity join (fuzzy entity resolution): all distinct
   // part-name pairs within 2 edits, found via FastSS deletion-neighborhood
   // blocking (never all-pairs) and verified with exact levenshtein; the
@@ -1469,6 +1542,7 @@ object TrainingData extends QueryModule {
     "t115_chunk_overlap" -> t115,
     "t116_nfc_normalize" -> t116,
     "t117_ngram_lm_perplexity" -> t117,
+    "t139_dsir_resample" -> t139,
     "d60_exact_dedup" -> d60,
     "d107_exact_substring_spans" -> d107,
     "d108_exact_substring_scrub" -> d108,
@@ -1523,6 +1597,7 @@ object TrainingData extends QueryModule {
     "t115_chunk_overlap" -> t115Sql,
     "t116_nfc_normalize" -> t116Sql,
     "t117_ngram_lm_perplexity" -> t117Sql,
+    "t139_dsir_resample" -> t139Sql,
     "d60_exact_dedup" -> d60Sql,
     "d107_exact_substring_spans" -> d107Sql,
     "d108_exact_substring_scrub" -> d108Sql,

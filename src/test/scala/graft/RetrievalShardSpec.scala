@@ -220,6 +220,31 @@ class RetrievalShardSpec extends GraftSpec {
     assert(got == exp)
   }
 
+  // --- DSIR importance resampling ---
+
+  test("dsir log-weights favor target-like docs; selection is deterministic") {
+    val target = (100L until 120L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "beta gamma delta alpha"),
+      (4L, "zeta eta theta iota"), (5L, "zeta eta theta iota"),
+      (6L, "theta iota zeta eta")).toDF("doc_id", "text")
+    val out = graft.text.Dsir.resample(raw, target, "doc_id", "text", n = 6)
+      .select("doc_id", "log_w").as[(Long, Double)].collect().toMap
+    assert(out.size == 6)
+    val targetLike = Seq(1L, 2L, 3L).map(out)
+    val offTarget = Seq(4L, 5L, 6L).map(out)
+    // every target-like doc outweighs every off-target doc
+    assert(targetLike.min > offTarget.max, s"$out")
+    // the Gumbel draw is a hash, not RNG state: identical on re-run
+    val again = graft.text.Dsir.resample(raw, target, "doc_id", "text", n = 3)
+      .select("doc_id", "gumbel_key").as[(Long, Double)].collect().toList
+    val third = graft.text.Dsir.resample(raw, target, "doc_id", "text", n = 3)
+      .select("doc_id", "gumbel_key").as[(Long, Double)].collect().toList
+    assert(again == third && again.size == 3)
+  }
+
   test("writeShards lays out one directory per shard and loses nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
     val sharded = Packing.shardByTokenBudget(corpus, "doc_id", "ntok", budget = 100L)
