@@ -61,6 +61,12 @@ package object functions {
     org.apache.spark.sql.graftbridge.column(
       graft.plans.TextStats(org.apache.spark.sql.graftbridge.expression(text)))
 
+  /** Native one-pass duplicate-n-gram counts (total + distinct word
+    * 2-/3-grams) for the repetition quality filters. */
+  def repetitionStats(text: Column): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.RepetitionStats(org.apache.spark.sql.graftbridge.expression(text)))
+
   /** BPE-ish subword count estimate: words + punctuation marks counted
     * separately (a regex proxy for byte-pair tokenizers: every run of
     * letters/digits is ~1.3 tokens, every punct char is 1). */

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -53,6 +53,28 @@ object TextAnalysis {
     * array arithmetic over one tokenization — computed in the scan
     * stage, zero shuffles, same formula as the DuckDB oracle (t86). */
   def withRepetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    // One native pass (graft.plans.RepetitionStats) computes total +
+    // distinct 2-/3-gram counts; ratios stay declarative arithmetic over
+    // the struct. The kernel replaced a concat_ws/array_distinct chain
+    // that cost 447 s over the 10M-doc pipeline corpus; the declarative
+    // form is kept below and spec-pinned equal (RetrievalShardSpec).
+    val rs = col("__rs")
+    def ratio(total: Column, distinct: Column) =
+      when(total === 0, lit(0.0))
+        .otherwise((total - distinct).cast("double") / total)
+    df.withColumn("__rs", repetitionStats(col(textCol)))
+      .withColumn("n_bigrams", col("__rs.n_bigrams"))
+      .withColumn("dup_bigram_ratio",
+        round(ratio(rs.getField("n_bigrams"), rs.getField("n_distinct_bigrams")), 6))
+      .withColumn("dup_trigram_ratio",
+        round(ratio(rs.getField("n_trigrams"), rs.getField("n_distinct_trigrams")), 6))
+      .drop("__rs")
+  }
+
+  /** The pre-kernel declarative formulation — retained as the semantic
+    * reference the native kernel is spec-pinned against. */
+  private[graft] def withRepetitionFeaturesDeclarative(
+      df: DataFrame, textCol: String): DataFrame = {
     // Materialize the token array in its own projection: referencing the
     // raw split(...) expression inside the transform() lambdas would
     // re-run the regex split PER N-GRAM ELEMENT (O(tokens) splits per

@@ -245,6 +245,26 @@ class RetrievalShardSpec extends GraftSpec {
     assert(again == third && again.size == 3)
   }
 
+  test("native repetition kernel is bit-equal to the declarative formula") {
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val edges = Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "\t"), (9004L, "one"),
+      (9005L, "a a a a a"), (9006L, "a b a b a b"), (9007L, "x y z x y z x y"),
+      (9008L, "  leading and trailing  "), (9009L, "tab\tseparated\ttokens\t"),
+      (9010L, "Mixed CASE mixed case MIXED case"),
+      (9011L, "a\nb\r\ncd\fe"), (9012L, "ünïcode tökens ünïcode tökens"))
+      .toDF("doc_id", "text")
+    val in = real.unionByName(edges)
+    val native = TextAnalysis.withRepetitionFeatures(in, "text")
+      .select("doc_id", "n_bigrams", "dup_bigram_ratio", "dup_trigram_ratio")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toList
+    val decl = TextAnalysis.withRepetitionFeaturesDeclarative(in, "text")
+      .select("doc_id", "n_bigrams", "dup_bigram_ratio", "dup_trigram_ratio")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toList
+    assert(native == decl)
+  }
+
   test("writeShards lays out one directory per shard and loses nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
     val sharded = Packing.shardByTokenBudget(corpus, "doc_id", "ntok", budget = 100L)
