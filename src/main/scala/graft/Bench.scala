@@ -45,12 +45,21 @@ object Bench {
     // r5 lesson at tier granularity, applied per stage. Value-producing
     // stage groups (minhash→recall→clusters, bpe, ANN) wrap their whole
     // dependent group the same way below.
+    // Iteration aid: SPARK_GRAFT_PIPELINE_STAGES=a,b re-times only the
+    // named stages (published numbers always come from full-tier runs).
+    val onlyStages = sys.env.get("SPARK_GRAFT_PIPELINE_STAGES")
+      .map(_.split(",").map(_.trim).toSet)
+    // gate for whole dependent stage GROUPS (minhash→recall→clusters,
+    // bpe, ANN): run the group if any of its stage names is wanted
+    def wanted(names: String*): Boolean =
+      onlyStages.forall(s => names.exists(s.contains))
     def timedSafe(name: String)(body: => Unit): Unit =
-      try timed(name)(body)
-      catch { case e: Throwable =>
-        times -= name
-        System.err.println(s"[bench-pipeline] $name failed: $e")
-      }
+      if (onlyStages.forall(_.contains(name)))
+        try timed(name)(body)
+        catch { case e: Throwable =>
+          times -= name
+          System.err.println(s"[bench-pipeline] $name failed: $e")
+        }
     timedSafe("exact_dedup") {
       graft.dedup.Dedup.exact(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
@@ -65,7 +74,7 @@ object Bench {
     // not sum. The pairs write rides inside the minhash timing (disclosed:
     // it is ~500k rows at scale 100, noise next to the banding shuffle).
     val pairsPath = graft.sources.PipelineCorpus.dirFor(scale) + "/tmp_pairs"
-    try {
+    if (wanted("minhash_lsh_neardups", "dup_clusters")) try {
     timedSafe("minhash_lsh_neardups") {
       graft.dedup.Dedup.minhashNearDups(docs, "doc_id", "text")
         .write.mode("overwrite").parquet(pairsPath)
@@ -117,7 +126,7 @@ object Bench {
     // 2000 merges = a production-shaped vocabulary run; batched training
     // makes it ~20 driver round-trips (the r5 finding: one round-trip per
     // merge meant vocab-size-bound scheduler latency)
-    try {
+    if (wanted("bpe_train", "bpe_tokenize")) try {
       val bpeModel = timed("bpe_train") {
         graft.text.Bpe.train(docs, "text", numMerges = 2000)
       }
@@ -209,7 +218,7 @@ object Bench {
     // shape, 2000 neighbor labels); 48 at 20M (480 labels -- still a
     // stable recall@10 estimate, and the exact baseline stays ~6 min
     // instead of 25).
-    try {
+    if (wanted("ann_brute_force", "ann_lsh", "ann_ivf", "ann_ivfpq")) try {
     val nQueries = math.max(48L, math.min(200L, 400000000L / math.max(nVec, 1L)))
     val qVecs = emb.filter(col("vec_id") % lit(math.max(nVec / nQueries, 1L)) === 0)
       .persist()
@@ -219,7 +228,7 @@ object Bench {
         .bruteForceTopK(emb, qVecs, "vec_id", "embedding", 10).persist()
       b.count(); b
     }
-    def annRecall(name: String)(run: => org.apache.spark.sql.DataFrame): Unit = try {
+    def annRecall(name: String)(run: => org.apache.spark.sql.DataFrame): Unit = if (wanted(name)) try {
       val approx = timed(name) { val a = run.persist(); a.count(); a }
       val inter = brute.select("query_id", "nn_id")
         .join(approx.select("query_id", "nn_id"), Seq("query_id", "nn_id"), "left_semi")

@@ -40,6 +40,39 @@ object Sampling {
       .filter(col("__rank") <= n)
       .drop("__rank")
 
+  /** [[fixedSizePerKey]] for wide rows at 100 TB: the same keep-set when
+    * `idCol` is non-null and distinct per key (md5 ties between duplicate
+    * ids are the only possible divergence), but the wide rows NEVER
+    * shuffle. The window formulation ships every full row — multi-KB text
+    * and all — through a key-partitioned exchange and sorts it inside
+    * WindowExec; here the per-key nth-smallest id-hash (the keep/drop
+    * boundary) is computed on a narrow (key, hash) projection, and only
+    * keys that actually REACH the cap emit a threshold row, so the join
+    * side is one row per hot key (broadcast under AQE in any realistic
+    * cap setting — under-cap keys take the null branch and keep
+    * everything) and the keep decision is a scan-stage string compare.
+    * Null-safe key equality keeps the null-key group capped exactly like
+    * the window path.
+    *
+    * `broadcastThresholds` defaults true — the hint matters because the
+    * pre-AQE plan would otherwise sort-merge and the wide side's shuffle
+    * map work is already spent by the time AQE notices the threshold
+    * stage is tiny. Pass false only when the over-cap key count itself is
+    * too large to broadcast (then the narrow threshold table shuffles,
+    * still never the wide rows' width×depth). */
+  def fixedSizePerKeyByThreshold(df: DataFrame, n: Int, keyCol: Column,
+      idCol: Column, broadcastThresholds: Boolean = true): DataFrame = {
+    val thr = df.select(keyCol.as("__k"), hashRank(idCol).as("__h"))
+      .withColumn("__r",
+        row_number().over(Window.partitionBy("__k").orderBy("__h")))
+      .filter(col("__r") === n)
+      .select(col("__k"), col("__h").as("__thr"))
+    val right = if (broadcastThresholds) broadcast(thr) else thr
+    df.join(right, keyCol <=> col("__k"), "left")
+      .filter(col("__thr").isNull || hashRank(idCol) <= col("__thr"))
+      .drop("__k", "__thr")
+  }
+
   /** Deterministic uniform in (0,1) for a key: 13 hex digits (52 bits —
     * exactly a double mantissa) of md5, +0.5 so 0 and 1 are excluded.
     * Portable: an independent engine reproduces it from the same md5. */

@@ -258,6 +258,15 @@ package object functions {
         org.apache.spark.sql.graftbridge.expression(a),
         org.apache.spark.sql.graftbridge.expression(b)))
 
+  /** PQ asymmetric-distance accumulation: Σ_j lut[j·ksub + codes[j]],
+    * ksub inferred as |lut|/|codes|. Native kernel (graft.plans.PqAdc) —
+    * reads only the m addressed LUT entries per row inside codegen. */
+  def pqAdc(codes: Column, lut: Column): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.PqAdc(
+        org.apache.spark.sql.graftbridge.expression(codes),
+        org.apache.spark.sql.graftbridge.expression(lut)))
+
   /** Multi-table random-hyperplane LSH signatures for cosine distance:
     * array of `tables` signatures, each `nBits` sign bits of projections
     * onto deterministic pseudo-random hyperplanes. Native codegen'd kernel

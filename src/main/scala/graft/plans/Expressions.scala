@@ -351,6 +351,47 @@ object CosineSim {
   }
 }
 
+/** Native PQ asymmetric-distance accumulation: `Σ_j lut[j·ksub + codes[j]]`
+  * with `ksub = |lut| / |codes|`. The UDF formulation converted the whole
+  * ksub·m-entry LUT (2048 doubles at m=8) from Catalyst to a boxed Seq PER
+  * SCORED ROW even though only m entries are read; this reads exactly the
+  * m addressed entries off ArrayData inside whole-stage codegen. */
+case class PqAdc(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.IntegerType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires (array<int> codes, array<double> lut), got " +
+        s"${l.catalogString}, ${r.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAdc.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.PqAdc.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  def compute(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val ksub = lut.numElements() / m
+    var s = 0.0; var j = 0
+    while (j < m) { s += lut.getDouble(j * ksub + codes.getInt(j)); j += 1 }
+    s
+  }
+}
+
 object SortedJaccard {
   def compute(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()

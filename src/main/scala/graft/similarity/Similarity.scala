@@ -500,18 +500,16 @@ object Similarity {
       }
       t
     }
-    val adc = udf { (codes: Seq[Int], t: Seq[Double]) =>
-      var s = 0.0; var j = 0
-      while (j < m) { s += t(j * ksub + codes(j)); j += 1 }
-      s
-    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("lut", lut(col("qv")))
       .withColumn("qnorm", sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x)))
       .withColumn("cell", explode(probeCells(col("qv"))))
     val scored = encoded.join(broadcast(q), Seq("cell"))
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("sim", round(adc(col("codes"), col("lut")) /
+      // native ADC: the UDF version deserialized the full 2048-entry LUT
+      // to a boxed Seq per scored row; pqAdc reads the m addressed
+      // entries off ArrayData inside codegen
+      .withColumn("sim", round(pqAdc(col("codes"), col("lut")) /
         (col("qnorm") * col("norm")), 4))
       .select("query_id", "nn_id", "sim")
     if (rerank <= 0) rankTopK(scored, k)

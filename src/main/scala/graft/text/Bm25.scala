@@ -16,17 +16,27 @@ import graft.similarity.Similarity
   *   idf(t)      = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )
   * }}}
   *
-  * Scale anatomy — the plan is the inverted-index PROBE shape, not the
-  * index build:
-  *   - corpus stats (N, avgdl): one tiny aggregate, broadcast;
-  *   - query terms: deduped and BROADCAST — per-term tf is computed in
-  *     the scan stage as array arithmetic over each document's tokens
-  *     (`size(filter(tokens, t = term))`), so full documents never
-  *     shuffle and non-matching (doc, term) rows die in the scan;
-  *   - df(t): one narrow aggregate over the matched (term, doc) rows —
-  *     at most |query vocabulary| output rows, map-side combined;
-  *   - ranking: the bounded partial+final top-k aggregator
-  *     ([[Similarity.rankTopK]]), never a per-query global sort.
+  * Scale anatomy — TWO corpus scans and ZERO wide exchanges (trading a
+  * second scan for the exchanges is the right 100 TB call: scans are
+  * I/O-bound and embarrassingly parallel, exchanges are the cluster
+  * bottleneck):
+  *   1. STATS SCAN — one pass computes N, avgdl AND per-term document
+  *      frequency together: each document emits one doc-marker struct
+  *      plus one struct per distinct query term it contains
+  *      (`array_intersect` against the broadcast vocabulary), and a
+  *      single map-side-combined aggregate over ≤ |vocab|+1 groups
+  *      collapses everything; only task-local partials reach the
+  *      exchange. The collected (df, idf) table is driver-bounded by the
+  *      query-vocabulary cap (`maxTerms`, same contract as Lookup's
+  *      probe-key bound).
+  *   2. SCORING SCAN — each query's full (term, idf) array rides in as a
+  *      broadcast row and the COMPLETE BM25 score folds per document in
+  *      the scan stage (`aggregate` over the term array, tf via
+  *      `size(filter(tokens, ...))`), in sorted term order so the FP sum
+  *      is deterministic. Non-matching documents die in the scan; what
+  *      leaves is only the bounded partial+final top-k accumulator
+  *      ([[Similarity.rankTopK]]) — k rows per query per task, never a
+  *      per-query candidate set and never a (query, doc) exchange.
   * Scores are rounded before ranking and ties break by doc id, so the
   * top-k is deterministic and engine-portable.
   */
@@ -39,39 +49,87 @@ object Bm25 {
   /** Top-k BM25 hits per query.
     *
     * `queries`: (queryIdCol, queryTextCol) — a SMALL table (≤ ~10^4 rows;
-    * it is broadcast). Output: (query_id, rnk, doc_id, score). */
+    * its distinct vocabulary, capped at `maxTerms`, is collected and
+    * broadcast). Output: (query_id, rnk, doc_id, score).
+    *
+    * NOTE: like the sampled IVF fit, this runs the stats scan EAGERLY at
+    * call time (a documented bounded driver collect — ≤ maxTerms+1
+    * aggregated rows); the returned frame's own execution is the scoring
+    * scan only. */
   def topK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, maxTerms: Int = 100000): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("tk"))
       .withColumn("dl", size(col("tk")).cast("double"))
-    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
     val qterms = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
-    // per (doc, query-term) tf in the scan stage; zero-tf rows never
-    // survive to the exchange
-    val matched = toks.crossJoin(broadcast(qterms))
-      .withColumn("tf",
-        size(filter(col("tk"), t => t === col("term"))).cast("double"))
-      .filter(col("tf") > 0)
-      .select("doc_id", "dl", "query_id", "term", "tf")
-    // document frequency per distinct term (a term shared by two queries
-    // counts each matching doc once)
-    val dfreq = matched.select("term", "doc_id").distinct()
-      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val scored = matched
-      .join(broadcast(dfreq), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .withColumn("contrib",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
-          col("tf") * (k1 + 1) /
-          (col("tf") + (col("dl") / col("avgdl") * (b * k1) + lit(k1 * (1 - b)))))
-      .groupBy("query_id", "doc_id")
-      .agg(round(sum("contrib"), roundTo).as("sim"))
-      .select(col("query_id"), col("doc_id").as("nn_id"), col("sim"))
+    val terms = qterms.select("term").distinct().collect().map(_.getString(0))
+    require(terms.length <= maxTerms,
+      s"query vocabulary ${terms.length} exceeds maxTerms=$maxTerms — " +
+        "BM25 broadcasts the vocabulary; raise the cap only if it still fits")
+    if (terms.isEmpty) { // no query terms: empty result, right schema
+      val empty = toks.limit(0).select(
+        lit(null).cast(queries.schema(queryIdCol).dataType).as("query_id"),
+        col("doc_id").as("nn_id"), lit(0.0).as("sim"))
+      return Similarity.rankTopK(empty, k)
+        .withColumnRenamed("nn_id", "doc_id").withColumnRenamed("sim", "score")
+    }
+    val termsLit = array(terms.sorted.map(lit(_)): _*)
+
+    // stats scan: one map-side-combined aggregate yields N + avgdl (the
+    // doc-marker group) and df(t) for every vocabulary term
+    val grouped = toks.select(explode(concat(
+        array(struct(lit(true).as("is_doc"),
+          lit(null).cast("string").as("term"), col("dl"))),
+        transform(array_intersect(array_distinct(col("tk")), termsLit),
+          t => struct(lit(false).as("is_doc"), t.as("term"), col("dl"))))).as("e"))
+      .groupBy(col("e.is_doc").as("is_doc"), col("e.term").as("term"))
+      .agg(count(lit(1)).cast("double").as("cnt"), avg(col("e.dl")).as("ad"))
+      .collect()
+    val docRow = grouped.find(_.getBoolean(0))
+    if (docRow.isEmpty) { // empty corpus
+      val empty = toks.limit(0).select(
+        lit(null).cast(queries.schema(queryIdCol).dataType).as("query_id"),
+        col("doc_id").as("nn_id"), lit(0.0).as("sim"))
+      return Similarity.rankTopK(empty, k)
+        .withColumnRenamed("nn_id", "doc_id").withColumnRenamed("sim", "score")
+    }
+    val nDocs = docRow.get.getDouble(2)
+    val avgdl = docRow.get.getDouble(3)
+    // idf mirrors the SQL expression bit-for-bit (same IEEE ops, same order)
+    val idfOf = grouped.iterator.filterNot(_.getBoolean(0)).map { r =>
+      val df = r.getDouble(2)
+      r.getString(1) -> math.log((nDocs - df + 0.5) / (df + 0.5) + 1)
+    }.toMap
+    val s = docs.sparkSession
+    import scala.jdk.CollectionConverters._
+    val idfDf = s.createDataFrame(
+      idfOf.toSeq.sortBy(_._1).map { case (t, w) =>
+        org.apache.spark.sql.Row(t, w) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType))))
+    // per-query (term, weight) arrays, term-sorted for a deterministic fold
+    val qw = qterms.join(idfDf, Seq("term")) // df=0 terms contribute nothing
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("term"), col("w")))).as("qw"))
+
+    // scoring scan: full BM25 per (query, doc) as scan-stage arithmetic
+    val lenNorm = col("dl") / avgdl * (b * k1) + lit(k1 * (1 - b))
+    val scored = toks.crossJoin(broadcast(qw))
+      .withColumn("raw", aggregate(col("qw"), lit(0.0), (acc, e) => {
+        val tf = size(filter(col("tk"), t => t === e("term"))).cast("double")
+        // same IEEE op order as the SQL oracle: ((idf·tf)·(k1+1)) / denom
+        acc + when(tf > 0,
+          e("w") * tf * (k1 + 1) / (tf + lenNorm)).otherwise(0.0)
+      }))
+      .filter(col("raw") > 0) // contributions are strictly positive
+      .select(col("query_id"), col("doc_id").as("nn_id"),
+        round(col("raw"), roundTo).as("sim"))
     Similarity.rankTopK(scored, k)
       .withColumnRenamed("nn_id", "doc_id")
       .withColumnRenamed("sim", "score")

@@ -11,14 +11,16 @@ import graft.api.Sampling
   *
   * Parsing rides Spark's codegen'd `parse_url` (HOST/PATH/QUERY); the
   * registrable-domain heuristic (last two dot-labels) is scan-stage
-  * string arithmetic. Capping composes [[Sampling.fixedSizePerKey]]:
-  * rank documents within a domain by a content-independent md5 of their
-  * id and keep the first n — deterministic, partitioning-independent,
-  * engine-portable, restartable. One shuffle on the domain; the window
-  * per domain is bounded by that domain's crawl volume (the hot-domain
-  * case is exactly what the cap is for — row_number short-circuits
-  * nothing, but emitting ≤ n rows per domain keeps everything downstream
-  * skew-free).
+  * string arithmetic. Capping composes
+  * [[Sampling.fixedSizePerKeyByThreshold]]: rank documents within a
+  * domain by a content-independent md5 of their id and keep the first n —
+  * deterministic, partitioning-independent, engine-portable, restartable.
+  * The threshold formulation is what makes this 100 TB-shaped: the wide
+  * document rows never shuffle — only a narrow (domain, hash) projection
+  * does, the per-domain keep/drop boundary joins back as one row per
+  * OVER-cap domain (broadcast), and the keep decision runs in the scan
+  * stage. Emitting ≤ n rows per domain keeps everything downstream
+  * skew-free — the hot-domain case is exactly what the cap is for.
   */
 object Urls {
 
@@ -43,6 +45,6 @@ object Urls {
     * deterministic md5 rank of `idCol`. Adds the url_* columns. */
   def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
       n: Int): DataFrame =
-    Sampling.fixedSizePerKey(withUrlParts(df, urlCol), n,
+    Sampling.fixedSizePerKeyByThreshold(withUrlParts(df, urlCol), n,
       col("url_domain"), col(idCol))
 }

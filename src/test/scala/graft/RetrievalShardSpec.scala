@@ -121,6 +121,38 @@ class RetrievalShardSpec extends GraftSpec {
       again.select("doc_id").as[Long].collect().sorted.toList)
   }
 
+  test("threshold per-key cap is the window per-key cap, wide rows unshuffled") {
+    import graft.api.Sampling
+    // hot key (60 rows), exactly-at-cap key (5), under-cap key (2), and a
+    // null key group — every branch of the threshold join
+    val rows = (0L until 60L).map(i => (i, Option("hot"))) ++
+      (100L until 105L).map(i => (i, Option("atcap"))) ++
+      Seq((200L, Option("cold")), (201L, Option("cold")),
+        (300L, None: Option[String]), (301L, None), (302L, None),
+        (303L, None), (304L, None), (305L, None), (306L, None))
+    val df = rows.toDF("id", "k").withColumn("wide",
+      concat(lit("x" * 64), col("id").cast("string")))
+    val byWindow = Sampling.fixedSizePerKey(df, 5, col("k"), col("id"))
+      .select("id").as[Long].collect().sorted.toList
+    val byThr = Sampling.fixedSizePerKeyByThreshold(df, 5, col("k"), col("id"))
+    assert(byThr.columns.toList == List("id", "k", "wide")) // helpers dropped
+    assert(byThr.select("id").as[Long].collect().sorted.toList == byWindow)
+    // the wide column reaches no exchange: every Exchange subtree in the
+    // physical plan carries only the narrow projection (unwrap the AQE
+    // root — its collect does not descend into the input plan)
+    val plan = byThr.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan // post-EnsureRequirements, pre-execution
+      case p => p
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.child.output.map(_.name).contains("wide"),
+        s"wide rows must not shuffle: ${e.child.output.map(_.name)}") }
+  }
+
   // --- token-budget shards ---
 
   private lazy val corpus = (0L until 400L)
