@@ -282,8 +282,11 @@ object Dedup {
     val bloom = corpusFp.stat.bloomFilter("fp", n, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
     // the one UDF-shaped call: mightContain probes broadcast sketch state,
-    // no built-in expression exists (same adjudication as the HLL decode)
-    val might = udf((s: String) => bloomB.value.mightContainString(s))
+    // no built-in expression exists (same adjudication as the HLL decode).
+    // null-guarded: a null textCol row fingerprints to null, and
+    // mightContainString(null) NPEs the whole job — null text is trivially
+    // not a duplicate of anything, so it flows through unflagged.
+    val might = udf((s: String) => s != null && bloomB.value.mightContainString(s))
     val withFp = newDf.withColumn("__fp", fingerprint64(col(textCol)))
     val suspected = withFp.filter(might(col("__fp")))
       .select(col("__fp").as("fp")).distinct()

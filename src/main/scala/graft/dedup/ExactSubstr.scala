@@ -159,7 +159,16 @@ object ExactSubstr {
     // ~4 copies of a ~1G-row exchange at 10M docs, the tier's remaining
     // ENOSPC (observed at scale 100 with 66 GB of scratch). Same design
     // as minhashCandidatePairs; per-bucket work is capped by maxPerGram.
+    // Over-cap buckets are excluded BEFORE the collect: a corpus-wide hot
+    // gram (degenerate boilerplate) would otherwise materialize an
+    // unbounded (id, pos) list in a single aggregation buffer. The count
+    // aggregate is map-side combined (its exchange carries (h, n) pairs,
+    // not anchor structs) and the hot set is tiny by construction — every
+    // member needs > maxPerGram occurrences — so it broadcasts.
+    val hot = anchors.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxPerGram).select("h")
     anchors
+      .join(broadcast(hot), Seq("h"), "left_anti")
       .groupBy("h").agg(collect_list(struct(col("id"), col("i"))).as("xs"))
       .filter(size(col("xs")).between(2, maxPerGram))
       .select(col("h"), explode(flatten(transform(col("xs"), x =>

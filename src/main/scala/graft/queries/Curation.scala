@@ -192,24 +192,28 @@ object Curation extends QueryModule {
   // the oracle rebuilds every matrix entry and the fold closed-form in
   // DuckDB, so all 16 projected components match value-for-value (round 4
   // absorbs summation-order ulps).
+  // Gate output is exploded to one (vec_id, idx, pv) row per projected
+  // component: the driver's pandas comparator sorts column values and
+  // cannot hash array cells (r6 finding), so no gate may emit arrays.
   private def d131(s: SparkSession, dir: String): DataFrame =
     Similarity.randomProject(Tables.embeddings(s, dir), "embedding", 16,
         seed = 42L)
-      .select(col("vec_id"),
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("idx", "v")))
+      .select(col("vec_id"), col("idx").cast("long").as("idx"),
         // + 0.0 canonicalizes IEEE -0.0 → 0.0 (DuckDB rounds tiny
         // negatives to -0.0, Spark to 0.0; the driver hash is bit-exact)
-        transform(col("proj"), x => round(x, 4) + lit(0.0)).as("proj"))
-      .orderBy("vec_id")
+        (round(col("v"), 4) + lit(0.0)).as("pv"))
+      .orderBy("vec_id", "idx")
 
   private val d131Sql =
-    """SELECT vec_id,
-      |  list_transform(generate_series(1, 16), j ->
-      |    round(list_sum(list_transform(generate_series(1, 64), i ->
-      |      embedding[i]::DOUBLE *
-      |      (CASE WHEN substring(md5('42_' || (i-1) || '_' || (j-1)), 1, 1) < '8'
-      |            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)))
-      |      / sqrt(CAST(16 AS DOUBLE)), 4) + 0.0) AS proj
-      |FROM embeddings ORDER BY vec_id""".stripMargin
+    """SELECT vec_id, CAST(j - 1 AS BIGINT) AS idx,
+      |  round(list_sum(list_transform(generate_series(1, 64), i ->
+      |    embedding[i]::DOUBLE *
+      |    (CASE WHEN substring(md5('42_' || (i-1) || '_' || (j-1)), 1, 1) < '8'
+      |          THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)))
+      |    / sqrt(CAST(16 AS DOUBLE)), 4) + 0.0 AS pv
+      |FROM embeddings CROSS JOIN generate_series(1, 16) AS t(j)
+      |ORDER BY vec_id, idx""".stripMargin
 
   // ---- d132: containment (asymmetric Jaccard) probe ---------------------
   // Probe text = doc 1 ++ doc 2: both must surface with containment ≈ 1

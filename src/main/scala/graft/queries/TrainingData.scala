@@ -211,28 +211,35 @@ object TrainingData extends QueryModule {
   // than float32). Codes are value-checked against DuckDB's identical
   // closed form (same double arithmetic: round(x·127/max|x|)); the
   // round-trip cosine ≥ 0.999 contract is pinned TRUE on both sides.
+  // Gate output is exploded to one (vec_id, idx, qval) row per code: the
+  // driver's pandas comparator sorts column values and cannot hash array
+  // cells (r6 finding), so no gate may emit arrays. qscale/cos_ok ride
+  // along per row (constant within a vec_id).
   private def d135(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val q = Similarity.quantizeInt8(emb, "embedding")
       .withColumn("deq", Similarity.dequantizeInt8("qvec", "qscale"))
-    q.select(col("vec_id"),
-        col("qvec").cast("array<int>").as("qvec"),
-        round(col("qscale"), 6).as("qscale"),
-        (graft.functions.cosineSim(col("embedding").cast("array<double>"),
-          col("deq")) >= 0.999).as("cos_ok"))
-      .orderBy("vec_id")
+      .withColumn("cos_ok",
+        graft.functions.cosineSim(col("embedding").cast("array<double>"),
+          col("deq")) >= 0.999)
+    q.select(col("vec_id"), posexplode(col("qvec")).as(Seq("idx", "qv")),
+        col("qscale"), col("cos_ok"))
+      .select(col("vec_id"), col("idx").cast("long").as("idx"),
+        col("qv").cast("int").as("qval"),
+        round(col("qscale"), 6).as("qscale"), col("cos_ok"))
+      .orderBy("vec_id", "idx")
   }
 
   private val d135Sql =
     """WITH m AS (SELECT vec_id,
       |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
       |  FROM embeddings)
-      |SELECT e.vec_id,
-      |  list_transform(e.embedding,
-      |    x -> CAST(round(x::DOUBLE * 127.0 / m.mx) AS INT)) AS qvec,
+      |SELECT e.vec_id, CAST(j - 1 AS BIGINT) AS idx,
+      |  CAST(round(e.embedding[j]::DOUBLE * 127.0 / m.mx) AS INT) AS qval,
       |  round(m.mx / 127.0, 6) AS qscale, TRUE AS cos_ok
       |FROM embeddings e JOIN m ON e.vec_id = m.vec_id
-      |ORDER BY e.vec_id""".stripMargin
+      |CROSS JOIN generate_series(1, 64) AS t(j)
+      |ORDER BY e.vec_id, idx""".stripMargin
 
   // Multi-probe LSH ANN — same recall floor as d65 with a 4× SMALLER
   // index (tables 16 → 4): each query also probes 4 Hamming-1 neighbor

@@ -74,6 +74,20 @@ object Similarity {
     (nBits, tables)
   }
 
+  /** Multi-probe depth for the derived LSH index. Single-bucket probing
+    * loses recall slowly as `nBits` grows past the 2M anchor (measured
+    * recall@10: 0.974 at 2M/10 bits → 0.961 at 20M/14 bits, r6) because
+    * longer signatures flip ≥1 bit for a true neighbor more often.
+    * Probing 4 Hamming-1 neighbor buckets per table recovers the one-bit
+    * misses for a bounded 5× candidate fanout on the QUERY side only
+    * (the corpus index shuffle is untouched — see [[lshTopK]]). At and
+    * below 12 bits the r5-tuned anchor behavior stays pinned (probes=0);
+    * the spec pins both regimes. */
+  def lshProbesFor(corpusSize: Long): Int = {
+    val (nBits, _) = lshParamsFor(corpusSize)
+    if (nBits <= 12) 0 else 4
+  }
+
   /** Corpus-derived IVF granularity `(nlist, nprobe)`: the standard
     * `nlist ≈ sqrt(n)` rule (divided by 4 and rounded to a power of two so
     * the codebook stays small and bucket counts stay file-system friendly),

@@ -69,6 +69,10 @@ object Boilerplate {
           filter(split(col(textCol), "\n"),
             l => !coalesce(array_contains(col("__bset"), lineFp(l)), lit(false))),
           "\n"))
-      .drop("src", "__bset")
+      // drop ONLY the joined helper columns via the bp reference: a
+      // name-based drop("src") would also silently remove a caller column
+      // that happens to be named "src" (the doc promises all original
+      // columns are kept)
+      .drop(bp("src")).drop(bp("__bset"))
   }
 }

@@ -97,6 +97,14 @@ class PipelineCorpusSpec extends GraftSpec {
     // tiny corpora clamp to the floor instead of degenerate 1-bucket tables
     assert(Similarity.lshParamsFor(100L)._1 == 4)
     assert(Similarity.ivfParamsFor(100L)._1 == 16)
+    // multi-probe regime: the r5-tuned ≤2M anchor stays single-bucket
+    // (probes=0, behavior pinned unchanged); past 12 bits each table also
+    // probes 4 Hamming-1 buckets to recover the one-bit misses that eroded
+    // recall@10 to 0.961 at 20M/14 bits in r6 (target ≥ 0.97)
+    assert(Similarity.lshProbesFor(2000000L) == 0)
+    assert(Similarity.lshProbesFor(20000000L) == 4)
+    val probes = sizes.map(Similarity.lshProbesFor(_))
+    assert(probes == probes.sorted) // never fewer probes on a bigger corpus
   }
 
   test("PQ rerank and k-means fraction derive from corpus size") {
