@@ -906,6 +906,49 @@ object TrainingData extends QueryModule {
       |  TRUE AS reconstructs_ok, TRUE AS tokens_bounded_ok, TRUE AS monotone_vs_small_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // Production-vocabulary BPE: the documents table has only 31 distinct
+  // words, so t101's "2048-merge" train actually exhausts at ~170 merges —
+  // a real tokenizer vocabulary (5k-32k merges) needs a corpus whose pair
+  // statistics sustain it. Deterministic md5-hex "words" derived from
+  // order keys give both engines an identical high-entropy corpus (~6k
+  // docs × 3 × 32 hex chars, bounded at every SF by the key cap): 16 base
+  // symbols whose random bigrams keep thousands of merge candidates above
+  // the count-2 floor. The gate trains 6000 merges and pins, per document,
+  // the t100 contract (lossless reconstruction, token-count bounds,
+  // monotone vs a 512-merge subset model) PLUS the corpus-level floor that
+  // at least 5000 merges were actually learned — the production-vocab
+  // proof itself, not just a big requested number. Wall-clock is bounded
+  // by the driver-local trainer (dict ≈ 45k words ≪ localDictMax).
+  private def t140(s: SparkSession, dir: String): DataFrame = {
+    val hexDocs = Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 24000L)
+      .select(col("o_orderkey").as("doc_id"),
+        concat_ws(" ", md5(col("o_orderkey").cast("string")),
+          md5((col("o_orderkey") + 1000000L).cast("string")),
+          md5((col("o_orderkey") + 2000000L).cast("string"))).as("text"))
+    val small = Bpe.train(hexDocs, "text", numMerges = 512)
+    val big = Bpe.train(hexDocs, "text", numMerges = 6000)
+    Bpe.tokenize(hexDocs, "doc_id", "text", big)
+      .join(Bpe.tokenize(hexDocs, "doc_id", "text", small)
+        .select(col("doc_id"), col("n_tokens").as("n_tokens_small")), "doc_id")
+      .join(hexDocs, "doc_id")
+      .select(col("doc_id"),
+        (concat_ws("", col("tokens")) ===
+          regexp_replace(col("text"), "\\s+", "")).as("reconstructs_ok"),
+        (col("n_tokens") >= 3 && col("n_tokens") <= 96).as("tokens_bounded_ok"),
+        (col("n_tokens") <= col("n_tokens_small")).as("monotone_vs_small_ok"),
+        lit(big.merges.length >= 5000).as("vocab_5k_ok"),
+        lit(big.merges.take(512) == small.merges).as("prefix_canonical_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val t140Sql =
+    """SELECT o_orderkey AS doc_id,
+      |  TRUE AS reconstructs_ok, TRUE AS tokens_bounded_ok,
+      |  TRUE AS monotone_vs_small_ok, TRUE AS vocab_5k_ok,
+      |  TRUE AS prefix_canonical_ok
+      |FROM orders WHERE o_orderkey <= 24000 ORDER BY doc_id""".stripMargin
+
   // Z-order (Morton) curve: the bit-interleave that drives multi-column
   // file clustering (api/Layout.zorder). The gate checks the curve math
   // itself — the oracle expands the identical shift/mask/or closed form;
@@ -1550,6 +1593,7 @@ object TrainingData extends QueryModule {
     "t116_nfc_normalize" -> t116,
     "t117_ngram_lm_perplexity" -> t117,
     "t139_dsir_resample" -> t139,
+    "t140_bpe_production_vocab" -> t140,
     "d60_exact_dedup" -> d60,
     "d107_exact_substring_spans" -> d107,
     "d108_exact_substring_scrub" -> d108,
@@ -1605,6 +1649,7 @@ object TrainingData extends QueryModule {
     "t116_nfc_normalize" -> t116Sql,
     "t117_ngram_lm_perplexity" -> t117Sql,
     "t139_dsir_resample" -> t139Sql,
+    "t140_bpe_production_vocab" -> t140Sql,
     "d60_exact_dedup" -> d60Sql,
     "d107_exact_substring_spans" -> d107Sql,
     "d108_exact_substring_scrub" -> d108Sql,
