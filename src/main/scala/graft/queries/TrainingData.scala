@@ -949,6 +949,72 @@ object TrainingData extends QueryModule {
       |  TRUE AS prefix_canonical_ok
       |FROM orders WHERE o_orderkey <= 24000 ORDER BY doc_id""".stripMargin
 
+  // End-to-end STREAMING curation pipeline — the live-crawl shape run for
+  // real through Structured Streaming, gated against the batch-semantic
+  // DuckDB oracle (the same batch-equality pattern the Nexmark streaming
+  // suite uses). Ingest: the documents corpus wrapped in markup, plus
+  // re-crawled copies (doc_id%7==0) arriving under new ids, fed as a
+  // multi-file parquet stream (maxFilesPerTrigger=2 → several real
+  // micro-batches). Pipeline: markup strip → token/char quality features →
+  // quality filter → stream-static LEFT ANTI join against the
+  // already-ingested fingerprint index (doc_id%5==0) → streaming
+  // dropDuplicates state dedup within the feed → parquet shard append.
+  // The gate reads the shard back; rows are keyed by content fingerprint
+  // with text-derived attributes only, so the result is deterministic no
+  // matter which duplicate copy or micro-batch order won the state race.
+  // Reference analog: the unbounded half of every Read→ParDo→GroupByKey
+  // pipeline, sdks/java/core/src/main/java/org/apache/beam/sdk/Pipeline.java.
+  private def s141(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val crawl = docs
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .withColumn("raw", concat(
+        lit("<html><head><script>var a = 1 < 2;</script><style>p{}</style>" +
+          "</head><body><!-- crawler --><p>"),
+        col("text"), lit("</p></body></html>")))
+      .select("doc_id", "raw")
+    val base = java.nio.file.Files.createTempDirectory("graft_s141_").toString
+    val inDir = s"$base/in"; val shardDir = s"$base/shard"; val ckpt = s"$base/ckpt"
+    crawl.repartition(8).write.mode("overwrite").parquet(inDir)
+    val index = docs.filter(col("doc_id") % 5 === 0)
+      .select(fingerprint64(col("text")).as("fp")).distinct()
+    val stream = s.readStream.schema(crawl.schema)
+      .option("maxFilesPerTrigger", 2).parquet(inDir)
+    val curated = TextAnalysis.stripMarkup(stream, "raw")
+      .withColumn("n_tokens", size(split(col("text_plain"), " ")).cast("long"))
+      .withColumn("n_chars", length(col("text_plain")).cast("long"))
+      .filter(col("n_tokens") >= 40)
+      .withColumn("fp", fingerprint64(col("text_plain")))
+      .join(index, Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+      .select("fp", "n_tokens", "n_chars")
+    val q = curated.writeStream.format("parquet")
+      .option("path", shardDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(shardDir).orderBy("fp")
+  }
+
+  private val s141Sql =
+    """WITH plain AS (
+      |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS tp
+      |  FROM documents),
+      |crawl AS (
+      |  SELECT doc_id, tp FROM plain
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, tp FROM plain WHERE doc_id % 7 = 0),
+      |idx AS (
+      |  SELECT DISTINCT substring(md5(lower(tp)), 1, 16) AS fp
+      |  FROM plain WHERE doc_id % 5 = 0)
+      |SELECT DISTINCT substring(md5(lower(tp)), 1, 16) AS fp,
+      |  CAST(len(string_split(tp, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(length(tp) AS BIGINT) AS n_chars
+      |FROM crawl
+      |WHERE len(string_split(tp, ' ')) >= 40
+      |  AND substring(md5(lower(tp)), 1, 16) NOT IN (SELECT fp FROM idx)
+      |ORDER BY fp""".stripMargin
+
   // Z-order (Morton) curve: the bit-interleave that drives multi-column
   // file clustering (api/Layout.zorder). The gate checks the curve math
   // itself — the oracle expands the identical shift/mask/or closed form;
@@ -1594,6 +1660,7 @@ object TrainingData extends QueryModule {
     "t117_ngram_lm_perplexity" -> t117,
     "t139_dsir_resample" -> t139,
     "t140_bpe_production_vocab" -> t140,
+    "s141_streaming_curation_e2e" -> s141,
     "d60_exact_dedup" -> d60,
     "d107_exact_substring_spans" -> d107,
     "d108_exact_substring_scrub" -> d108,
@@ -1650,6 +1717,7 @@ object TrainingData extends QueryModule {
     "t117_ngram_lm_perplexity" -> t117Sql,
     "t139_dsir_resample" -> t139Sql,
     "t140_bpe_production_vocab" -> t140Sql,
+    "s141_streaming_curation_e2e" -> s141Sql,
     "d60_exact_dedup" -> d60Sql,
     "d107_exact_substring_spans" -> d107Sql,
     "d108_exact_substring_scrub" -> d108Sql,
