@@ -115,20 +115,10 @@ object SemDeDup {
   def assignCells(emb: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L, maxIter: Int = 5,
       trainFraction: Double = 0.1): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    import graft.similarity.Similarity
     val c = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("features", array_to_vector(col("cv")))
-    val sampled =
-      if (trainFraction >= 1.0) c
-      else {
-        val s = c.sample(withReplacement = false, trainFraction, seed)
-        if (s.count() >= nlist.toLong * 10) s else c
-      }
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .fit(sampled.select("features"))
-    model.transform(c)
-      .withColumn("cell", col("prediction").cast("int"))
+    val centers = Similarity.fitCenters(c, nlist, seed, maxIter, trainFraction)
+    c.withColumn("cell", Similarity.nearestCell(centers)(col("cv")))
       .select("cell", "id", "cv")
   }
 }

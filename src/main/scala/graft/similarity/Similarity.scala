@@ -258,6 +258,187 @@ object Similarity {
     if (sampled.count() >= nlist.toLong * 10) sampled else full
   }
 
+  /** Row cap for the driver-local k-means path: 500k × 64-dim doubles is
+    * ~256 MB of sample on the driver — the same bounded-collect envelope
+    * as the BPE local trainer (dict ≤ 2M rows). `kmeansFractionFor` caps
+    * samples at ~200k rows, so every corpus-derived fit stays local; an
+    * explicit trainFraction that collects more falls back to Spark ML. */
+  private[graft] val MaxLocalKMeansRows = 500000
+
+  /** Collect the deterministic training sample for a driver-local fit, or
+    * None when it exceeds [[MaxLocalKMeansRows]] (→ Spark ML fallback).
+    * Mirrors [[kmeansTrainSet]]'s thin-sample rule: a sample below
+    * `minRows` falls back to the full corpus (tiny gate tables), which in
+    * turn must itself fit the cap. Expects a single array<double> column. */
+  private[graft] def collectSample(cv: DataFrame, minRows: Long, seed: Long,
+      fraction: Double): Option[Array[Array[Double]]] = {
+    def grab(df: DataFrame): Option[Array[Array[Double]]] = {
+      val rows = df.limit(MaxLocalKMeansRows + 1).collect()
+      if (rows.length > MaxLocalKMeansRows) None
+      else Some(rows.map(_.getSeq[Double](0).toArray))
+    }
+    val sampled = if (fraction >= 1.0) cv
+      else cv.sample(withReplacement = false, fraction, seed)
+    grab(sampled) match {
+      case Some(s) if s.length < minRows && fraction < 1.0 => grab(cv)
+      case other => other
+    }
+  }
+
+  /** Driver-local parallel Lloyd over a bounded collected sample —
+    * k-means++ seeding (deterministic under `seed`), `maxIter` update
+    * rounds, assignment chunks fanned across driver cores with per-chunk
+    * partial sums merged in chunk order (deterministic floating point).
+    * Replaces Spark ML fits for the IVF/PQ codebooks: the fit input is
+    * already a bounded sample (see [[kmeansFractionFor]]), so a local fit
+    * does the identical math without per-iteration Spark jobs — and,
+    * decisively at 20M vectors, without ONE FULL CORPUS SCAN PER FIT to
+    * re-materialize the sample (IVF-PQ fits 9 codebooks = 9 scans on the
+    * Spark ML path, 1 on this one). Same structure as the BPE trainer's
+    * local/distributed split. Empty clusters keep their previous center. */
+  private[graft] def localKMeans(points: Array[Array[Double]], k: Int,
+      maxIter: Int, seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    require(n > 0, "localKMeans needs a non-empty sample")
+    val dim = points(0).length
+    val kk = math.max(1, math.min(k, n))
+    val flat = new Array[Double](kk * dim)
+    val nChunks = math.max(1, math.min(Runtime.getRuntime.availableProcessors(),
+      n / 4096))
+    def chunked(body: (Int, Int) => Unit): Unit =
+      if (nChunks <= 1) body(0, n)
+      else java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ch =>
+        body((ch.toLong * n / nChunks).toInt, ((ch + 1).toLong * n / nChunks).toInt)
+      }
+    // k-means++ seeding: D² to the nearest chosen center, next center
+    // drawn ∝ D² (the rnd stream is consumed sequentially → deterministic)
+    val rnd = new java.util.Random(seed)
+    System.arraycopy(points(rnd.nextInt(n)), 0, flat, 0, dim)
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var ci = 1
+    while (ci < kk) {
+      val lastOff = (ci - 1) * dim
+      chunked { (lo, hi) =>
+        var i = lo
+        while (i < hi) {
+          val p = points(i); var s = 0.0; var j = 0
+          while (j < dim && s < d2(i)) { val t = p(j) - flat(lastOff + j); s += t * t; j += 1 }
+          if (s < d2(i)) d2(i) = s
+          i += 1
+        }
+      }
+      var total = 0.0; var ti = 0
+      while (ti < n) { total += d2(ti); ti += 1 }
+      val pick =
+        if (total <= 0) rnd.nextInt(n)
+        else {
+          val r = rnd.nextDouble() * total
+          var acc = 0.0; var p2 = 0
+          while (p2 < n - 1 && { acc += d2(p2); acc < r }) p2 += 1
+          p2
+        }
+      System.arraycopy(points(pick), 0, flat, ci * dim, dim)
+      ci += 1
+    }
+    // Lloyd rounds: nearest center (partial-distance exit), per-chunk sums
+    val partSums = Array.ofDim[Double](nChunks, kk * dim)
+    val partCnt = Array.ofDim[Long](nChunks, kk)
+    var iter = 0
+    while (iter < maxIter) {
+      var z = 0
+      while (z < nChunks) {
+        java.util.Arrays.fill(partSums(z), 0.0)
+        java.util.Arrays.fill(partCnt(z), 0L)
+        z += 1
+      }
+      if (nChunks <= 1) lloydChunk(points, flat, kk, dim, 0, n, partSums(0), partCnt(0))
+      else java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ch =>
+        lloydChunk(points, flat, kk, dim,
+          (ch.toLong * n / nChunks).toInt, ((ch + 1).toLong * n / nChunks).toInt,
+          partSums(ch), partCnt(ch))
+      }
+      val sums = new Array[Double](kk * dim)
+      val cnt = new Array[Long](kk)
+      z = 0
+      while (z < nChunks) {
+        val ps = partSums(z); val pc = partCnt(z)
+        var a = 0
+        while (a < kk * dim) { sums(a) += ps(a); a += 1 }
+        a = 0
+        while (a < kk) { cnt(a) += pc(a); a += 1 }
+        z += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (cnt(c) > 0) {
+          var j = 0
+          while (j < dim) { flat(c * dim + j) = sums(c * dim + j) / cnt(c); j += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    Array.tabulate(kk)(c => java.util.Arrays.copyOfRange(flat, c * dim, (c + 1) * dim))
+  }
+
+  private def lloydChunk(points: Array[Array[Double]], flat: Array[Double],
+      kk: Int, dim: Int, lo: Int, hi: Int,
+      sums: Array[Double], cnt: Array[Long]): Unit = {
+    var i = lo
+    while (i < hi) {
+      val p = points(i)
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < kk) {
+        var off = c * dim; var s = 0.0; var j = 0
+        while (j < dim && s < bd) { val t = flat(off) - p(j); s += t * t; j += 1; off += 1 }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      val bo = best * dim; var j2 = 0
+      while (j2 < dim) { sums(bo + j2) += p(j2); j2 += 1 }
+      cnt(best) += 1
+      i += 1
+    }
+  }
+
+  /** Fit a `k`-centroid codebook over the bounded training sample —
+    * driver-local Lloyd when the sample fits [[MaxLocalKMeansRows]] (the
+    * corpus-derived path always does), Spark ML k-means otherwise.
+    * Expects `c` to carry the vector as array<double> column `cv`. */
+  private[graft] def fitCenters(c: DataFrame, k: Int, seed: Long,
+      maxIter: Int, fraction: Double): Array[Array[Double]] =
+    collectSample(c.select(col("cv")), k.toLong * 10, seed, fraction) match {
+      case Some(pts) => localKMeans(pts, k, maxIter, seed)
+      case None =>
+        import org.apache.spark.ml.clustering.KMeans
+        new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+          .fit(kmeansTrainSet(c, k, seed, fraction))
+          .clusterCenters.map(_.toArray)
+    }
+
+  /** Nearest-centroid assignment UDF over a driver-held codebook —
+    * flat centers for cache locality + partial-distance early exit (the
+    * pqEncode lesson). One scan-stage pass, no ML pipeline columns. */
+  private[graft] def nearestCell(
+      centers: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val k = centers.length
+    val dim = centers(0).length
+    val flat = new Array[Double](k * dim)
+    var i = 0
+    while (i < k) { System.arraycopy(centers(i), 0, flat, i * dim, dim); i += 1 }
+    udf { (vs: Seq[Double]) =>
+      val v = vs.toArray
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < k) {
+        var off = c * dim; var s = 0.0; var j = 0
+        while (j < dim && s < bd) { val t = flat(off) - v(j); s += t * t; j += 1; off += 1 }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantization. A small
     * centroid codebook is learned from the corpus (driver-held, a few KB);
     * each corpus vector is assigned to its nearest cell (one distributed
@@ -276,14 +457,9 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nlist: Int = 16,
       nprobe: Int = 4, seed: Long = 42L, maxIter: Int = 5,
       trainFraction: Double = 0.1): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .fit(kmeansTrainSet(c, nlist, seed, trainFraction))
-    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-    val assigned = model.transform(c.withColumn("features", array_to_vector(col("cv"))))
-      .withColumn("cell", col("prediction").cast("int"))
+    val centers = fitCenters(c, nlist, seed, maxIter, trainFraction)
+    val assigned = c.withColumn("cell", nearestCell(centers)(col("cv")))
       .select("nn_id", "cv", "cell")
     val probeCells = udf { (v: Seq[Double]) =>
       centers.zipWithIndex.map { case (ctr, i) =>
@@ -310,19 +486,15 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       table: String, nlist: Int = 16, seed: Long = 42L,
       maxIter: Int = 5, trainFraction: Double = 0.1): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .fit(kmeansTrainSet(c, nlist, seed, trainFraction))
-    val assigned = model.transform(c.withColumn("features", array_to_vector(col("cv"))))
-      .withColumn("cell", col("prediction").cast("int"))
+    val centers = fitCenters(c, nlist, seed, maxIter, trainFraction)
+    val assigned = c.withColumn("cell", nearestCell(centers)(col("cv")))
       .select("nn_id", "cv", "cell")
     assigned.repartition(col("cell"))
       .write.mode("overwrite")
       .bucketBy(nlist, "cell").sortBy("cell")
       .format("parquet").saveAsTable(table)
-    model.clusterCenters.map(_.toArray)
+    centers
   }
 
   /** Fold NEW vectors into a persisted IVF index without refitting — the
@@ -338,19 +510,9 @@ object Similarity {
     * equal brute force over A ∪ B. */
   def appendToIvfIndex(table: String, centers: Array[Array[Double]],
       newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
-    val assignCell = udf { (v: Seq[Double]) =>
-      var best = 0; var bestD = Double.MaxValue; var i = 0
-      while (i < centers.length) {
-        val ctr = centers(i); var s = 0.0; var j = 0
-        while (j < ctr.length) { val d = ctr(j) - v(j); s += d * d; j += 1 }
-        if (s < bestD) { bestD = s; best = i }
-        i += 1
-      }
-      best
-    }
     newVecs.select(col(idCol).as("nn_id"),
         col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cell", assignCell(col("cv")))
+      .withColumn("cell", nearestCell(centers)(col("cv")))
       .repartition(col("cell"))
       .write.mode("append")
       .bucketBy(centers.length, "cell").sortBy("cell")
@@ -389,16 +551,36 @@ object Similarity {
   def pqTrain(corpus: DataFrame, vecCol: String, m: Int = 8,
       ksub: Int = 256, seed: Long = 42L, maxIter: Int = 5,
       trainFraction: Double = 0.1): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
     val cv = corpus.select(col(vecCol).cast("array<double>").as("cv"))
-    val dim = cv.select(size(col("cv"))).head().getInt(0)
+    collectSample(cv, ksub.toLong * 10, seed, trainFraction) match {
+      case Some(sample) => pqTrainLocal(sample, m, ksub, seed, maxIter)
+      case None =>
+        import org.apache.spark.ml.clustering.KMeans
+        val dim = cv.select(size(col("cv"))).head().getInt(0)
+        require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
+        val dsub = dim / m
+        Array.tabulate(m) { j =>
+          val sub = cv.select(slice(col("cv"), j * dsub + 1, dsub).as("cv"))
+          new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
+            .fit(kmeansTrainSet(sub, ksub, seed + j, trainFraction))
+            .clusterCenters.map(_.toArray)
+        }
+    }
+  }
+
+  /** The m sub-space Lloyd fits over ONE collected sample — the sample's
+    * full vectors are sliced per sub-space locally, so the 9-codebook
+    * IVF-PQ build (coarse + m sub-spaces) costs one corpus sampling scan
+    * total instead of one per fit. */
+  private def pqTrainLocal(sample: Array[Array[Double]], m: Int, ksub: Int,
+      seed: Long, maxIter: Int): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "pqTrain needs a non-empty sample")
+    val dim = sample(0).length
     require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
     Array.tabulate(m) { j =>
-      val sub = cv.select(slice(col("cv"), j * dsub + 1, dsub).as("cv"))
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
-        .fit(kmeansTrainSet(sub, ksub, seed + j, trainFraction))
-        .clusterCenters.map(_.toArray)
+      localKMeans(sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)),
+        ksub, maxIter, seed + j)
     }
   }
 
@@ -478,16 +660,22 @@ object Similarity {
       nprobe: Int = 4, m: Int = 8, ksub: Int = 256, rerank: Int = 0,
       seed: Long = 42L, maxIter: Int = 5,
       trainFraction: Double = 0.1): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
-    val coarse = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .fit(kmeansTrainSet(c, nlist, seed, trainFraction))
-    val centers: Array[Array[Double]] = coarse.clusterCenters.map(_.toArray)
-    val books = pqTrain(corpus, vecCol, m, ksub, seed, maxIter, trainFraction)
+    // ONE sampling scan feeds all 9 codebooks (coarse + m sub-spaces)
+    // when the bounded sample fits locally; the Spark ML fallback pays
+    // one corpus scan per fit, which dominated the 20M-vector index build
+    val sampleOpt = collectSample(c.select(col("cv")),
+      math.max(nlist, ksub).toLong * 10, seed, trainFraction)
+    val centers: Array[Array[Double]] = sampleOpt match {
+      case Some(s) => localKMeans(s, nlist, maxIter, seed)
+      case None => fitCenters(c, nlist, seed, maxIter, trainFraction)
+    }
+    val books = sampleOpt match {
+      case Some(s) => pqTrainLocal(s, m, ksub, seed, maxIter)
+      case None => pqTrain(corpus, vecCol, m, ksub, seed, maxIter, trainFraction)
+    }
     val dsub = books(0)(0).length
-    val assigned = coarse.transform(c.withColumn("features", array_to_vector(col("cv"))))
-      .withColumn("cell", col("prediction").cast("int"))
+    val assigned = c.withColumn("cell", nearestCell(centers)(col("cv")))
       .select("nn_id", "cv", "cell")
     // cell rides through the encoder — the previous join-back re-shuffled
     // the whole encoded corpus against `assigned` (two wide exchanges of
