@@ -244,8 +244,31 @@ object Bpe {
       .as[(Long, String)]
       .mapPartitions { it =>
         val mdl = bc.value
+        // Word-level memo: encodeWord is a quadratic merge loop, and word
+        // occurrences are Zipfian — at 10M docs the same few hundred
+        // thousand distinct words are encoded billions of times. The cache
+        // is per-partition (no cross-task state), bounded, and flushed
+        // wholesale when full: computeIfAbsent on a plain HashMap keeps
+        // the hit path allocation-free, and encode semantics are untouched
+        // (encodeWord is pure).
+        val cap = 1 << 17
+        val cache = new java.util.HashMap[String, Vector[String]](cap * 2)
+        val fn = new java.util.function.Function[String, Vector[String]] {
+          def apply(w: String): Vector[String] = mdl.encodeWord(w)
+        }
         it.map { case (id, text) =>
-          val toks = mdl.encode(text)
+          val words = text.trim.toLowerCase.split("\\s+")
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < words.length) {
+            val w = words(i)
+            if (w.nonEmpty) {
+              if (cache.size >= cap) cache.clear()
+              b ++= cache.computeIfAbsent(w, fn)
+            }
+            i += 1
+          }
+          val toks = b.result()
           (id, toks, toks.length.toLong)
         }
       }
