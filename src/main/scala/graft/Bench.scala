@@ -33,6 +33,7 @@ object Bench {
     def docs = spark.table("pipeline_documents")
     def emb = spark.table("pipeline_embeddings")
     val nVec = graft.sources.PipelineCorpus.vecsFor(scale)
+    val nDocs = graft.sources.PipelineCorpus.docsFor(scale)
     var times = Map.empty[String, Double]
     var recalls = Map.empty[String, Double]
     // failures: stage/group → marker ("failed: <exn>" or "skipped_deadline").
@@ -309,8 +310,19 @@ object Bench {
     // exact-substring candidate discovery at scale: the winnowed path
     // (only ~2/w of positions reach the exchange). Candidate-pair count,
     // not spans — span extension is O(pairs), the exchange is the cost.
-    timedSafe("exact_substr_winnowed") {
+    // Above 2M docs the stage runs on a capped deterministic slice (the
+    // r6 full-corpus run measured 520 s at 10M — it works, but it is the
+    // tier's longest breadth pole and would push later stages past the
+    // bench deadline). The cap is NOT silent: the stage is renamed with
+    // its slice size so the artifact says what was measured.
+    val substrCap = 2000000L
+    if (nDocs <= substrCap) timedSafe("exact_substr_winnowed") {
       graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    } else timedSafe(s"exact_substr_winnowed_${substrCap / 1000000}m_slice") {
+      graft.dedup.ExactSubstr.winnowedCandidates(
+        docs.filter(col("doc_id") % lit(math.max(nDocs / substrCap, 1L)) === 0),
+        "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
     try spark.stop() catch { case _: Throwable => }

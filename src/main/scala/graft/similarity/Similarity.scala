@@ -198,6 +198,21 @@ object Similarity {
     * (query_id, nn_id, sim); emits (query_id, rnk, nn_id, sim) with nn_id
     * restored to its original type. */
   private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    // Two regimes by k. Small k (true top-k): bounded-heap partial
+    // aggregation — shuffle traffic is groups × partitions × k, never the
+    // candidate stream. Large k (PQ rerank shortlists, k in the 10^5
+    // band): the heap inverts — its partials OUTGROW the raw stream and
+    // each insert re-sorts a k-sized Seq (measured: the ~190k-deep
+    // shortlist at 20M vectors spent ~10 min here). One hash shuffle on
+    // query_id + a Tungsten sort per query is strictly cheaper there.
+    // Same ranking contract both paths: sim desc, nn_id asc on ties.
+    if (k > 4096) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("sim").desc, col("nn_id").asc)
+      return scored.withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk"), col("nn_id"), col("sim"))
+    }
     val idType = scored.schema("nn_id").dataType
     // the heap carries ids as Long (integral) or String (uuid/string);
     // any other id type would cast lossily and null every candidate, so

@@ -71,4 +71,20 @@ class IvfIndexSpec extends GraftSpec {
       assert(row.getAs[Int]("cell") == want)
     } finally spark.sql("DROP TABLE IF EXISTS ivf_app")
   }
+
+  test("rankTopK large-k window path ranks identically to the heap path") {
+    // The PQ rerank shortlist calls rankTopK with k in the 10^5 band,
+    // which routes to the window path (k > 4096); small k keeps the
+    // bounded-heap partial aggregation. Both must implement the same
+    // contract — sim desc, nn_id asc on ties — so the window result
+    // truncated to the heap's k must match row for row. The sim stream
+    // has deliberate heavy ties (97 distinct values over 30k rows).
+    val scored = spark.range(0, 30000)
+      .select((col("id") % 3).as("query_id"), col("id").as("nn_id"),
+        round((col("id") % 97).cast("double") / 97.0, 4).as("sim"))
+    val heap = Similarity.rankTopK(scored, 50)
+    val win = Similarity.rankTopK(scored, 5000).filter(col("rnk") <= 50)
+    assert(win.orderBy("query_id", "rnk").collect().map(_.toString).toSeq ==
+      heap.orderBy("query_id", "rnk").collect().map(_.toString).toSeq)
+  }
 }
