@@ -97,4 +97,34 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Compact a fragmented parquet table into ~`targetFileMB` files —
+    * the small-file maintenance pass every long-lived 100 TB table needs
+    * (a streaming or per-increment writer leaves thousands of KB-sized
+    * files; scan planning and file-open overhead then dominate reads).
+    *
+    * File count is sized from the SOURCE's physical bytes (the sum of the
+    * input file lengths — no data scan), so the only job is one
+    * shuffle-free-when-possible rewrite: `coalesce` merges partitions
+    * without an exchange. Pass `sortCol` to restore clustering while
+    * compacting (then a range repartition replaces the coalesce — one
+    * shuffle, same file count). Returns the number of files written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileMB: Int = 256,
+      sortCol: Option[String] = None): Int = {
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1, math.ceil(
+      bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
+    val df = spark.read.parquet(inPath)
+    val shaped = sortCol match {
+      case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
+      case None => df.coalesce(nFiles)
+    }
+    shaped.write.mode("overwrite").parquet(outPath)
+    val out = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+    out
+  }
 }

@@ -254,13 +254,66 @@ object Curation extends QueryModule {
       |WHERE len(list_intersect(s, ps))::DOUBLE / len(s) >= 0.8
       |ORDER BY doc_id""".stripMargin
 
+  // ---- d142: CDC changelog apply (last-writer-wins upsert/delete) -------
+  // A synthetic monotone changelog over the documents snapshot: inserts
+  // (new keys), updates, deletes, and a later second update that must win
+  // over the delete (key % 35: U@2, D@3, U@4 → resurrected). The oracle
+  // replays the same changelog in DuckDB with QUALIFY row_number. Output
+  // is (doc_id, 16-hex md5 of the row text) so the compare is value-exact
+  // without shipping full documents.
+  private def d142(s: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.documents(s, dir).select("doc_id", "text")
+    val ins = snap.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("ingested "), col("doc_id").cast("string")).as("text"),
+        lit(1L).as("seq"), lit("I").as("op"))
+    val upd = snap.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), upper(substring(col("text"), 1, 40)).as("text"),
+        lit(2L).as("seq"), lit("U").as("op"))
+    val del = snap.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit("").as("text"),
+        lit(3L).as("seq"), lit("D").as("op"))
+    val res = snap.filter(col("doc_id") % 35 === 0)
+      .select(col("doc_id"), lit("resurrected").as("text"),
+        lit(4L).as("seq"), lit("U").as("op"))
+    val changes = ins.unionByName(upd).unionByName(del).unionByName(res)
+    graft.api.Cdc.applyChangelog(snap, changes, Seq("doc_id"), "seq", "op")
+      .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val d142Sql =
+    """WITH snap AS (SELECT doc_id, text FROM documents),
+      |ch AS (
+      |  SELECT doc_id + 1000000 AS doc_id, 'ingested ' || doc_id AS text,
+      |         1 AS seq, 'I' AS op FROM snap WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT doc_id, upper(substring(text, 1, 40)), 2, 'U'
+      |  FROM snap WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, '', 3, 'D' FROM snap WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'resurrected', 4, 'U' FROM snap WHERE doc_id % 35 = 0),
+      |latest AS (
+      |  SELECT doc_id, text, op FROM ch
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id
+      |                             ORDER BY seq DESC, op DESC) = 1),
+      |applied AS (
+      |  SELECT s.doc_id, s.text FROM snap s
+      |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = s.doc_id)
+      |  UNION ALL
+      |  SELECT doc_id, text FROM latest WHERE op <> 'D')
+      |SELECT doc_id, substring(md5(text), 1, 16) AS fp
+      |FROM applied ORDER BY doc_id""".stripMargin
+
   override def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t127_boilerplate_strip" -> (t127 _),
     "t128_weighted_sample" -> (t128 _),
     "p129_snapshot_diff" -> (p129 _),
     "p130_pagerank" -> (p130 _),
     "d131_jl_project" -> (d131 _),
-    "d132_containment_probe" -> (d132 _))
+    "d132_containment_probe" -> (d132 _),
+    "d142_cdc_apply" -> (d142 _))
 
   override def oracles: Map[String, String] = Map(
     "t127_boilerplate_strip" -> t127Sql,
@@ -268,5 +321,6 @@ object Curation extends QueryModule {
     "p129_snapshot_diff" -> p129Sql,
     "p130_pagerank" -> p130Sql,
     "d131_jl_project" -> d131Sql,
-    "d132_containment_probe" -> d132Sql)
+    "d132_containment_probe" -> d132Sql,
+    "d142_cdc_apply" -> d142Sql)
 }

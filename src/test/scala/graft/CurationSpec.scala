@@ -240,4 +240,48 @@ class CurationSpec extends GraftSpec {
     for (i <- 0 until n)
       assert(math.abs(got(i.toLong) - r(i)) < 1e-12, s"node $i")
   }
+
+  // ---- CDC changelog apply ----------------------------------------------
+
+  private def cdcRows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("Cdc.applyChangelog: last-writer-wins, idempotent, batch-composable") {
+    import graft.api.Cdc
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    // batch 1: update 1, delete 2, insert 5
+    val c1 = Seq((1L, "a2", 10L, "U"), (2L, "", 11L, "D"),
+      (5L, "e", 12L, "I")).toDF("k", "v", "seq", "op")
+    // batch 2 (later seqs): delete 1, resurrect 2, update 5
+    val c2 = Seq((1L, "", 20L, "D"), (2L, "b2", 21L, "U"),
+      (5L, "e2", 22L, "U")).toDF("k", "v", "seq", "op")
+
+    val a1 = Cdc.applyChangelog(snap, c1, Seq("k"), "seq", "op")
+    assert(cdcRows(a1) ==
+      Set((1L, "a2"), (3L, "c"), (4L, "d"), (5L, "e")))
+
+    // idempotent: re-applying the same batch changes nothing
+    assert(cdcRows(Cdc.applyChangelog(a1, c1, Seq("k"), "seq", "op")) ==
+      cdcRows(a1))
+
+    // within-batch last-writer-wins: delete then later update → row lives
+    val conflict = Seq((3L, "", 30L, "D"), (3L, "c9", 31L, "U"))
+      .toDF("k", "v", "seq", "op")
+    assert(cdcRows(Cdc.applyChangelog(snap, conflict, Seq("k"), "seq", "op"))
+      .contains((3L, "c9")))
+
+    // composition: sequential batches ≡ one unioned changelog when the
+    // later batch's sequences exceed the earlier batch's
+    val sequential = Cdc.applyChangelog(a1, c2, Seq("k"), "seq", "op")
+    val unioned = Cdc.applyChangelog(snap, c1.unionByName(c2),
+      Seq("k"), "seq", "op")
+    assert(cdcRows(sequential) == cdcRows(unioned))
+    assert(cdcRows(sequential) ==
+      Set((2L, "b2"), (3L, "c"), (4L, "d"), (5L, "e2")))
+
+    // non-broadcast path answers identically
+    assert(cdcRows(Cdc.applyChangelog(snap, c1, Seq("k"), "seq", "op",
+      broadcastChanges = false)) == cdcRows(a1))
+  }
 }

@@ -128,4 +128,41 @@ class LayoutSpec extends GraftSpec {
     assert(avgNormRange(sorted, "y", 499.0) > 0.9)
     z.unpersist(); sorted.unpersist()
   }
+
+  test("compact merges a fragmented table to the byte-sized file count") {
+    val dir = Files.createTempDirectory("graft-compact").toFile
+    val in = s"${dir.getAbsolutePath}/frag"
+    val out = s"${dir.getAbsolutePath}/compacted"
+    val outSorted = s"${dir.getAbsolutePath}/compacted_sorted"
+    try {
+      // 64 deliberate fragments of a 20k-row table
+      spark.range(0, 20000).select(col("id"),
+          (col("id") * 7919 % 1000).as("k"))
+        .repartition(64).write.parquet(in)
+      val fs = new org.apache.hadoop.fs.Path(in)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(in))
+        .count(_.getPath.getName.endsWith(".parquet")) == 64)
+
+      // tiny source → targetFileMB dominates → exactly 1 file, same rows
+      val n = Layout.compact(spark, in, out, targetFileMB = 256)
+      assert(n == 1)
+      assert(spark.read.parquet(out).count() == 20000)
+      assert(spark.read.parquet(out).agg(sum("id")).head.getLong(0) ==
+        spark.read.parquet(in).agg(sum("id")).head.getLong(0))
+
+      // sortCol variant restores clustering: each output file covers a
+      // narrow k-range (range partitioning + in-file sort)
+      val n2 = Layout.compact(spark, in, outSorted, targetFileMB = 1,
+        sortCol = Some("k"))
+      assert(n2 >= 1 && spark.read.parquet(outSorted).count() == 20000)
+      val spans = spark.read.parquet(outSorted)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("k") - min("k")).as("span"))
+        .collect().map(_.getAs[Long]("span"))
+      if (spans.length > 1) assert(spans.forall(_ <= 1000 / spans.length * 3))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
 }
