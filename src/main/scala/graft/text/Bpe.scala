@@ -204,13 +204,33 @@ object Bpe {
         case Some((c, a, b)) if c >= 2 =>
           merges += ((a, b))
           val touched = where.getOrElse((a, b), mutable.Set.empty[Int]).toArray
+          // Net deltas batched per pair for the whole merge, then applied
+          // to the ordered queue once per DISTINCT pair: the touched set
+          // can span ~10% of the dictionary (hex-ish corpora) and paying
+          // two TreeSet operations per pair OCCURRENCE made the queue the
+          // trainer's dominant cost (~62 bumps/word vs ~10^2 distinct
+          // changed pairs/merge).
+          val delta = mutable.HashMap.empty[(String, String), Long]
           touched.foreach { i =>
             val old = syms(i)
             val nu = applyMerge(old, a, b).toVector
             if (nu != old) {
-              pairsOf(old).foreach(p => bump(p, -freqs(i), i, add = false))
+              pairsOf(old).foreach(p =>
+                delta.update(p, delta.getOrElse(p, 0L) - freqs(i)))
               syms(i) = nu
-              pairsOf(nu).foreach(p => bump(p, freqs(i), i, add = true))
+              pairsOf(nu).foreach { p =>
+                delta.update(p, delta.getOrElse(p, 0L) + freqs(i))
+                where.getOrElseUpdate(p, mutable.Set.empty[Int]) += i
+              }
+            }
+          }
+          delta.foreach { case (p, d) =>
+            if (d != 0L) {
+              val old = counts.getOrElse(p, 0L)
+              if (old != 0L) queue.remove((old, p._1, p._2))
+              val nu = old + d
+              if (nu != 0L) { counts(p) = nu; queue.add((nu, p._1, p._2)) }
+              else counts.remove(p)
             }
           }
           // the merged pair's surviving index entries are stale by now

@@ -48,4 +48,39 @@ class StreamingCurationSpec extends GraftSpec {
       assert(byId(3L)._2 == "plain text, no markup, no pii at all")
     } finally q.stop()
   }
+
+  test("streaming CDC: foreachBatch changelog apply equals one batch apply") {
+    // The live-ingest mirror of Cdc's batch composition law: a stream of
+    // changelog micro-batches folded into a snapshot via foreachBatch
+    // must land on the same state as applying the unioned changelog
+    // once. Sequence numbers are monotone across batches (the well-formed
+    // changelog contract), so per-batch LWW composes.
+    import graft.api.Cdc
+    implicit val ctx = spark.sqlContext
+    val snap0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val b1 = Seq((1L, "a2", 10L, "U"), (4L, "d", 11L, "I"))
+    val b2 = Seq((2L, "", 20L, "D"), (4L, "d2", 21L, "U"))
+
+    var state = snap0
+    val input = MemoryStream[(Long, String, Long, String)]
+    val q = input.toDF().toDF("k", "v", "seq", "op")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // localCheckpoint flattens the plan so state doesn't grow a
+        // lineage chain across micro-batches (same pattern as the
+        // Nexmark foreachBatch fold)
+        state = Cdc.applyChangelog(state, batch, Seq("k"), "seq", "op")
+          .localCheckpoint(true)
+      }
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = state.as[(Long, String)].collect().toSet
+      val once = Cdc.applyChangelog(snap0, (b1 ++ b2).toDF("k", "v", "seq", "op"),
+        Seq("k"), "seq", "op").as[(Long, String)].collect().toSet
+      assert(streamed == once)
+      assert(streamed == Set((1L, "a2"), (3L, "c"), (4L, "d2")))
+    } finally q.stop()
+  }
 }
