@@ -221,6 +221,19 @@ object Bench {
         Map("0" -> 1.0, "1" -> 0.5), defaultRate = 0.1)
         .write.format("noop").mode("overwrite").save()
     }
+    // CDC changelog apply at corpus scale: a 10%-of-corpus increment
+    // (updates + deletes, sequenced) folded into the snapshot — the
+    // snapshot side is one scan + broadcast anti-join (1M changed keys),
+    // only the increment shuffles for its latest-per-key reduction.
+    timedSafe("cdc_apply") {
+      val changes = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") % 3 + 1).cast("long").as("seq"),
+          when(col("doc_id") % 20 === 0, "D").otherwise("U").as("op"))
+      graft.api.Cdc.applyChangelog(docs.select("doc_id", "text"), changes,
+        Seq("doc_id"), "seq", "op")
+        .write.format("noop").mode("overwrite").save()
+    }
     // 2000 merges = a production-shaped vocabulary run; batched training
     // makes it ~20 driver round-trips (the r5 finding: one round-trip per
     // merge meant vocab-size-bound scheduler latency)

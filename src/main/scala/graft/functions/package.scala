@@ -112,6 +112,14 @@ package object functions {
       graft.plans.WinnowedAnchors(
         org.apache.spark.sql.graftbridge.expression(text), minLen, w))
 
+  /** Per-vocabulary-term occurrence counts of a token array, one native
+    * codegen'd pass with an O(1) probe per token (graft.plans
+    * .VocabTermCounts) — the BM25 term-frequency kernel. */
+  def vocabTermCounts(tokens: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.VocabTermCounts(
+        org.apache.spark.sql.graftbridge.expression(tokens), vocab))
+
   def minhashSignatureNative(text: Column, n: Int, k: Int): Column = {
     val norm = lower(regexp_replace(trim(text), "\\s+", " "))
     org.apache.spark.sql.graftbridge.column(

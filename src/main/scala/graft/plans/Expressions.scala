@@ -639,3 +639,67 @@ object QualityScore {
     1.0 / (1.0 + Math.exp(-(bias + mean)))
   }
 }
+
+/** Native one-pass per-vocabulary-term counts over a token array:
+  * `VocabTermCounts(tokens, vocab)` returns `array<long>` aligned with
+  * `vocab` — counts(i) = occurrences of vocab(i) in the tokens.
+  *
+  * The hot kernel of BM25 scoring (reference analog: none — Beam has no
+  * retrieval scoring; public BM25 literature, Robertson & Zaragoza 2009).
+  * The declarative formulation — `size(filter(tk, t -> t === term))` per
+  * query term — rescans the whole token array once PER TERM with an
+  * interpreted lambda per token (measured: the 3-query stopword bench
+  * stage spent ~5 min here at 10M docs). This walks the tokens once per
+  * row with an O(1) hash probe per token inside whole-stage codegen;
+  * downstream score folds read counts by index. */
+case class VocabTermCounts(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  require(vocab.nonEmpty, "vocab must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vocab_term_counts requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vocab_term_counts"
+
+  @transient private lazy val index: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](vocab.length * 2)
+    var i = 0
+    while (i < vocab.length) {
+      // first index wins on (pathological) duplicate vocab entries
+      m.putIfAbsent(UTF8String.fromString(vocab(i)), Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  /** Called from generated code. */
+  def compute(arr: ArrayData): ArrayData = {
+    val counts = new Array[Long](vocab.length)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val idx = index.get(arr.getUTF8String(i))
+        if (idx != null) counts(idx.intValue()) += 1L
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabTermCounts", this,
+      classOf[VocabTermCounts].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VocabTermCounts =
+    copy(child = newChild)
+}

@@ -105,24 +105,41 @@ object Bm25 {
     }.toMap
     val s = docs.sparkSession
     import scala.jdk.CollectionConverters._
+    // the sorted global vocab also fixes the tfv layout: tfv(i) counts
+    // sortedTerms(i), so the fold reads term frequencies by index
+    val sortedTerms = terms.sorted.toSeq
+    val idxOf = sortedTerms.zipWithIndex.toMap
     val idfDf = s.createDataFrame(
       idfOf.toSeq.sortBy(_._1).map { case (t, w) =>
-        org.apache.spark.sql.Row(t, w) }.asJava,
+        org.apache.spark.sql.Row(t, w, idxOf(t)) }.asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("term",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("w",
-          org.apache.spark.sql.types.DoubleType))))
-    // per-query (term, weight) arrays, term-sorted for a deterministic fold
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.IntegerType))))
+    // per-query (term, weight, idx) arrays, term-sorted for a
+    // deterministic fold (terms are distinct per query, so the extra
+    // struct fields never affect the sort)
     val qw = qterms.join(idfDf, Seq("term")) // df=0 terms contribute nothing
       .groupBy("query_id")
-      .agg(array_sort(collect_list(struct(col("term"), col("w")))).as("qw"))
+      .agg(array_sort(collect_list(
+        struct(col("term"), col("w"), col("idx")))).as("qw"))
 
-    // scoring scan: full BM25 per (query, doc) as scan-stage arithmetic
+    // scoring scan: full BM25 per (query, doc) as scan-stage arithmetic.
+    // Term frequencies come from ONE native pass over the token array
+    // (graft.plans.VocabTermCounts) — the per-term `filter(tk, ...)`
+    // formulation rescanned the tokens once per query term with an
+    // interpreted lambda per token (measured 333 s → 86 s for the
+    // 3-stopword-query bench stage at 10M docs; scores bit-identical, the
+    // fold order and IEEE ops are unchanged).
     val lenNorm = col("dl") / avgdl * (b * k1) + lit(k1 * (1 - b))
-    val scored = toks.crossJoin(broadcast(qw))
+    val scored = toks
+      .withColumn("tfv", graft.functions.vocabTermCounts(col("tk"), sortedTerms))
+      .crossJoin(broadcast(qw))
       .withColumn("raw", aggregate(col("qw"), lit(0.0), (acc, e) => {
-        val tf = size(filter(col("tk"), t => t === e("term"))).cast("double")
+        val tf = element_at(col("tfv"), e("idx") + lit(1)).cast("double")
         // same IEEE op order as the SQL oracle: ((idf·tf)·(k1+1)) / denom
         acc + when(tf > 0,
           e("w") * tf * (k1 + 1) / (tf + lenNorm)).otherwise(0.0)
