@@ -265,6 +265,17 @@ object Bench {
       graft.dedup.Dedup.simhashNearDups(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
+    // the nightly-crawl shape at corpus scale: a 10% increment deduped
+    // against the other 90% through the band index — pair generation is
+    // the cross-side equi-join only (new×new and old×old pairs are never
+    // formed), so join work is increment-proportional
+    timedSafe("dedup_incremental_10pct") {
+      graft.dedup.Dedup.minhashNearDupsAgainst(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", threshold = 0.7)
+        .write.format("noop").mode("overwrite").save()
+    }
     // pack×2 + simhash all exchange full-width rows; the stages after this
     // point are scan-stage until the winnowed anchor exchange, so one
     // recycle here caps the group's shuffle-file accumulation

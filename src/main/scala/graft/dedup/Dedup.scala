@@ -241,9 +241,24 @@ object Dedup {
         Seq("band", "band_hash"))
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("n_band_matches"))
       .filter(col("n_band_matches") >= minBandMatches)
-    val shNew = newDf.select(col(idCol).as("new_id"),
-      charShingleHashes(col(textCol), index.shingleN).as("sh_a"))
+    // Verification join-back, SURVIVORS ONLY (the same order-of-operations
+    // rule as minhashCandidates): the candidate ids — bounded by the
+    // increment's pair fanout, never the corpus — reach both shingle
+    // sources as BROADCAST semi-joins, so neither the increment's text
+    // nor the corpus-sized shingle table is ever shuffled. The previous
+    // formulation joined the full index.shingles by corpus_id: at 10M
+    // docs that shuffle-writes the ~100 GB shingle payload (measured:
+    // ENOSPC on a 64 GB-free disk at scale 100); survivor shingles are
+    // a few GB. The `pairs` subtree appears in the semi-join probes too —
+    // its exchanges (band pipelines, pair aggregate) are identical
+    // subtrees and Spark's exchange reuse materializes each once.
+    val shNew = newDf.select(col(idCol).as("new_id"), col(textCol).as("__t"))
+      .join(broadcast(pairs.select("new_id").distinct()), Seq("new_id"), "left_semi")
+      .select(col("new_id"),
+        charShingleHashes(col("__t"), index.shingleN).as("sh_a"))
     val shOld = index.shingles.select(col("id").as("corpus_id"), col("sh").as("sh_b"))
+      .join(broadcast(pairs.select("corpus_id").distinct()),
+        Seq("corpus_id"), "left_semi")
     pairs.join(shNew, "new_id").join(shOld, "corpus_id")
       .filter(sizeCompatible(col("sh_a"), col("sh_b"), threshold))
       .withColumn("jaccard_sim", jaccard(col("sh_a"), col("sh_b")))
