@@ -224,6 +224,8 @@ object Dedup {
     * (and append to) one index instead of re-banding history every cycle.
     * Hot buckets are capped per side BEFORE the join, as in the symmetric
     * path. */
+  // (persistence: see saveBandIndex/loadBandIndex below — the nightly
+  // loop's storage layer)
   def minhashNearDupsAgainstIndex(newDf: DataFrame, index: BandIndex,
       idCol: String, textCol: String, threshold: Double = 0.7,
       maxBucketSize: Int = 1000, minBandMatches: Int = 2): DataFrame = {
@@ -390,5 +392,33 @@ object Dedup {
       .withColumn("cos", cosineSim(col("v_a"), col("v_b")))
       .filter(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Persist a [[BandIndex]] as two parquet tables (`<path>/bands`,
+    * `<path>/shingles`) plus a one-row `<path>/meta` table carrying the
+    * LSH parameters — the storage layer of the nightly-crawl loop: build
+    * once, `loadBandIndex` each cycle, query + append, write back the
+    * appended increment (both tables are append-stable). */
+  def saveBandIndex(index: BandIndex, path: String): Unit = {
+    val spark = index.bands.sparkSession
+    import spark.implicits._
+    index.bands.write.mode("overwrite").parquet(s"$path/bands")
+    index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    Seq((index.shingleN, index.numHashes, index.nBands))
+      .toDF("shingle_n", "num_hashes", "n_bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[BandIndex]] persisted by [[saveBandIndex]]. The parameters
+    * ride the meta table, so queries and appends can never drift from
+    * the signatures the index was built with. */
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): BandIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    BandIndex(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"),
+      meta.getAs[Int]("shingle_n"), meta.getAs[Int]("num_hashes"),
+      meta.getAs[Int]("n_bands"))
   }
 }

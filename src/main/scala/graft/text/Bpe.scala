@@ -294,4 +294,25 @@ object Bpe {
       }
       .toDF(idCol, "tokens", "n_tokens")
   }
+
+  /** Persist a trained model as a (rank, left, right) parquet table —
+    * train once, reuse across the nightly jobs that tokenize with it
+    * (the merge list IS the model; ranks rebuild from row order). */
+  def save(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[save]]; merge order restores from the
+    * rank column, so `load(save(m)) == m` exactly (spec-pinned). */
+  def load(spark: SparkSession, path: String): Model = {
+    import spark.implicits._
+    Model(spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .as[(Int, String, String)]
+      .collect().sortBy(_._1).toIndexedSeq.map { case (_, a, b) => (a, b) })
+  }
 }

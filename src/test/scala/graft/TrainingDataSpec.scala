@@ -117,6 +117,33 @@ class TrainingDataSpec extends GraftSpec {
     assert(a == Set((1L, 0L), (1L, 3L)))
   }
 
+  test("band index and bpe model survive a save/load round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-persist").toFile
+    try {
+      // band index: loaded index answers identically to the in-memory one
+      val corpus = docs.filter($"doc_id".isin(0L, 2L, 3L, 4L))
+      val probe = docs.filter($"doc_id" === 1L)
+      val built = Dedup.buildBandIndex(corpus, "doc_id", "text",
+        numHashes = 60, bands = 20)
+      Dedup.saveBandIndex(built, s"${dir.getAbsolutePath}/bindex")
+      val loaded = Dedup.loadBandIndex(spark, s"${dir.getAbsolutePath}/bindex")
+      assert((loaded.shingleN, loaded.numHashes, loaded.nBands) ==
+        (built.shingleN, built.numHashes, built.nBands))
+      def pairs(ix: Dedup.BandIndex) =
+        Dedup.minhashNearDupsAgainstIndex(probe, ix, "doc_id", "text",
+          threshold = 0.5)
+          .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(pairs(loaded) == pairs(built) && pairs(loaded).nonEmpty)
+
+      // bpe model: merge list round-trips exactly, so tokenization does too
+      import graft.text.Bpe
+      val model = Bpe.train(docs, "text", numMerges = 40)
+      Bpe.save(spark, model, s"${dir.getAbsolutePath}/bpe")
+      val reloaded = Bpe.load(spark, s"${dir.getAbsolutePath}/bpe")
+      assert(reloaded == model)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("bpe training reproduces the canonical merge order; encoding is lossless") {
     import graft.text.Bpe
     // Sennrich et al.'s worked example: low×5 lower×2 newest×6 widest×3
