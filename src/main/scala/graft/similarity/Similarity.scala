@@ -772,4 +772,145 @@ object Similarity {
       .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
     rankTopK(scored, k)
   }
+  // ---- persisted IVF-PQ index: the complete memory-bounded serving layout
+
+  /** Write the PQ rows (nn_id, cell, codes, norm) of `c` into the
+    * cell-bucketed `table` — raw vectors never land in the index. */
+  private def writePqRows(c: DataFrame, centers: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], table: String, mode: String): Unit = {
+    val assigned = c.withColumn("cell", nearestCell(centers)(col("cv")))
+      .select("nn_id", "cv", "cell")
+    pqEncode(assigned, "nn_id", "cv", books, keepCols = Seq("cell"))
+      .select("nn_id", "cell", "codes", "norm")
+      .repartition(col("cell"))
+      .write.mode(mode)
+      .bucketBy(centers.length, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Persist the coarse + PQ codebooks alongside the codes table, as rows
+    * (kind, i, c, v): ("coarse", 0, cellIdx, centroid) and
+    * ("pq", subspace, code, centroid). A later session reloads them with
+    * [[loadPqCodebooks]] and queries without refitting. */
+  private def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
+      table: String, centers: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    val rows =
+      centers.zipWithIndex.toSeq.map { case (v, ci) => ("coarse", 0, ci, v.toSeq) } ++
+      books.zipWithIndex.toSeq.flatMap { case (book, j) =>
+        book.zipWithIndex.toSeq.map { case (v, ci) => ("pq", j, ci, v.toSeq) } }
+    rows.toDF("kind", "i", "c", "v").coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_codebooks")
+  }
+
+  /** Reload the codebooks persisted by [[buildIvfPqIndex]]. */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession, table: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import spark.implicits._
+    val rows = spark.table(s"${table}_codebooks")
+      .select(col("kind"), col("i"), col("c"), col("v"))
+      .as[(String, Int, Int, Seq[Double])].collect()
+    val centers = rows.filter(_._1 == "coarse").sortBy(_._3).map(_._4.toArray)
+    val books = rows.filter(_._1 == "pq").groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_._3).map(_._4.toArray) }.toArray
+    (centers, books)
+  }
+
+  /** Build a PERSISTED IVF-PQ index: one cell-bucketed parquet table of
+    * (nn_id, cell, codes, norm) — ~16 B per vector at m=8 instead of the
+    * 256 B raw vector, the layout that keeps a 100 TB corpus''s index
+    * resident — plus the codebooks table. Same one-sample codebook fits
+    * as [[ivfPqTopK]]; returns (centers, books) for immediate use. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      table: String, nlist: Int = 16, m: Int = 8, ksub: Int = 256,
+      seed: Long = 42L, maxIter: Int = 5, trainFraction: Double = 0.1)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val c = corpus.select(col(idCol).as("nn_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val sampleOpt = collectSample(c.select(col("cv")),
+      math.max(nlist, ksub).toLong * 10, seed, trainFraction)
+    val centers = sampleOpt match {
+      case Some(s) => localKMeans(s, nlist, maxIter, seed)
+      case None => fitCenters(c, nlist, seed, maxIter, trainFraction)
+    }
+    val books = sampleOpt match {
+      case Some(s) => pqTrainLocal(s, m, ksub, seed, maxIter)
+      case None => pqTrain(corpus, vecCol, m, ksub, seed, maxIter, trainFraction)
+    }
+    writePqRows(c, centers, books, table, "overwrite")
+    saveCodebooks(c.sparkSession, table, centers, books)
+    (centers, books)
+  }
+
+  /** Fold NEW vectors into a persisted IVF-PQ index without refitting —
+    * encode with the existing codebooks, append to the bucketed table
+    * (mirrors [[appendToIvfIndex]]; cost proportional to the increment,
+    * codes survive because PQ quantizes raw vectors, not residuals). */
+  def appendToIvfPqIndex(table: String, centers: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], newVecs: DataFrame,
+      idCol: String, vecCol: String): Unit =
+    writePqRows(newVecs.select(col(idCol).as("nn_id"),
+      col(vecCol).cast("array<double>").as("cv")), centers, books, table, "append")
+
+  /** Query a persisted IVF-PQ index: probed cells resolve to bucket-file
+    * seeks (graft.api.Lookup — only nprobe of the nlist files are read),
+    * ADC scores the resident codes, and `rerank > 0` re-scores the
+    * shortlist exactly against `rerankFrom` (the raw-vector source of
+    * truth, which the index itself deliberately does not hold). */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      centers: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 4, rerank: Int = 0,
+      rerankFrom: Option[DataFrame] = None): DataFrame = {
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val probeCells = udf { (v: Seq[Double]) =>
+      centers.zipWithIndex.map { case (ctr, i) =>
+        var s = 0.0; var j = 0
+        while (j < ctr.length) { val d = ctr(j) - v(j); s += d * d; j += 1 }
+        (s, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val lut = udf { (qv: Seq[Double]) =>
+      val t = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        val cb = books(j); var c2 = 0
+        while (c2 < cb.length) {
+          var s = 0.0; var d = 0
+          while (d < dsub) { s += qv(j * dsub + d) * cb(c2)(d); d += 1 }
+          t(j * ksub + c2) = s; c2 += 1
+        }
+        j += 1
+      }
+      t
+    }
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("lut", lut(col("qv")))
+      .withColumn("qnorm", sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("qcell", explode(probeCells(col("qv"))))
+    val scored = graft.api.Lookup.lookupJoin(spark, q, table, "qcell", "cell")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round(pqAdc(col("codes"), col("lut")) /
+        (col("qnorm") * col("norm")), 4))
+      .select("query_id", "nn_id", "sim")
+    if (rerank <= 0) rankTopK(scored, k)
+    else {
+      val src = rerankFrom.getOrElse(throw new IllegalArgumentException(
+        "rerank > 0 needs rerankFrom — the raw-vector source the index does not hold"))
+      val shortlist = rankTopK(scored, rerank).select("query_id", "nn_id")
+      val cvs = src.select(col(idCol).as("nn_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      val exact = cvs.join(broadcast(shortlist), Seq("nn_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
+        .select("query_id", "nn_id", "sim")
+      rankTopK(exact, k)
+    }
+  }
 }

@@ -72,6 +72,39 @@ class IvfIndexSpec extends GraftSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_app")
   }
 
+  test("persisted IVF-PQ index: codebooks round-trip; full-probe + exact rerank equals brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    try {
+      val (centers, books) = Similarity.buildIvfPqIndex(emb, "vec_id",
+        "embedding", "pq_idx", nlist = 8, m = 8, ksub = 16)
+      val (c2, b2) = Similarity.loadPqCodebooks(spark, "pq_idx")
+      assert(c2.map(_.toSeq).toSeq == centers.map(_.toSeq).toSeq)
+      assert(b2.map(_.map(_.toSeq).toSeq).toSeq ==
+        books.map(_.map(_.toSeq).toSeq).toSeq)
+      // full probe + deep exact rerank from the raw-vector source ⇒ the
+      // quantization is fully recovered and the persisted path must equal
+      // brute force row for row
+      val got = Similarity.ivfPqTopKIndexed(spark, "pq_idx", c2, b2,
+        queries, "vec_id", "embedding", k = 5, nprobe = 8, rerank = 4000,
+        rerankFrom = Some(emb))
+      val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      assert(got.orderBy("query_id", "rnk").collect().map(_.toString).toSeq ==
+        brute.orderBy("query_id", "rnk").collect().map(_.toString).toSeq)
+
+      // append maintenance: encode new vectors with the SAME codebooks,
+      // append to the bucketed table; the appended ids must be seekable
+      val extra = emb.filter(col("vec_id").between(5, 9))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val before = spark.table("pq_idx").count()
+      Similarity.appendToIvfPqIndex("pq_idx", c2, b2, extra, "vec_id", "embedding")
+      assert(spark.table("pq_idx").count() == before + extra.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_idx")
+      spark.sql("DROP TABLE IF EXISTS pq_idx_codebooks")
+    }
+  }
+
   test("rankTopK large-k window path ranks identically to the heap path") {
     // The PQ rerank shortlist calls rankTopK with k in the 10^5 band,
     // which routes to the window path (k > 4096); small k keeps the
