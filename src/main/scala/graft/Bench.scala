@@ -141,6 +141,25 @@ object Bench {
           10, nlist = ivfNlist, nprobe = ivfNprobe, m = 8, ksub = 256,
           rerank = pqRerank, trainFraction = kmFraction)
       }
+      // the PERSISTED serving layout, end to end at corpus scale: build
+      // the cell-bucketed codes table + codebooks on disk, then answer
+      // through bucket-file seeks + exact rerank against the raw source.
+      // Timed as one stage (build + persist + query); recall-checked
+      // like the in-job variants.
+      if (wanted("ann_ivfpq_indexed")) {
+        annRecall("ann_ivfpq_indexed") {
+          val (centers, books) = graft.similarity.Similarity.buildIvfPqIndex(
+            emb, "vec_id", "embedding", "bench_pq_idx", nlist = ivfNlist,
+            m = 8, ksub = 256, trainFraction = kmFraction)
+          graft.similarity.Similarity.ivfPqTopKIndexed(spark, "bench_pq_idx",
+            centers, books, qVecs, "vec_id", "embedding", 10,
+            nprobe = ivfNprobe, rerank = pqRerank, rerankFrom = Some(emb))
+        }
+        try {
+          spark.sql("DROP TABLE IF EXISTS bench_pq_idx")
+          spark.sql("DROP TABLE IF EXISTS bench_pq_idx_codebooks")
+        } catch { case _: Throwable => }
+      }
       brute.unpersist(); qVecs.unpersist()
     } catch { case e: Throwable =>
       failures += "ann_group" -> s"failed: ${e.toString.take(160)}"
