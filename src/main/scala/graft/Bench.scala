@@ -67,9 +67,16 @@ object Bench {
     // bpe, ANN): run the group if any of its stage names is wanted
     def wanted(names: String*): Boolean =
       onlyStages.forall(s => names.exists(s.contains))
-    def timedSafe(name: String)(body: => Unit): Unit =
+    // `estSec` is the stage's measured-cost hint: a stage that cannot
+    // FINISH inside the budget is skipped up front, because a started
+    // stage runs to completion — a 400 s stage launched 30 s before the
+    // deadline would blow the whole process past the driver's kill.
+    def deadlineBlocked(estSec: Long): Boolean =
+      System.nanoTime() + estSec * 1000000000L > deadlineNanos
+    def timedSafe(name: String, estSec: Long = 0L)(body: => Unit): Unit =
       if (onlyStages.forall(_.contains(name))) {
-        if (pastDeadline) failures += name -> "skipped_deadline"
+        if (onlyStages.isEmpty && deadlineBlocked(estSec))
+          failures += name -> "skipped_deadline"
         else try timed(name)(body)
         catch { case e: Throwable =>
           times -= name
@@ -176,7 +183,7 @@ object Bench {
     // not sum. The pairs write rides inside the minhash timing (disclosed:
     // it is ~500k rows at scale 100, noise next to the banding shuffle).
     val pairsPath = graft.sources.PipelineCorpus.dirFor(scale) + "/tmp_pairs"
-    if (wanted("minhash_lsh_neardups", "dup_clusters") && !pastDeadline) try {
+    if (wanted("minhash_lsh_neardups", "dup_clusters") && !deadlineBlocked(560)) try {
     // stale-data guard (r6 advice): a previous run's pairs must never feed
     // this run's recall gate — delete first, and bail if the write failed.
     try {
@@ -229,11 +236,11 @@ object Bench {
     // the most expensive tail stages (exact_substr, exact_dedup), not the
     // breadth. (exact_dedup moved from tier-front to tail in r7 — it is a
     // stable shuffle benchmark, not a recall gate.)
-    timedSafe("pii_redact") {
+    timedSafe("pii_redact", estSec = 240) {
       graft.text.TextAnalysis.redactPii(docs, "text")
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("weighted_mix") {
+    timedSafe("weighted_mix", estSec = 10) {
       graft.api.Sampling.weightedMix(
         docs.withColumn("source", (col("doc_id") % 16).cast("string")),
         "source", "doc_id",
@@ -244,7 +251,7 @@ object Bench {
     // (updates + deletes, sequenced) folded into the snapshot — the
     // snapshot side is one scan + broadcast anti-join (1M changed keys),
     // only the increment shuffles for its latest-per-key reduction.
-    timedSafe("cdc_apply") {
+    timedSafe("cdc_apply", estSec = 20) {
       val changes = docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"),
           (col("doc_id") % 3 + 1).cast("long").as("seq"),
@@ -256,7 +263,7 @@ object Bench {
     // 2000 merges = a production-shaped vocabulary run; batched training
     // makes it ~20 driver round-trips (the r5 finding: one round-trip per
     // merge meant vocab-size-bound scheduler latency)
-    if (wanted("bpe_train", "bpe_tokenize")) try {
+    if (wanted("bpe_train", "bpe_tokenize") && !deadlineBlocked(120)) try {
       val bpeModel = timed("bpe_train") {
         graft.text.Bpe.train(docs, "text", numMerges = 2000)
       }
@@ -270,17 +277,17 @@ object Bench {
     }
     recycle() // free the BPE dict shuffles
     val docsTok = docs.withColumn("tok", length(col("text")))
-    timedSafe("pack_chunk") {
+    timedSafe("pack_chunk", estSec = 15) {
       graft.pack.Packing.concatAndChunk(docsTok, "doc_id", "tok",
         budget = 4096L, streams = 64)
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("pack_greedy") {
+    timedSafe("pack_greedy", estSec = 15) {
       graft.pack.Packing.greedyPack(docsTok, "doc_id", "tok",
         budget = 4096L, streams = 64)
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("simhash_neardups") {
+    timedSafe("simhash_neardups", estSec = 140) {
       graft.dedup.Dedup.simhashNearDups(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
@@ -288,7 +295,7 @@ object Bench {
     // against the other 90% through the band index — pair generation is
     // the cross-side equi-join only (new×new and old×old pairs are never
     // formed), so join work is increment-proportional
-    timedSafe("dedup_incremental_10pct") {
+    timedSafe("dedup_incremental_10pct", estSec = 540) {
       graft.dedup.Dedup.minhashNearDupsAgainst(
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0),
@@ -299,35 +306,35 @@ object Bench {
     // point are scan-stage until the winnowed anchor exchange, so one
     // recycle here caps the group's shuffle-file accumulation
     recycle()
-    timedSafe("text_features") {
+    timedSafe("text_features", estSec = 60) {
       graft.text.TextAnalysis.withTextFeatures(docs, "text")
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("repetition_features") {
+    timedSafe("repetition_features", estSec = 70) {
       graft.text.TextAnalysis.withRepetitionFeatures(docs, "text")
         .write.format("noop").mode("overwrite").save()
     }
     // model-based quality scoring: hashed-ngram sigmoid scorer, pure
     // scan-stage (weights are arbitrary here — the cost is the feature
     // hashing, identical whatever the fit produced)
-    timedSafe("quality_score") {
+    timedSafe("quality_score", estSec = 60) {
       graft.text.QualityClassifier.score(docs, "text",
         Array.tabulate(1024)(i => (i % 7 - 3) * 0.1), bias = 0.0)
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("markup_strip") {
+    timedSafe("markup_strip", estSec = 50) {
       graft.text.TextAnalysis.stripMarkup(
         docs.withColumn("h", concat(lit("<p>"), col("text"),
           lit(" &amp; more</p><!-- x -->"))), "h")
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("shard_assign") {
+    timedSafe("shard_assign", estSec = 40) {
       graft.pack.Packing.shardByTokenBudget(
         docs.withColumn("tok", length(col("text")).cast("long")),
         "doc_id", "tok", budget = 65536L, bucketHexChars = 3)
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("domain_cap") {
+    timedSafe("domain_cap", estSec = 70) {
       graft.text.Urls.capPerDomain(
         docs.withColumn("url", concat(lit("https://w."),
           (col("doc_id") % 4096).cast("string"), lit(".site.com/p/"),
@@ -337,7 +344,7 @@ object Bench {
     // stopword queries = worst-case df (every document matches every
     // term), so this times the full matched-row exchange, not a lucky
     // sparse probe
-    timedSafe("bm25_topk") {
+    timedSafe("bm25_topk", estSec = 120) {
       val s = spark // stable identifier for the implicits import
       import s.implicits._
       val qs = Seq((0L, "the of and"), (1L, "that it was"),
@@ -346,7 +353,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     recycle() // clean session for the two expensive tail shuffle stages
-    timedSafe("exact_dedup") {
+    timedSafe("exact_dedup", estSec = 30) {
       graft.dedup.Dedup.exact(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
@@ -359,10 +366,10 @@ object Bench {
     // bench deadline). The cap is NOT silent: the stage is renamed with
     // its slice size so the artifact says what was measured.
     val substrCap = 2000000L
-    if (nDocs <= substrCap) timedSafe("exact_substr_winnowed") {
+    if (nDocs <= substrCap) timedSafe("exact_substr_winnowed", estSec = 140) {
       graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
-    } else timedSafe(s"exact_substr_winnowed_${substrCap / 1000000}m_slice") {
+    } else timedSafe(s"exact_substr_winnowed_${substrCap / 1000000}m_slice", estSec = 140) {
       graft.dedup.ExactSubstr.winnowedCandidates(
         docs.filter(col("doc_id") % lit(math.max(nDocs / substrCap, 1L)) === 0),
         "doc_id", "text")
