@@ -378,4 +378,18 @@ class PlanSpec extends GraftSpec {
     }
     assert(offenders.isEmpty, s"fact-table broadcasts: $offenders")
   }
+
+  test("cdc apply: snapshot anti-join is broadcast; only the increment shuffles") {
+    val snap = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val changes = snap.limit(50)
+      .select(col("doc_id"), col("text"), lit(1L).as("seq"), lit("U").as("op"))
+    val df = graft.api.Cdc.applyChangelog(snap, changes, Seq("doc_id"), "seq", "op")
+    val plan = physicalPlan(df)
+    // the changed-key set reaches the snapshot as a broadcast anti-join —
+    // the snapshot side must never hit an Exchange; the only shuffle is
+    // the increment's latest-per-key window
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined, plan)
+    val nEx = "(?m)^\\s*\\+?-?\\s*Exchange ".r.findAllIn(plan).size
+    assert(nEx <= 1, s"$nEx exchanges (snapshot must not shuffle):\n$plan")
+  }
 }
