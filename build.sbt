@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify emit machine-parsed JSON on stdout. sbt's default
+// LoggedOutput strategy reframes every forked-process line as
+// "[info] <line>" and appends a "[success] Total time..." banner, so the
+// driver's tail-parser never saw a bare, final JSON line (BENCH r5–r7:
+// parsed:null). StdoutOutput inherits the child's stdout/stderr directly
+// (no prefix), and showSuccess drops the trailing banner — the last
+// stdout line of `sbt -batch "runMain graft.Bench"` is the headline JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another task —
+// lintUnused can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,6 +3,32 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** JSON string escaping for failure-marker values (exception messages can
+    * carry quotes/backslashes/newlines — any of which would corrupt the one
+    * machine-parsed artifact line). Shared by every emitter in this file. */
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+
+  /** Measured SOLO costs at scale 100 (COVERAGE.md, quiet machine). They do
+    * double duty: (a) the deadline-skip cost hints inside the tier, (b)
+    * emitted next to the in-run times (`solo_hint_sec` in the pipeline tier
+    * line) so contention inflation is self-documenting — an official stage
+    * time ≫ its solo hint says "run-wide contention", not "plan
+    * regression", without a re-run. */
+  def soloHints(scale: Int): Map[String, Double] =
+    if (scale != 100) Map.empty
+    else Map(
+      "ann_brute_force" -> 65.0, "ann_ivf" -> 40.0, "ann_lsh" -> 53.0,
+      "ann_ivfpq" -> 102.0, "ann_ivfpq_indexed" -> 121.6,
+      "dedup_incremental_10pct" -> 307.7,
+      "minhash_lsh_neardups" -> 314.0, "pii_redact" -> 56.6,
+      "bm25_topk" -> 60.0, "exact_substr_winnowed" -> 519.8)
+
   /** The training-data-pipeline scale tier: generate (once) the
     * [[graft.sources.PipelineCorpus]] at `scale`, time the dedup/text/ANN
     * operators on it, and measure the accuracy contracts at scale —
@@ -171,8 +197,27 @@ object Bench {
     } catch { case e: Throwable =>
       failures += "ann_group" -> s"failed: ${e.toString.take(160)}"
       System.err.println(s"[bench-pipeline] ANN group failed: $e")
-    } else if (pastDeadline) failures += "ann_group" -> "skipped_deadline"
+    } else if (wanted("ann_brute_force", "ann_lsh", "ann_ivf", "ann_ivfpq"))
+      failures += "ann_group" -> "skipped_deadline"
     recycle() // ANN persists/shuffles released before the minhash group
+    // Incremental dedup runs SECOND (right after the ANN group, before the
+    // minhash/pii long poles): in r7 it sat near the tier's tail and was
+    // the one stage the measured-cost skip sacrificed under contention —
+    // the round's official artifact lost its only increment-proportional
+    // dedup witness. Early placement + a fresh session makes the skip
+    // window structurally impossible unless the ANN group itself overran.
+    // The nightly-crawl shape at corpus scale: a 10% increment deduped
+    // against the other 90% through the band index — pair generation is
+    // the cross-side equi-join only (new×new and old×old pairs are never
+    // formed), so join work is increment-proportional.
+    timedSafe("dedup_incremental_10pct", estSec = 330) {
+      graft.dedup.Dedup.minhashNearDupsAgainst(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", threshold = 0.7)
+        .write.format("noop").mode("overwrite").save()
+    }
+    recycle() // increment band/shingle shuffles released before minhash
     // The minhash group is split by a mid-group recycle: banding+verify is
     // the tier's biggest spill producer and the recall join (2M docs
     // shingled, joined twice) is the second — running both in one session
@@ -230,13 +275,19 @@ object Bench {
     } catch { case e: Throwable =>
       failures += "minhash_group" -> s"failed: ${e.toString.take(160)}"
       System.err.println(s"[bench-pipeline] minhash group failed: $e")
-    } else if (pastDeadline) failures += "minhash_group" -> "skipped_deadline"
+    // marker keyed on the SAME guard as the run branch (r7 advice: the old
+    // `pastDeadline` else left no trace when the cost hint tripped early)
+    } else if (wanted("minhash_lsh_neardups", "dup_clusters"))
+      failures += "minhash_group" -> "skipped_deadline"
     recycle() // free the band/pair shuffle files before the text stages
     // Remaining stages in roughly ascending cost so a tight deadline trims
     // the most expensive tail stages (exact_substr, exact_dedup), not the
     // breadth. (exact_dedup moved from tier-front to tail in r7 — it is a
     // stable shuffle benchmark, not a recall gate.)
-    timedSafe("pii_redact", estSec = 240) {
+    // pii_redact runs FIRST on a fresh session (56.6 s solo; the r6/r7
+    // official 241–285 s readings were run-wide contention, disclosed via
+    // its solo_hint in the artifact)
+    timedSafe("pii_redact", estSec = 150) {
       graft.text.TextAnalysis.redactPii(docs, "text")
         .write.format("noop").mode("overwrite").save()
     }
@@ -274,7 +325,8 @@ object Bench {
     } catch { case e: Throwable =>
       failures += "bpe_group" -> s"failed: ${e.toString.take(160)}"
       System.err.println(s"[bench-pipeline] bpe group failed: $e")
-    }
+    } else if (wanted("bpe_train", "bpe_tokenize"))
+      failures += "bpe_group" -> "skipped_deadline"
     recycle() // free the BPE dict shuffles
     val docsTok = docs.withColumn("tok", length(col("text")))
     timedSafe("pack_chunk", estSec = 15) {
@@ -289,17 +341,6 @@ object Bench {
     }
     timedSafe("simhash_neardups", estSec = 140) {
       graft.dedup.Dedup.simhashNearDups(docs, "doc_id", "text")
-        .write.format("noop").mode("overwrite").save()
-    }
-    // the nightly-crawl shape at corpus scale: a 10% increment deduped
-    // against the other 90% through the band index — pair generation is
-    // the cross-side equi-join only (new×new and old×old pairs are never
-    // formed), so join work is increment-proportional
-    timedSafe("dedup_incremental_10pct", estSec = 540) {
-      graft.dedup.Dedup.minhashNearDupsAgainst(
-        docs.filter(col("doc_id") % 10 === 0),
-        docs.filter(col("doc_id") % 10 =!= 0),
-        "doc_id", "text", threshold = 0.7)
         .write.format("noop").mode("overwrite").save()
     }
     // pack×2 + simhash all exchange full-width rows; the stages after this
@@ -360,20 +401,32 @@ object Bench {
     // exact-substring candidate discovery at scale: the winnowed path
     // (only ~2/w of positions reach the exchange). Candidate-pair count,
     // not spans — span extension is O(pairs), the exchange is the cost.
-    // Above 2M docs the stage runs on a capped deterministic slice (the
-    // r6 full-corpus run measured 520 s at 10M — it works, but it is the
-    // tier's longest breadth pole and would push later stages past the
-    // bench deadline). The cap is NOT silent: the stage is renamed with
-    // its slice size so the artifact says what was measured.
+    // It is the tier's last and longest breadth pole (r6 full-corpus:
+    // 519.8 s at 10M docs), so the full/slice choice is BUDGET-AWARE at
+    // runtime: the full corpus runs whenever the remaining budget fits its
+    // measured cost; otherwise a capped deterministic slice runs and a
+    // driver-visible marker records that the full run was deferred — the
+    // degradation is never silent (stage name carries the slice size AND
+    // the failures map says why).
     val substrCap = 2000000L
     if (nDocs <= substrCap) timedSafe("exact_substr_winnowed", estSec = 140) {
       graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
-    } else timedSafe(s"exact_substr_winnowed_${substrCap / 1000000}m_slice", estSec = 140) {
-      graft.dedup.ExactSubstr.winnowedCandidates(
-        docs.filter(col("doc_id") % lit(math.max(nDocs / substrCap, 1L)) === 0),
-        "doc_id", "text")
-        .write.format("noop").mode("overwrite").save()
+    } else if (!deadlineBlocked(560) &&
+        onlyStages.forall(_.contains("exact_substr_winnowed"))) {
+      timedSafe("exact_substr_winnowed", estSec = 560) {
+        graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+    } else {
+      if (onlyStages.isEmpty)
+        failures += "exact_substr_winnowed_full" -> "deferred_budget"
+      timedSafe(s"exact_substr_winnowed_${substrCap / 1000000}m_slice", estSec = 140) {
+        graft.dedup.ExactSubstr.winnowedCandidates(
+          docs.filter(col("doc_id") % lit(math.max(nDocs / substrCap, 1L)) === 0),
+          "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     try spark.stop() catch { case _: Throwable => }
     (times, recalls, failures)
@@ -386,7 +439,7 @@ object Bench {
     // same second the kill fired). The pipeline tier consumes whatever the
     // earlier tiers leave and skips-with-marker past the deadline, so the
     // final JSON always gets written and the exit is clean.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3250").toLong
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3300").toLong
     val deadlineNanos = benchT0 + budgetSec * 1000000000L
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -429,9 +482,10 @@ object Bench {
         m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":${"%.3f".format(v)}" }
           .mkString("{", ",", "}")
       def js(m: Map[String, String]): String =
-        m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":\"$v\"" }
+        m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":\"${jsonEscape(v)}\"" }
           .mkString("{", ",", "}")
-      println(s"""{"pipeline_scale":$sc,"pipeline_sec":${j(sec)},"pipeline_recall":${j(rec)},"pipeline_failed":${js(fl)}}""")
+      val hints = soloHints(sc).filter { case (k, _) => sec.contains(k) }
+      println(s"""{"pipeline_scale":$sc,"pipeline_sec":${j(sec)},"pipeline_recall":${j(rec)},"pipeline_failed":${js(fl)},"solo_hint_sec":${j(hints)}}""")
       sys.exit(0) // non-daemon metastore/state-store threads outlive stop()
     }
     // iteration aid: SPARK_GRAFT_STREAM_ONLY=q3,q8 runs just those streaming
@@ -642,9 +696,14 @@ object Bench {
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     def jsmap(m: Map[String, String]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":\"" + v.replace("\"", "'") + "\"" }
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":\"" + jsonEscape(v) + "\"" }
         .mkString("{", ",", "}")
-    println(s"""{"tier":"pipeline","scale":$pipelineScale,"sec":${jmap(pipelineSec)},"recall":${jmap(pipelineRecall)},"failed":${jsmap(pipelineFailed)}}""")
+    // solo_hint_sec: measured quiet-machine costs for the stages that ran,
+    // printed NEXT TO the in-run times — official ≫ solo self-documents as
+    // run-wide contention rather than a plan regression
+    val hintsRan = soloHints(pipelineScale)
+      .filter { case (k, _) => pipelineSec.contains(k) }
+    println(s"""{"tier":"pipeline","scale":$pipelineScale,"sec":${jmap(pipelineSec)},"recall":${jmap(pipelineRecall)},"failed":${jsmap(pipelineFailed)},"solo_hint_sec":${jmap(hintsRan)}}""")
     val fullQs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val inRunDisclosed = suspects.map(k => s"\"" + k + "\":" + fmt(inRun(k)))
@@ -661,11 +720,14 @@ object Bench {
     val s10Qs = scale10.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val full = line.dropRight(1) +
-      s""","all_queries":$fullQs,"in_run_sec":$inRunDisclosed,"scale10_queries":$s10Qs,"pipeline_sec":${jmap(pipelineSec)},"nexmark_events_per_sec":$nx,"nexmark_num_events":$nexmarkEvents}"""
+      s""","all_queries":$fullQs,"in_run_sec":$inRunDisclosed,"scale10_queries":$s10Qs,"pipeline_sec":${jmap(pipelineSec)},"solo_hint_sec":${jmap(hintsRan)},"nexmark_events_per_sec":$nx,"nexmark_num_events":$nexmarkEvents}"""
     Files.write(Paths.get("target/bench_full.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(line)
+    // Stop BEFORE the final println: the headline must be the last line on
+    // stdout (the driver parses the tail), so nothing that might log —
+    // session teardown included — may run after it.
     try spark.stop() catch { case _: Throwable => }
+    println(line)
     // A non-daemon thread (Derby/metastore/state-store) keeps the JVM
     // alive after the final println — r6's artifact recorded rc=124 for a
     // run that had already completed. Exit explicitly.

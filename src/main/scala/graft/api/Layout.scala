@@ -112,9 +112,22 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
       outPath: String, targetFileMB: Int = 256,
       sortCol: Option[String] = None): Int = {
-    val fs = new org.apache.hadoop.fs.Path(inPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val inP = new org.apache.hadoop.fs.Path(inPath)
+    val fs = inP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // in-place would be data loss: the source is read LAZILY, so the
+    // overwrite of outPath would delete input files mid-scan. Compare
+    // fully-qualified paths so "dir" vs "file:/.../dir" can't slip through.
+    val inQ = fs.makeQualified(inP)
+    val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+    require(inQ != outQ, s"compact cannot rewrite in place: $inQ")
+    // size from the DATA bytes only — a table dir also carries _SUCCESS,
+    // checkpoint and metadata files that would inflate the file count
+    val it = fs.listFiles(inP, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
     val nFiles = math.max(1, math.ceil(
       bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
     val df = spark.read.parquet(inPath)

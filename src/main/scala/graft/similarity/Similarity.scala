@@ -284,16 +284,26 @@ object Similarity {
     * None when it exceeds [[MaxLocalKMeansRows]] (→ Spark ML fallback).
     * Mirrors [[kmeansTrainSet]]'s thin-sample rule: a sample below
     * `minRows` falls back to the full corpus (tiny gate tables), which in
-    * turn must itself fit the cap. Expects a single array<double> column. */
+    * turn must itself fit the cap. Expects a single array<double> column.
+    *
+    * Determinism is CONTENT-addressed, not partition-addressed (r7 advice:
+    * the fitted codebooks must not drift with repartitioning across
+    * sessions, or appended-index codes diverge from their codebooks):
+    * membership comes from a murmur3 hash of the vector value (a
+    * per-partition Bernoulli `sample()` moves with the partitioning), and
+    * the collected order is pinned by a global sort-limit
+    * (TakeOrderedAndProject) instead of first-arrival `limit()`. */
   private[graft] def collectSample(cv: DataFrame, minRows: Long, seed: Long,
       fraction: Double): Option[Array[Array[Double]]] = {
+    val c0 = col(cv.columns.head)
     def grab(df: DataFrame): Option[Array[Array[Double]]] = {
-      val rows = df.limit(MaxLocalKMeansRows + 1).collect()
+      val rows = df.sort(c0).limit(MaxLocalKMeansRows + 1).collect()
       if (rows.length > MaxLocalKMeansRows) None
       else Some(rows.map(_.getSeq[Double](0).toArray))
     }
     val sampled = if (fraction >= 1.0) cv
-      else cv.sample(withReplacement = false, fraction, seed)
+      else cv.filter(pmod(hash(c0, lit(seed)), lit(1000000)) < lit(
+        math.max(1L, math.round(fraction * 1000000))))
     grab(sampled) match {
       case Some(s) if s.length < minRows && fraction < 1.0 => grab(cv)
       case other => other
@@ -318,8 +328,10 @@ object Similarity {
     val dim = points(0).length
     val kk = math.max(1, math.min(k, n))
     val flat = new Array[Double](kk * dim)
-    val nChunks = math.max(1, math.min(Runtime.getRuntime.availableProcessors(),
-      n / 4096))
+    // fixed chunk count (NOT availableProcessors): per-chunk partials merge
+    // in chunk order, so the chunk GEOMETRY is part of the floating-point
+    // result — a core-count-derived value made the fit machine-dependent
+    val nChunks = math.max(1, math.min(16, n / 4096))
     def chunked(body: (Int, Int) => Unit): Unit =
       if (nChunks <= 1) body(0, n)
       else java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ch =>
@@ -505,9 +517,13 @@ object Similarity {
     val centers = fitCenters(c, nlist, seed, maxIter, trainFraction)
     val assigned = c.withColumn("cell", nearestCell(centers)(col("cv")))
       .select("nn_id", "cv", "cell")
+    // bucket by centers.length, NOT the requested nlist: the fit can
+    // return fewer centers than asked (kk = min(k, sampleRows) on a thin
+    // corpus), and appendToIvfIndex buckets by centers.length — a mismatch
+    // would fail every later append on the bucket spec (r7 advice)
     assigned.repartition(col("cell"))
       .write.mode("overwrite")
-      .bucketBy(nlist, "cell").sortBy("cell")
+      .bucketBy(centers.length, "cell").sortBy("cell")
       .format("parquet").saveAsTable(table)
     centers
   }
