@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(tdigestSketch)
     e.injectFunction(tdigestMerge)
     e.injectFunction(tdigestQuantile)
+    // ZetaSQL-dialect delta (SAFE_ arithmetic, strftime parse/format,
+    // GoogleSQL names) — see ZetaFunctions
+    ZetaFunctions.all.foreach(e.injectFunction)
     e.injectTableFunction(seqgenTvf)
     // SQL MATCH_RECOGNIZE (reference BeamMatchRel.java:67): recognized by
     // a delegating parser and rewritten onto the graft.cep engine
@@ -128,8 +131,8 @@ object GraftExtensions {
   /** Register the same functions on an already-built session (extensions
     * normally apply at builder time; this covers driver-provided sessions). */
   def install(spark: SparkSession): Unit = {
-    Seq(tumble, hop, sessionFn, toHex, fromHex, lengthBytes, charNgramHashes,
-      tdigestSketch, tdigestMerge, tdigestQuantile).foreach {
+    (Seq(tumble, hop, sessionFn, toHex, fromHex, lengthBytes, charNgramHashes,
+      tdigestSketch, tdigestMerge, tdigestQuantile) ++ ZetaFunctions.all).foreach {
       case (ident, inf, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }

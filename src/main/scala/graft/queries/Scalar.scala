@@ -327,7 +327,77 @@ object Scalar extends QueryModule {
       |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr_start
       |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin
 
+  // ZetaSQL-dialect delta (reference extensions/sql/zetasql/.../
+  // SupportedZetaSqlBuiltinFunctions.java), exercised through the SQL
+  // front end so the gate proves the REGISTERED functions, not DataFrame
+  // equivalents: SAFE_ arithmetic (NULL instead of error on overflow /
+  // zero divisor), IEEE_DIVIDE (±Inf/NaN), DIV, GENERATE_ARRAY's
+  // empty-on-reversed-range, strftime-dialect PARSE_DATE/FORMAT_DATE,
+  // ZetaSQL-argument-order TIMESTAMP_ADD/DIFF, 0-based ARRAY_AT_OFFSET
+  // with SAFE_ bounds behavior, FORMAT (printf), and the COUNTIF /
+  // LOGICAL_AND / LOGICAL_OR aggregates (as windows). The DuckDB oracle
+  // derives overflow independently in HUGEINT, re-renders dates with its
+  // own strftime, and emulates only the IEEE inf-sign rule (stated
+  // inline) that no portable SQL can compute.
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("zeta_nation")
+    s.sql("""
+      SELECT n_nationkey,
+        round(safe_divide(n_nationkey, n_nationkey % 3), 4) AS sdiv,
+        safe_add(9223372036854775807, n_nationkey) AS sadd,
+        safe_subtract(-9223372036854775808, n_nationkey) AS ssub,
+        safe_multiply(4611686018427387904, n_nationkey) AS smul,
+        safe_negate(-9223372036854775808 + n_nationkey) AS sneg,
+        round(ieee_divide(n_nationkey + 1, 4), 4) AS ieee,
+        is_inf(ieee_divide(n_nationkey % 2, 0)) AS infchk,
+        n_nationkey div 4 AS idiv,
+        format('%03d|%s', n_nationkey, n_name) AS fmt,
+        concat_ws(',', generate_array(1, n_nationkey % 5)) AS genarr,
+        format_date('%Y/%m/%d', date_add(DATE '2024-01-01', n_nationkey)) AS fdate,
+        parse_date('%Y-%m-%d', format('2024-03-%02d', n_nationkey + 1)) AS pdate,
+        timestamp_diff(timestamp_add(TIMESTAMP '2024-01-01 00:00:00',
+          n_nationkey, 'HOUR'), TIMESTAMP '2024-01-01 00:00:00', 'HOUR') AS tdiff,
+        array_at_offset(array(10, 20, 30), n_nationkey % 3) AS offok,
+        safe_array_at_offset(array(10, 20, 30), n_nationkey) AS offsafe,
+        safe_array_at_ordinal(array(10, 20, 30), n_nationkey % 4) AS ordsafe,
+        countif(n_nationkey % 2 = 0) OVER () AS cif,
+        logical_and(n_nationkey < 30) OVER () AS land,
+        logical_or(n_nationkey > 23) OVER () AS lor
+      FROM zeta_nation ORDER BY n_nationkey""")
+  }
+
+  private val q143Sql =
+    """SELECT n_nationkey,
+      |  round(CASE WHEN n_nationkey % 3 = 0 THEN NULL
+      |    ELSE CAST(n_nationkey AS DOUBLE) / (n_nationkey % 3) END, 4) AS sdiv,
+      |  CAST(CASE WHEN 9223372036854775807::HUGEINT + n_nationkey <= 9223372036854775807::HUGEINT
+      |    THEN 9223372036854775807::HUGEINT + n_nationkey END AS BIGINT) AS sadd,
+      |  CAST(CASE WHEN (-9223372036854775807 - 1)::HUGEINT - n_nationkey >= (-9223372036854775807 - 1)::HUGEINT
+      |    THEN (-9223372036854775807 - 1)::HUGEINT - n_nationkey END AS BIGINT) AS ssub,
+      |  CAST(CASE WHEN 4611686018427387904::HUGEINT * n_nationkey <= 9223372036854775807::HUGEINT
+      |    THEN 4611686018427387904::HUGEINT * n_nationkey END AS BIGINT) AS smul,
+      |  CAST(CASE WHEN -((-9223372036854775807 - 1)::HUGEINT + n_nationkey) <= 9223372036854775807::HUGEINT
+      |    THEN -((-9223372036854775807 - 1)::HUGEINT + n_nationkey) END AS BIGINT) AS sneg,
+      |  round(CAST(n_nationkey + 1 AS DOUBLE) / 4, 4) AS ieee,
+      |  n_nationkey % 2 = 1 AS infchk, -- IEEE rule: x/0 = Inf iff x<>0 (0/0 = NaN)
+      |  CAST(n_nationkey // 4 AS BIGINT) AS idiv,
+      |  printf('%03d|%s', n_nationkey, n_name) AS fmt,
+      |  coalesce(array_to_string(generate_series(1, n_nationkey % 5, 1), ','), '') AS genarr,
+      |  strftime(DATE '2024-01-01' + n_nationkey, '%Y/%m/%d') AS fdate,
+      |  CAST(strptime(printf('2024-03-%02d', n_nationkey + 1), '%Y-%m-%d') AS DATE) AS pdate,
+      |  CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (n_nationkey) HOUR) AS BIGINT) AS tdiff,
+      |  list_extract([10, 20, 30], (n_nationkey % 3) + 1) AS offok,
+      |  list_extract([10, 20, 30], n_nationkey + 1) AS offsafe,
+      |  CASE WHEN n_nationkey % 4 = 0 THEN NULL
+      |    ELSE list_extract([10, 20, 30], n_nationkey % 4) END AS ordsafe,
+      |  CAST(sum(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END) OVER () AS BIGINT) AS cif,
+      |  bool_and(n_nationkey < 30) OVER () AS land,
+      |  bool_or(n_nationkey > 23) OVER () AS lor
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_zetasql_delta" -> q143,
     "q19_string_edit_funcs" -> q19,
     "q20_string_funcs" -> q20,
     "q21_hash_hex_funcs" -> q21,
@@ -341,6 +411,7 @@ object Scalar extends QueryModule {
     "q29_unnest_explode" -> q29)
 
   override val oracles: Map[String, String] = Map(
+    "q143_zetasql_delta" -> q143Sql,
     "q19_string_edit_funcs" -> q19Sql,
     "q20_string_funcs" -> q20Sql,
     "q21_hash_hex_funcs" -> q21Sql,

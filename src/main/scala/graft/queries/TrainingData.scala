@@ -1015,6 +1015,56 @@ object TrainingData extends QueryModule {
       |  AND substring(md5(lower(tp)), 1, 16) NOT IN (SELECT fp FROM idx)
       |ORDER BY fp""".stripMargin
 
+  // STREAMING CDC ingestion — a changelog STREAM folded into a snapshot
+  // through Cdc.applyChangelog, one apply per micro-batch (foreachBatch,
+  // the sequenced-sink pattern), gated against the batch-semantic oracle:
+  // the final snapshot version must equal one batch apply of the whole
+  // changelog. The changelog is hash-partitioned BY KEY into files and
+  // streamed one file per trigger, so micro-batches carry disjoint key
+  // sets and the fold commutes — the gate is deterministic whatever order
+  // the file source picks. Per-key LWW inside a batch is still exercised:
+  // doc_id%20 keys carry BOTH an update (seq 1) and a delete (seq 2) and
+  // must come out deleted. Reference analog: the reference models upserts
+  // only through upsert-capable sinks; this is the engine-level changelog
+  // fold (api/Cdc.scala's streaming law, run end-to-end through a real
+  // file-watch stream).
+  private def s144(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_s144_").toString
+    val chgDir = s"$base/chg"; val ckpt = s"$base/ckpt"
+    val updates = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), concat(lit("updated: "), col("text")).as("text"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val deletes = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), lit("").as("text"), lit(2L).as("seq"), lit("D").as("op"))
+    updates.unionByName(deletes).repartition(4, col("doc_id"))
+      .write.mode("overwrite").parquet(chgDir)
+    docs.write.mode("overwrite").parquet(s"$base/snap0")
+    @volatile var version = 0
+    val stream = s.readStream.schema(s.read.parquet(chgDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(chgDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cur = s.read.parquet(s"$base/snap$version")
+        graft.api.Cdc.applyChangelog(cur, batch, Seq("doc_id"), "seq", "op")
+          .write.mode("overwrite").parquet(s"$base/snap${version + 1}")
+        version += 1
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$base/snap$version")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        col("text").startsWith("updated: ").as("updated"))
+      .orderBy("doc_id")
+  }
+
+  private val s144Sql =
+    """SELECT doc_id,
+      |  CAST(length(CASE WHEN doc_id % 10 = 0 THEN 'updated: ' || text
+      |    ELSE text END) AS BIGINT) AS n_chars,
+      |  doc_id % 10 = 0 AS updated
+      |FROM documents WHERE doc_id % 20 <> 0 ORDER BY doc_id""".stripMargin
+
   // Z-order (Morton) curve: the bit-interleave that drives multi-column
   // file clustering (api/Layout.zorder). The gate checks the curve math
   // itself — the oracle expands the identical shift/mask/or closed form;
@@ -1661,6 +1711,7 @@ object TrainingData extends QueryModule {
     "t139_dsir_resample" -> t139,
     "t140_bpe_production_vocab" -> t140,
     "s141_streaming_curation_e2e" -> s141,
+    "s144_streaming_cdc_apply" -> s144,
     "d60_exact_dedup" -> d60,
     "d107_exact_substring_spans" -> d107,
     "d108_exact_substring_scrub" -> d108,
@@ -1718,6 +1769,7 @@ object TrainingData extends QueryModule {
     "t139_dsir_resample" -> t139Sql,
     "t140_bpe_production_vocab" -> t140Sql,
     "s141_streaming_curation_e2e" -> s141Sql,
+    "s144_streaming_cdc_apply" -> s144Sql,
     "d60_exact_dedup" -> d60Sql,
     "d107_exact_substring_spans" -> d107Sql,
     "d108_exact_substring_scrub" -> d108Sql,

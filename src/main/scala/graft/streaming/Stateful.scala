@@ -45,6 +45,19 @@ object Stateful {
     * @TimerId map). */
   final case class Cells[S](value: S, timers: Timers)
 
+  /** A stateful ParDo's key-local logic, independent of the substrate that
+    * runs it. The SAME value drives [[Stateful.statefulParDo]]
+    * (flatMapGroupsWithState: one state blob, one multiplexed timeout) and
+    * [[StatefulV2.statefulParDo]] (transformWithState: native state cells,
+    * one native timer per named deadline) — so the substrate equivalence
+    * StatefulV2Spec pins holds by construction for everything above the
+    * timer plumbing. */
+  final case class ParDoLogic[K, V, S, O](
+      zero: S,
+      onElements: (K, Seq[V], Cells[S]) => (Option[Cells[S]], Seq[O]),
+      onTimer: (K, Seq[String], Cells[S]) => (Option[Cells[S]], Seq[O]))
+      extends Serializable
+
   /** Generic stateful ParDo over a keyed stream — the substrate for
     * GroupIntoBatches, TTL dedup, custom triggers, and NFA/CEP state
     * machines.
@@ -107,19 +120,25 @@ object Stateful {
         GroupStateTimeout.ProcessingTimeTimeout())(advance)
   }
 
+  /** Key-local logic of [[deduplicate]] (substrate-shared, see
+    * [[ParDoLogic]]). */
+  private[streaming] def dedupLogic[K, V](ttlMs: Long): ParDoLogic[K, V, Boolean, V] =
+    ParDoLogic(
+      zero = false,
+      onElements = (_, elems, cells) =>
+        if (cells.value) (Some(cells), Seq.empty) // seen: drop, keep TTL
+        else (Some(Cells(true, Timers.empty.set("ttl", System.currentTimeMillis() + ttlMs))),
+          elems.headOption.toSeq),
+      onTimer = (_, _, _) => (None, Seq.empty)) // TTL expired: clear state
+
   /** Keyed streaming Deduplicate with TTL (transforms/Deduplicate.java:68):
     * first element per key is emitted; repeats within `ttlMs` are dropped;
     * state self-expires so unbounded key spaces don't accumulate. */
   def deduplicate[K, V](ds: Dataset[(K, V)], ttlMs: Long)(
       implicit kEnc: Encoder[K], vEnc: Encoder[V]): Dataset[V] = {
     implicit val cellsEnc: Encoder[Cells[Boolean]] = Encoders.product[Cells[Boolean]]
-    statefulParDo[K, V, Boolean, V](
-      ds, zero = false,
-      onElements = (_, elems, cells) =>
-        if (cells.value) (Some(cells), Seq.empty) // seen: drop, keep TTL
-        else (Some(Cells(true, Timers.empty.set("ttl", System.currentTimeMillis() + ttlMs))),
-          elems.headOption.toSeq),
-      onTimer = (_, _, _) => (None, Seq.empty)) // TTL expired: clear state
+    val l = dedupLogic[K, V](ttlMs)
+    statefulParDo[K, V, Boolean, V](ds, l.zero, l.onElements, l.onTimer)
   }
 
   /** Count-based early firing (trigger subset: AfterPane.elementCountAtLeast
@@ -131,9 +150,16 @@ object Stateful {
     * windowed aggregation this runs alongside. */
   def countTriggered[K, V, A](ds: Dataset[(K, V)], zero: A, add: (A, V) => A,
       every: Int)(implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
-      sEnc: Encoder[Cells[(A, Int, Long)]]): Dataset[(K, A, Long)] =
-    statefulParDo[K, V, (A, Int, Long), (K, A, Long)](
-      ds, zero = (zero, 0, 0L),
+      sEnc: Encoder[Cells[(A, Int, Long)]]): Dataset[(K, A, Long)] = {
+    val l = countLogic[K, V, A](zero, add, every)
+    statefulParDo[K, V, (A, Int, Long), (K, A, Long)](ds, l.zero, l.onElements, l.onTimer)
+  }
+
+  /** Key-local logic of [[countTriggered]] (substrate-shared). */
+  private[streaming] def countLogic[K, V, A](zero: A, add: (A, V) => A,
+      every: Int): ParDoLogic[K, V, (A, Int, Long), (K, A, Long)] =
+    ParDoLogic(
+      zero = (zero, 0, 0L),
       onElements = (k, elems, cells) => {
         var (acc, sinceEmit, pane) = cells.value
         val out = Seq.newBuilder[(K, A, Long)]
@@ -162,9 +188,16 @@ object Stateful {
   def processingTimeTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
       add: (A, V) => A, delayMs: Long)(
       implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
-      sEnc: Encoder[Cells[(A, Long, Boolean)]]): Dataset[(K, A, Long)] =
-    statefulParDo[K, V, (A, Long, Boolean), (K, A, Long)](
-      ds, zero = (zero, 0L, false),
+      sEnc: Encoder[Cells[(A, Long, Boolean)]]): Dataset[(K, A, Long)] = {
+    val l = procTimeLogic[K, V, A](zero, add, delayMs)
+    statefulParDo[K, V, (A, Long, Boolean), (K, A, Long)](ds, l.zero, l.onElements, l.onTimer)
+  }
+
+  /** Key-local logic of [[processingTimeTriggered]] (substrate-shared). */
+  private[streaming] def procTimeLogic[K, V, A](zero: A, add: (A, V) => A,
+      delayMs: Long): ParDoLogic[K, V, (A, Long, Boolean), (K, A, Long)] =
+    ParDoLogic(
+      zero = (zero, 0L, false),
       onElements = (k, elems, cells) => {
         val (acc0, pane, _) = cells.value
         val acc = elems.foldLeft(acc0)(add)
@@ -191,9 +224,16 @@ object Stateful {
   def firstOfTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
       add: (A, V) => A, every: Int, delayMs: Long)(
       implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
-      sEnc: Encoder[Cells[(A, Int, Long)]]): Dataset[(K, A, Long)] =
-    statefulParDo[K, V, (A, Int, Long), (K, A, Long)](
-      ds, zero = (zero, 0, 0L),
+      sEnc: Encoder[Cells[(A, Int, Long)]]): Dataset[(K, A, Long)] = {
+    val l = firstOfLogic[K, V, A](zero, add, every, delayMs)
+    statefulParDo[K, V, (A, Int, Long), (K, A, Long)](ds, l.zero, l.onElements, l.onTimer)
+  }
+
+  /** Key-local logic of [[firstOfTriggered]] (substrate-shared). */
+  private[streaming] def firstOfLogic[K, V, A](zero: A, add: (A, V) => A,
+      every: Int, delayMs: Long): ParDoLogic[K, V, (A, Int, Long), (K, A, Long)] =
+    ParDoLogic(
+      zero = (zero, 0, 0L),
       onElements = (k, elems, cells) => {
         var (acc, sinceEmit, pane) = cells.value
         var timers = cells.timers
@@ -232,9 +272,16 @@ object Stateful {
   def allOfTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
       add: (A, V) => A, every: Int, delayMs: Long)(
       implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
-      sEnc: Encoder[Cells[(A, Int, Long, Boolean)]]): Dataset[(K, A, Long)] =
-    statefulParDo[K, V, (A, Int, Long, Boolean), (K, A, Long)](
-      ds, zero = (zero, 0, 0L, false),
+      sEnc: Encoder[Cells[(A, Int, Long, Boolean)]]): Dataset[(K, A, Long)] = {
+    val l = allOfLogic[K, V, A](zero, add, every, delayMs)
+    statefulParDo[K, V, (A, Int, Long, Boolean), (K, A, Long)](ds, l.zero, l.onElements, l.onTimer)
+  }
+
+  /** Key-local logic of [[allOfTriggered]] (substrate-shared). */
+  private[streaming] def allOfLogic[K, V, A](zero: A, add: (A, V) => A,
+      every: Int, delayMs: Long): ParDoLogic[K, V, (A, Int, Long, Boolean), (K, A, Long)] =
+    ParDoLogic(
+      zero = (zero, 0, 0L, false),
       onElements = (k, elems, cells) => {
         var (acc, sinceEmit, pane, timeSat) = cells.value
         var timers = cells.timers
@@ -275,9 +322,17 @@ object Stateful {
   def orFinallyTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
       add: (A, V) => A, every: Int, total: Int)(
       implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long, Boolean)],
-      sEnc: Encoder[Cells[(A, Int, Int, Long, Boolean)]]): Dataset[(K, A, Long, Boolean)] =
+      sEnc: Encoder[Cells[(A, Int, Int, Long, Boolean)]]): Dataset[(K, A, Long, Boolean)] = {
+    val l = orFinallyLogic[K, V, A](zero, add, every, total)
     statefulParDo[K, V, (A, Int, Int, Long, Boolean), (K, A, Long, Boolean)](
-      ds, zero = (zero, 0, 0, 0L, false),
+      ds, l.zero, l.onElements, l.onTimer)
+  }
+
+  /** Key-local logic of [[orFinallyTriggered]] (substrate-shared). */
+  private[streaming] def orFinallyLogic[K, V, A](zero: A, add: (A, V) => A,
+      every: Int, total: Int): ParDoLogic[K, V, (A, Int, Int, Long, Boolean), (K, A, Long, Boolean)] =
+    ParDoLogic(
+      zero = (zero, 0, 0, 0L, false),
       onElements = (k, elems, cells) => {
         var (acc, sinceEmit, seen, pane, closed) = cells.value
         val out = Seq.newBuilder[(K, A, Long, Boolean)]
@@ -314,8 +369,15 @@ object Stateful {
       sEnc: Encoder[Cells[(A, Int, Int)]]): Dataset[(K, A, Long)] = {
     require(counts.nonEmpty && counts.forall(_ > 0),
       "afterEach needs a non-empty sequence of positive element counts")
-    statefulParDo[K, V, (A, Int, Int), (K, A, Long)](
-      ds, zero = (zero, 0, 0),
+    val l = afterEachLogic[K, V, A](zero, add, counts)
+    statefulParDo[K, V, (A, Int, Int), (K, A, Long)](ds, l.zero, l.onElements, l.onTimer)
+  }
+
+  /** Key-local logic of [[afterEachTriggered]] (substrate-shared). */
+  private[streaming] def afterEachLogic[K, V, A](zero: A, add: (A, V) => A,
+      counts: Seq[Int]): ParDoLogic[K, V, (A, Int, Int), (K, A, Long)] =
+    ParDoLogic(
+      zero = (zero, 0, 0),
       onElements = (k, elems, cells) => {
         var (acc, sinceEmit, idx) = cells.value
         val out = Seq.newBuilder[(K, A, Long)]
@@ -333,7 +395,6 @@ object Stateful {
         (Some(Cells((acc, sinceEmit, idx), cells.timers)), out.result())
       },
       onTimer = (_, _, _) => (None, Seq.empty))
-  }
 
   /** Per-(key, window) pane state for [[lateFiringPanes]]. */
   final case class WindowPanes[A](acc: A, paneIndex: Long, onTimeFired: Boolean)
@@ -467,8 +528,15 @@ object Stateful {
       implicit kEnc: Encoder[K], vEnc: Encoder[V],
       outEnc: Encoder[(K, Seq[V])], vTag: TypeTag[V]): Dataset[(K, Seq[V])] = {
     implicit val cellsEnc: Encoder[Cells[Seq[V]]] = Encoders.product[Cells[Seq[V]]]
-    statefulParDo[K, V, Seq[V], (K, Seq[V])](
-      ds, zero = Seq.empty,
+    val l = batchesLogic[K, V](batchSize, maxWaitMs)
+    statefulParDo[K, V, Seq[V], (K, Seq[V])](ds, l.zero, l.onElements, l.onTimer)
+  }
+
+  /** Key-local logic of [[groupIntoBatches]] (substrate-shared). */
+  private[streaming] def batchesLogic[K, V](batchSize: Int,
+      maxWaitMs: Long): ParDoLogic[K, V, Seq[V], (K, Seq[V])] =
+    ParDoLogic(
+      zero = Seq.empty,
       onElements = (key, elems, cells) => {
         val buf = cells.value ++ elems
         val full = buf.grouped(batchSize).filter(_.size == batchSize).toSeq
@@ -480,5 +548,4 @@ object Stateful {
       },
       onTimer = (key, _, cells) =>
         (None, if (cells.value.nonEmpty) Seq(key -> cells.value) else Seq.empty))
-  }
 }

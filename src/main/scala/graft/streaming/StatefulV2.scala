@@ -1,0 +1,296 @@
+package graft.streaming
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+import Stateful.{Cells, ParDoLogic, Timers}
+
+/** Stateful per-key processing on Spark's `transformWithState`
+  * (StatefulProcessor) — the NATIVE-timers / native-state-cells substrate.
+  *
+  * The reference exposes N named state cells per key (sdk/state/
+  * StateSpecs.java — ValueState/BagState/MapState) and N named timers per
+  * key (DoFn.java:475–540, the TimerMap). [[Stateful.statefulParDo]]
+  * (flatMapGroupsWithState) had to approximate both: cells as fields of
+  * ONE serialized state blob, timers multiplexed over ONE Spark timeout
+  * armed at the earliest deadline. `transformWithState` removes both
+  * limitations natively:
+  *
+  *  - state cells: `getValueState`/`getListState`/`getMapState` are real
+  *    per-key named columns in the state store — a 1 KB buffer update no
+  *    longer rewrites the whole blob (see [[groupIntoBatchesListState]]);
+  *  - timers: `registerTimer`/`deleteTimer` hold MANY timers per key, each
+  *    firing its own `handleExpiredTimer` — a named deadline maps to a
+  *    native timer instead of a re-armed min-heap (see
+  *    [[twoEventTimeTimers]] for the case the multiplexer can only
+  *    approximate: two independent event-time timers on one key, armed
+  *    simultaneously, firing separately as the watermark crosses each).
+  *
+  * The key-local logic is the SAME [[Stateful.ParDoLogic]] value that
+  * drives the V1 substrate, so V1 ≡ V2 holds by construction above the
+  * timer plumbing; StatefulV2Spec pins it empirically for the trigger
+  * taxonomy, Deduplicate TTL and GroupIntoBatches.
+  *
+  * Requires the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass` =
+  * `...state.RocksDBStateStoreProvider`) — Spark ships transformWithState
+  * on RocksDB only. At scale the placement is identical to V1: state and
+  * timers live in the executor state store, partitioned by the grouping
+  * key, no extra exchange.
+  */
+object StatefulV2 {
+
+  private val rocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** The session conf transformWithState requires; exposed so callers and
+    * specs set/restore one well-known key. */
+  def requiredConf: (String, String) =
+    ("spark.sql.streaming.stateStore.providerClass", rocksProvider)
+
+  /** [[Stateful.statefulParDo]] on the native substrate: same
+    * [[ParDoLogic]] contract — (key, elements, cells) → (next cells or
+    * None, outputs) — with the name→deadline map held in a native
+    * `MapState` and each DISTINCT deadline registered as its own native
+    * timer. On expiry, every name whose deadline has passed fires in one
+    * `onTimer` call (sorted, matching V1's multiplexed drain order).
+    *
+    * One V1 quirk is deliberately absent: V1 drains overdue deadlines at
+    * the head of `onElements` because a GroupState timeout never fires for
+    * a key with data in the batch; native timers fire regardless of key
+    * hotness, so the drain is the engine's job again. */
+  def statefulParDo[K, V, S, O](
+      ds: Dataset[(K, V)],
+      logic: ParDoLogic[K, V, S, O],
+      timeMode: TimeMode = TimeMode.ProcessingTime())(
+      implicit kEnc: Encoder[K], oEnc: Encoder[O],
+      sEnc: Encoder[S]): Dataset[O] = {
+
+    val processor = new StatefulProcessor[K, (K, V), O] {
+      @transient private var cell: ValueState[S] = _
+      @transient private var tmrs: MapState[String, Long] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
+        cell = getHandle.getValueState[S]("cell", sEnc, TTLConfig.NONE)
+        tmrs = getHandle.getMapState[String, Long]("timers",
+          Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      }
+
+      private def readTimers(): Timers =
+        if (!tmrs.exists()) Timers.empty
+        else Timers(tmrs.iterator().map { case (n, at) => n -> at }.toMap)
+
+      /** Persist the callback's verdict: update/clear the cells, rewrite
+        * the name→deadline map, and diff the DISTINCT deadlines against
+        * what is natively armed (`prevArmed`) so stale timers are deleted
+        * and new ones registered. */
+      private def sync(prevArmed: Set[Long], next: Option[Cells[S]]): Unit =
+        next match {
+          case Some(c) =>
+            cell.update(c.value)
+            tmrs.clear()
+            c.timers.deadlines.foreach { case (n, at) => tmrs.updateValue(n, at) }
+            val armed = c.timers.deadlines.values.toSet
+            (prevArmed -- armed).foreach(getHandle.deleteTimer)
+            (armed -- prevArmed).foreach(getHandle.registerTimer)
+          case None =>
+            cell.clear()
+            tmrs.clear()
+            prevArmed.foreach(getHandle.deleteTimer)
+        }
+
+      override def handleInputRows(key: K, rows: Iterator[(K, V)],
+          tv: TimerValues): Iterator[O] = {
+        val timers = readTimers()
+        val cells = Cells(if (cell.exists()) cell.get() else logic.zero, timers)
+        val (next, out) = logic.onElements(key, rows.map(_._2).toSeq, cells)
+        sync(timers.deadlines.values.toSet, next)
+        out.iterator
+      }
+
+      override def handleExpiredTimer(key: K, tv: TimerValues,
+          info: ExpiredTimerInfo): Iterator[O] = {
+        val expiry = info.getExpiryTimeInMs
+        val timers = readTimers()
+        // every name at-or-before the expiry fires together (V1's drain
+        // contract); names sharing one deadline shared one native timer
+        val fired = timers.fired(expiry)
+        if (fired.isEmpty) Iterator.empty // a later-deadline co-expiry already drained
+        else {
+          val cells = Cells(if (cell.exists()) cell.get() else logic.zero,
+            timers.afterFiring(expiry))
+          val (next, out) = logic.onTimer(key, fired, cells)
+          // the fired timer itself is consumed natively — only OTHER armed
+          // deadlines participate in the delete/register diff
+          sync(timers.deadlines.values.toSet - expiry, next)
+          out.iterator
+        }
+      }
+    }
+
+    ds.groupByKey(_._1)
+      .transformWithState[O](processor, timeMode, OutputMode.Append())
+  }
+
+  /** [[Stateful.deduplicate]] on the native substrate (same logic value). */
+  def deduplicate[K, V](ds: Dataset[(K, V)], ttlMs: Long)(
+      implicit kEnc: Encoder[K], vEnc: Encoder[V]): Dataset[V] = {
+    implicit val sEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    statefulParDo(ds, Stateful.dedupLogic[K, V](ttlMs))
+  }
+
+  /** [[Stateful.countTriggered]] on the native substrate. */
+  def countTriggered[K, V, A](ds: Dataset[(K, V)], zero: A, add: (A, V) => A,
+      every: Int)(implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
+      sEnc: Encoder[(A, Int, Long)]): Dataset[(K, A, Long)] =
+    statefulParDo(ds, Stateful.countLogic[K, V, A](zero, add, every))
+
+  /** [[Stateful.processingTimeTriggered]] on the native substrate. */
+  def processingTimeTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
+      add: (A, V) => A, delayMs: Long)(
+      implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
+      sEnc: Encoder[(A, Long, Boolean)]): Dataset[(K, A, Long)] =
+    statefulParDo(ds, Stateful.procTimeLogic[K, V, A](zero, add, delayMs))
+
+  /** [[Stateful.firstOfTriggered]] on the native substrate. */
+  def firstOfTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
+      add: (A, V) => A, every: Int, delayMs: Long)(
+      implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
+      sEnc: Encoder[(A, Int, Long)]): Dataset[(K, A, Long)] =
+    statefulParDo(ds, Stateful.firstOfLogic[K, V, A](zero, add, every, delayMs))
+
+  /** [[Stateful.allOfTriggered]] on the native substrate. */
+  def allOfTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
+      add: (A, V) => A, every: Int, delayMs: Long)(
+      implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
+      sEnc: Encoder[(A, Int, Long, Boolean)]): Dataset[(K, A, Long)] =
+    statefulParDo(ds, Stateful.allOfLogic[K, V, A](zero, add, every, delayMs))
+
+  /** [[Stateful.orFinallyTriggered]] on the native substrate. */
+  def orFinallyTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
+      add: (A, V) => A, every: Int, total: Int)(
+      implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long, Boolean)],
+      sEnc: Encoder[(A, Int, Int, Long, Boolean)]): Dataset[(K, A, Long, Boolean)] =
+    statefulParDo(ds, Stateful.orFinallyLogic[K, V, A](zero, add, every, total))
+
+  /** [[Stateful.afterEachTriggered]] on the native substrate. */
+  def afterEachTriggered[K, V, A](ds: Dataset[(K, V)], zero: A,
+      add: (A, V) => A, counts: Seq[Int])(
+      implicit kEnc: Encoder[K], outEnc: Encoder[(K, A, Long)],
+      sEnc: Encoder[(A, Int, Int)]): Dataset[(K, A, Long)] = {
+    require(counts.nonEmpty && counts.forall(_ > 0),
+      "afterEach needs a non-empty sequence of positive element counts")
+    statefulParDo(ds, Stateful.afterEachLogic[K, V, A](zero, add, counts))
+  }
+
+  /** [[Stateful.groupIntoBatches]] on the native substrate — the buffer
+    * moves into a real ListState cell (see
+    * [[groupIntoBatchesListState]]). */
+  def groupIntoBatches[K, V](ds: Dataset[(K, V)], batchSize: Int, maxWaitMs: Long)(
+      implicit kEnc: Encoder[K], vEnc: Encoder[V],
+      outEnc: Encoder[(K, Seq[V])], vTag: TypeTag[V]): Dataset[(K, Seq[V])] =
+    groupIntoBatchesListState(ds, batchSize, maxWaitMs)
+
+  /** GroupIntoBatches with the buffer in a NATIVE ListState cell — the
+    * state-cell shape the reference's BagState models
+    * (sdk/state/StateSpecs.java `bag()`): appending an element is an
+    * append to the cell, not a read-modify-write of a serialized Seq blob.
+    * At a million buffered elements per hot key, V1 rewrites the whole
+    * buffer every micro-batch; this writes only the delta. */
+  def groupIntoBatchesListState[K, V](ds: Dataset[(K, V)], batchSize: Int,
+      maxWaitMs: Long)(implicit kEnc: Encoder[K], vEnc: Encoder[V],
+      outEnc: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] = {
+
+    val processor = new StatefulProcessor[K, (K, V), (K, Seq[V])] {
+      @transient private var buf: ListState[V] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit =
+        buf = getHandle.getListState[V]("buf", vEnc, TTLConfig.NONE)
+
+      override def handleInputRows(key: K, rows: Iterator[(K, V)],
+          tv: TimerValues): Iterator[(K, Seq[V])] = {
+        rows.foreach(r => buf.appendValue(r._2))
+        val all = buf.get().toSeq
+        val full = all.grouped(batchSize).filter(_.size == batchSize).toSeq
+        val rest = all.drop(full.size * batchSize)
+        if (full.nonEmpty) {
+          buf.clear()
+          rest.foreach(buf.appendValue)
+        }
+        // one flush timer while a partial batch waits (the reference's
+        // buffering timer); native delete when the buffer empties
+        if (rest.nonEmpty)
+          getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + maxWaitMs)
+        full.iterator.map(key -> _)
+      }
+
+      override def handleExpiredTimer(key: K, tv: TimerValues,
+          info: ExpiredTimerInfo): Iterator[(K, Seq[V])] = {
+        val rest = if (buf.exists()) buf.get().toSeq else Seq.empty
+        buf.clear()
+        if (rest.nonEmpty) Iterator(key -> rest) else Iterator.empty
+      }
+    }
+
+    ds.groupByKey(_._1)
+      .transformWithState[(K, Seq[V])](processor,
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** The multi-timer case the V1 multiplexer can only approximate,
+    * expressed directly (DoFn.java:475–540: two @TimerId fields in the
+    * EVENT-time domain on one key): the key's first element arms BOTH
+    * timers simultaneously — "a" at ts+delayAMs, "b" at ts+delayBMs — as
+    * two independent native timers; each fires its own expiry callback as
+    * the watermark crosses its deadline. Emits (key, timerName, expiryMs).
+    * V1 would arm only min(a, b) and re-arm on wake-up — under one Spark
+    * timeout the second deadline silently shifts if the first callback
+    * stalls; natively the two are independent store entries. */
+  def twoEventTimeTimers[K](ds: Dataset[(K, java.sql.Timestamp)],
+      delayAMs: Long, delayBMs: Long, watermarkDelay: String)(
+      implicit kEnc: Encoder[K]): Dataset[(K, String, Long)] = {
+
+    val processor = new StatefulProcessor[K, (K, java.sql.Timestamp), (K, String, Long)] {
+      @transient private var armed: MapState[Long, String] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit =
+        armed = getHandle.getMapState[Long, String]("armed",
+          Encoders.scalaLong, Encoders.STRING, TTLConfig.NONE)
+
+      override def handleInputRows(key: K, rows: Iterator[(K, java.sql.Timestamp)],
+          tv: TimerValues): Iterator[(K, String, Long)] = {
+        if (!armed.exists()) {
+          val t0 = rows.map(_._2.getTime).min
+          val atA = t0 + delayAMs
+          val atB = t0 + delayBMs
+          armed.updateValue(atA, "a")
+          armed.updateValue(atB, "b")
+          getHandle.registerTimer(atA) // two timers armed at once —
+          getHandle.registerTimer(atB) // the native TimerMap, no min-heap
+        } else rows.foreach(_ => ()) // later elements don't re-arm
+        Iterator.empty
+      }
+
+      override def handleExpiredTimer(key: K, tv: TimerValues,
+          info: ExpiredTimerInfo): Iterator[(K, String, Long)] = {
+        val at = info.getExpiryTimeInMs
+        val name = if (armed.containsKey(at)) armed.getValue(at) else return Iterator.empty
+        armed.removeKey(at)
+        Iterator((key, name, at))
+      }
+    }
+
+    implicit val rowEnc: Encoder[(K, java.sql.Timestamp)] = ds.encoder
+    implicit val outEnc: Encoder[(K, String, Long)] =
+      Encoders.tuple(kEnc, Encoders.STRING, Encoders.scalaLong)
+    ds.toDF("k", "event_time")
+      .withWatermark("event_time", watermarkDelay)
+      .as[(K, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState[(K, String, Long)](processor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

@@ -276,4 +276,32 @@ class ExtensionsSpec extends GraftSpec {
     assert(df.count() == 25)
     assert(spark.table("ext_nation").columns.contains("n_name"))
   }
+
+  test("ZetaSQL delta: strftime directives translate to java.time patterns") {
+    import graft.plans.ZetaFunctions.strftimeToJava
+    assert(strftimeToJava("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(strftimeToJava("%H:%M:%S") == "HH:mm:ss")
+    // literal alphabetic text must be quoted so it can't read as a pattern
+    assert(strftimeToJava("%Y at %H") == "yyyy' at 'HH")
+    assert(strftimeToJava("100%% %j") == "100% DDD")
+    intercept[IllegalArgumentException] { strftimeToJava("%q") }
+  }
+
+  test("ZetaSQL delta: SAFE_ semantics under the session's ANSI default") {
+    // overflow → NULL (not error, not wraparound), zero divisor → NULL,
+    // IEEE division constructs ±Inf/NaN where ANSI would error
+    val r = spark.sql("""SELECT
+        safe_add(9223372036854775807, 1) AS sa,
+        safe_negate(-9223372036854775808) AS sn,
+        safe_divide(1, 0) AS sd,
+        is_inf(ieee_divide(1, 0)) AS pinf,
+        is_inf(ieee_divide(-1, 0)) AS ninf,
+        isnan(ieee_divide(0, 0)) AS nn,
+        safe_array_at_offset(array(1, 2), -1) AS neg,
+        safe_array_at_ordinal(array(1, 2), 0) AS ord0
+      """).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5))
+    assert(r.isNullAt(6) && r.isNullAt(7))
+  }
 }

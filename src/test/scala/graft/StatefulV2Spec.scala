@@ -1,0 +1,224 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{Stateful, StatefulV2}
+
+/** The V1 (flatMapGroupsWithState, multiplexed timers) ≡ V2
+  * (transformWithState, native state cells + native timers) substrate
+  * equivalence, pinned on the SAME [[Stateful.ParDoLogic]] values — plus
+  * the multi-timer case only V2 can express directly (two independent
+  * event-time timers on one key, reference DoFn.java:475–540 TimerMap).
+  *
+  * transformWithState ships on RocksDB only, so every V2 query runs under
+  * the RocksDB state store provider (set/restored per test). */
+class StatefulV2Spec extends GraftSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def awaitRows(table: String, n: Long, timeoutMs: Long = 120000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (spark.table(table).count() < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(spark.table(table).count() >= n,
+      s"$table did not reach $n rows within ${timeoutMs}ms")
+  }
+
+  /** Run `body` with the RocksDB provider set (V2's requirement), restoring
+    * the previous value after. */
+  private def withRocks[T](body: => T): T = {
+    val (key, value) = StatefulV2.requiredConf
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
+  test("deduplicate: V1 and V2 emit identical values on identical scripted input") {
+    withRocks {
+      implicit val ctx = spark.sqlContext
+      val in1 = MemoryStream[(String, Int)]
+      val in2 = MemoryStream[(String, Int)]
+      val q1 = Stateful.deduplicate(in1.toDS(), ttlMs = 3600000)
+        .writeStream.format("memory").queryName("dd_v1")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      val q2 = StatefulV2.deduplicate(in2.toDS(), ttlMs = 3600000)
+        .writeStream.format("memory").queryName("dd_v2")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      try {
+        Seq(in1, in2).foreach(_.addData(("a", 1), ("a", 2), ("b", 3)))
+        awaitRows("dd_v1", 2); awaitRows("dd_v2", 2)
+        Seq(in1, in2).foreach(_.addData(("a", 4), ("c", 5))) // cross-batch dup
+        awaitRows("dd_v1", 3); awaitRows("dd_v2", 3)
+        val v1 = spark.table("dd_v1").as[Int].collect().sorted.toSeq
+        val v2 = spark.table("dd_v2").as[Int].collect().sorted.toSeq
+        assert(v1 == Seq(1, 3, 5) && v2 == v1, s"v1=$v1 v2=$v2")
+      } finally { q1.stop(); q2.stop() }
+    }
+  }
+
+  test("count-triggered panes: V1 and V2 produce identical pane sequences") {
+    withRocks {
+      implicit val ctx = spark.sqlContext
+      val in1 = MemoryStream[(String, Int)]
+      val in2 = MemoryStream[(String, Int)]
+      val q1 = Stateful.countTriggered[String, Int, Long](
+          in1.toDS(), zero = 0L, add = (a, v) => a + v, every = 2)
+        .toDF("k", "running_sum", "pane")
+        .writeStream.format("memory").queryName("ct_v1")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      val q2 = StatefulV2.countTriggered[String, Int, Long](
+          in2.toDS(), zero = 0L, add = (a, v) => a + v, every = 2)
+        .toDF("k", "running_sum", "pane")
+        .writeStream.format("memory").queryName("ct_v2")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      try {
+        Seq(in1, in2).foreach(_.addData(("a", 1), ("a", 2), ("a", 3)))
+        awaitRows("ct_v1", 1); awaitRows("ct_v2", 1)
+        Seq(in1, in2).foreach(_.addData(("a", 4), ("a", 5))) // state crosses batches
+        awaitRows("ct_v1", 2); awaitRows("ct_v2", 2)
+        val v1 = spark.table("ct_v1").as[(String, Long, Long)].collect().sortBy(_._3).toSeq
+        val v2 = spark.table("ct_v2").as[(String, Long, Long)].collect().sortBy(_._3).toSeq
+        assert(v1 == Seq(("a", 3L, 0L), ("a", 10L, 1L)) && v2 == v1, s"v1=$v1 v2=$v2")
+      } finally { q1.stop(); q2.stop() }
+    }
+  }
+
+  test("orFinally: V2 repeats count panes then closes the key, identically to V1") {
+    withRocks {
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[(String, Int)]
+      val q = StatefulV2.orFinallyTriggered[String, Int, Long](
+          input.toDS(), zero = 0L, add = (a, v) => a + v, every = 2, total = 5)
+        .toDF("k", "running_sum", "pane", "is_final")
+        .writeStream.format("memory").queryName("of_v2")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      try {
+        input.addData(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5),
+          ("a", 100), ("a", 200)) // last two land after the close
+        awaitRows("of_v2", 3)
+        Thread.sleep(400) // would surface any post-final extra pane
+        val rows = spark.table("of_v2").as[(String, Long, Long, Boolean)]
+          .collect().sortBy(_._3).toSeq
+        // same expectation the V1 StreamingSpec pins for this input
+        assert(rows == Seq(("a", 3L, 0L, false), ("a", 10L, 1L, false),
+          ("a", 15L, 2L, true)), rows.toString)
+      } finally q.stop()
+    }
+  }
+
+  test("afterEach: V2 sequenced sub-triggers fire in order then finish, identically to V1") {
+    withRocks {
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[(String, Int)]
+      val q = StatefulV2.afterEachTriggered[String, Int, Long](
+          input.toDS(), zero = 0L, add = (a, v) => a + v, counts = Seq(1, 2, 3))
+        .toDF("k", "running_sum", "pane")
+        .writeStream.format("memory").queryName("ae_v2")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      try {
+        input.addData((1 to 8).map(i => ("a", i)): _*)
+        awaitRows("ae_v2", 3)
+        Thread.sleep(400)
+        val rows = spark.table("ae_v2").as[(String, Long, Long)].collect().sortBy(_._3).toSeq
+        assert(rows == Seq(("a", 1L, 0L), ("a", 6L, 1L), ("a", 21L, 2L)), rows.toString)
+      } finally q.stop()
+    }
+  }
+
+  test("processing-time pane fires on a NATIVE timer after the delay") {
+    withRocks {
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[(String, Int)]
+      val q = StatefulV2.processingTimeTriggered[String, Int, Long](
+          input.toDS(), zero = 0L, add = (a, v) => a + v, delayMs = 500)
+        .toDF("k", "running_sum", "pane")
+        .writeStream.format("memory").queryName("pt_v2")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      try {
+        input.addData(("a", 1), ("a", 2))
+        awaitRows("pt_v2", 1) // pane 0 ~500ms after the first element
+        input.addData(("a", 4))
+        awaitRows("pt_v2", 2)
+        val rows = spark.table("pt_v2").as[(String, Long, Long)].collect().sortBy(_._3).toSeq
+        assert(rows == Seq(("a", 3L, 0L), ("a", 7L, 1L)), rows.toString)
+      } finally q.stop()
+    }
+  }
+
+  test("AfterFirst: V2 count side fires immediately, clock side flushes a short pane") {
+    withRocks {
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[(String, Int)]
+      val q = StatefulV2.firstOfTriggered[String, Int, Long](
+          input.toDS(), zero = 0L, add = (a, v) => a + v, every = 3, delayMs = 700)
+        .toDF("k", "running_sum", "pane")
+        .writeStream.format("memory").queryName("fo_v2")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      try {
+        input.addData(("a", 1), ("a", 2)) // below count: the 700ms clock fires
+        awaitRows("fo_v2", 1)
+        input.addData(("a", 3), ("a", 4), ("a", 5)) // count side at once
+        awaitRows("fo_v2", 2)
+        val rows = spark.table("fo_v2").as[(String, Long, Long)].collect().sortBy(_._3).toSeq
+        assert(rows == Seq(("a", 3L, 0L), ("a", 15L, 1L)), rows.toString)
+      } finally q.stop()
+    }
+  }
+
+  test("groupIntoBatches on a native ListState cell: count batches + timer flush") {
+    withRocks {
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[(String, Int)]
+      val q = StatefulV2.groupIntoBatchesListState(input.toDS(), batchSize = 2,
+          maxWaitMs = 600)
+        .toDF("k", "batch")
+        .writeStream.format("memory").queryName("gib_v2")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      try {
+        input.addData(("a", 1), ("a", 2), ("a", 3), ("b", 9))
+        awaitRows("gib_v2", 1) // ("a", [1,2]) is full immediately
+        // the partial [3] and [9] flush on the native maxWait timer
+        awaitRows("gib_v2", 3)
+        val rows = spark.table("gib_v2").as[(String, Seq[Int])].collect()
+          .map { case (k, b) => (k, b.toList) }.toSet
+        assert(rows == Set(("a", List(1, 2)), ("a", List(3)), ("b", List(9))),
+          rows.toString)
+      } finally q.stop()
+    }
+  }
+
+  test("two INDEPENDENT event-time timers on one key fire separately (native TimerMap)") {
+    withRocks {
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[(String, Timestamp)]
+      val t0 = ts("2024-01-01 00:00:00").getTime
+      val q = StatefulV2.twoEventTimeTimers(input.toDS(), delayAMs = 5000L,
+          delayBMs = 10000L, watermarkDelay = "0 seconds")
+        .toDF("k", "timer", "at")
+        .writeStream.format("memory").queryName("tt_v2")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      try {
+        input.addData(("k1", ts("2024-01-01 00:00:00"))) // arms a@+5s AND b@+10s
+        q.processAllAvailable()
+        assert(spark.table("tt_v2").count() == 0, "timers fired before the watermark moved")
+        // watermark → 7s: ONLY timer a (5s) crosses; b (10s) stays armed —
+        // the two deadlines are independent store entries, not a re-armed min
+        input.addData(("wm", ts("2024-01-01 00:00:07")))
+        awaitRows("tt_v2", 1)
+        val mid = spark.table("tt_v2").filter($"k" === "k1")
+          .as[(String, String, Long)].collect().toSet
+        assert(mid == Set(("k1", "a", t0 + 5000)), mid.toString)
+        // watermark → 60s: b fires for k1 (and wm's own timers fire too)
+        input.addData(("wm2", ts("2024-01-01 00:01:00")))
+        awaitRows("tt_v2", 4) // k1:a, k1:b, wm:a(12s), wm:b(17s)
+        val k1 = spark.table("tt_v2").filter($"k" === "k1")
+          .as[(String, String, Long)].collect().toSet
+        assert(k1 == Set(("k1", "a", t0 + 5000), ("k1", "b", t0 + 10000)), k1.toString)
+      } finally q.stop()
+    }
+  }
+}
