@@ -240,6 +240,85 @@ object StatefulV2 {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** OrderedListState (reference sdk/state/OrderedListState.java): a
+    * per-key timestamp-ordered value list with range reads and range
+    * clears. Backed by a native ListState of (timestamp, value) — appends
+    * are delta-writes; reads sort (stable, so equal timestamps keep
+    * insertion order, the reference's contract); a range clear rewrites
+    * the survivors (the same cost profile the reference's runners have —
+    * OrderedListState is an interface over whatever the store offers). */
+  final class OrderedList[V] private[StatefulV2] (state: ListState[(Long, V)]) {
+    def add(ts: Long, v: V): Unit = state.appendValue((ts, v))
+    def read(): Seq[(Long, V)] =
+      (if (state.exists()) state.get().toSeq else Seq.empty).sortBy(_._1)
+    /** Entries with `from <= ts < to`, timestamp-ordered. */
+    def readRange(from: Long, to: Long): Seq[(Long, V)] =
+      read().filter(e => e._1 >= from && e._1 < to)
+    def clearRange(from: Long, to: Long): Unit = {
+      val keep = (if (state.exists()) state.get().toSeq else Seq.empty)
+        .filterNot(e => e._1 >= from && e._1 < to)
+      state.clear()
+      keep.foreach(state.appendValue)
+    }
+    def clear(): Unit = state.clear()
+  }
+
+  /** Obtain an [[OrderedList]] cell from a processor's handle (call from
+    * `init`). */
+  def orderedListState[V](processor: StatefulProcessor[_, _, _], name: String)(
+      implicit vEnc: Encoder[V]): OrderedList[V] =
+    new OrderedList[V](processor.getHandle.getListState[(Long, V)](
+      name, Encoders.tuple(Encoders.scalaLong, vEnc), TTLConfig.NONE))
+
+  /** The event-time SORTER OrderedListState exists for (reference pattern:
+    * buffer out-of-order events per key, release them in timestamp order
+    * as the watermark passes): elements buffer into an OrderedList; each
+    * batch (re-)arms an event-time timer at the earliest buffered
+    * timestamp; when the watermark crosses, every element at-or-before it
+    * emits in order and the emitted range is cleared — later stragglers
+    * keep their own timer. Emits (key, ts, value) in per-key event-time
+    * order across micro-batches. */
+  def eventTimeSorted[K, V](ds: Dataset[(K, java.sql.Timestamp, V)],
+      watermarkDelay: String)(implicit kEnc: Encoder[K], vEnc: Encoder[V],
+      outEnc: Encoder[(K, Long, V)]): Dataset[(K, Long, V)] = {
+
+    val processor = new StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, V)] {
+      @transient private var buf: OrderedList[V] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit =
+        buf = orderedListState[V](this, "buf")
+
+      private def rearm(): Unit = {
+        val entries = buf.read()
+        if (entries.nonEmpty) getHandle.registerTimer(entries.head._1)
+      }
+
+      override def handleInputRows(key: K, rows: Iterator[(K, java.sql.Timestamp, V)],
+          tv: TimerValues): Iterator[(K, Long, V)] = {
+        rows.foreach(r => buf.add(r._2.getTime, r._3))
+        rearm()
+        Iterator.empty
+      }
+
+      override def handleExpiredTimer(key: K, tv: TimerValues,
+          info: ExpiredTimerInfo): Iterator[(K, Long, V)] = {
+        val wm = tv.getCurrentWatermarkInMs()
+        val ready = buf.readRange(Long.MinValue, wm + 1)
+        buf.clearRange(Long.MinValue, wm + 1)
+        rearm()
+        ready.iterator.map { case (ts, v) => (key, ts, v) }
+      }
+    }
+
+    implicit val rowEnc: Encoder[(K, java.sql.Timestamp, V)] = ds.encoder
+    ds.toDF("k", "event_time", "v")
+      .withWatermark("event_time", watermarkDelay)
+      .as[(K, java.sql.Timestamp, V)]
+      .groupByKey(_._1)
+      .transformWithState[(K, Long, V)](processor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** The multi-timer case the V1 multiplexer can only approximate,
     * expressed directly (DoFn.java:475–540: two @TimerId fields in the
     * EVENT-time domain on one key): the key's first element arms BOTH

@@ -191,6 +191,33 @@ class StatefulV2Spec extends GraftSpec {
     }
   }
 
+  test("OrderedListState: out-of-order events release in event-time order at the watermark") {
+    withRocks {
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[(String, Timestamp, String)]
+      val q = StatefulV2.eventTimeSorted(input.toDS(), watermarkDelay = "0 seconds")
+        .toDF("k", "ts", "v")
+        .writeStream.format("memory").queryName("sorted_v2")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      try {
+        // batch 1 arrives OUT of order; nothing can release until the
+        // watermark (still behind) passes the buffered timestamps
+        input.addData(("a", ts("2024-01-01 00:00:10"), "c"),
+          ("a", ts("2024-01-01 00:00:05"), "b"))
+        awaitRows("sorted_v2", 2) // wm → 10s after the batch; timer at 5s drains both
+        // batch 2: again reversed; earlier rows already released stay released
+        input.addData(("a", ts("2024-01-01 00:00:20"), "e"),
+          ("a", ts("2024-01-01 00:00:15"), "d"))
+        awaitRows("sorted_v2", 4)
+        val rows = spark.table("sorted_v2").as[(String, Long, String)].collect().toSeq
+        val t0 = ts("2024-01-01 00:00:00").getTime
+        // released strictly in per-key event-time order, across micro-batches
+        assert(rows == Seq(("a", t0 + 5000, "b"), ("a", t0 + 10000, "c"),
+          ("a", t0 + 15000, "d"), ("a", t0 + 20000, "e")), rows.toString)
+      } finally q.stop()
+    }
+  }
+
   test("two INDEPENDENT event-time timers on one key fire separately (native TimerMap)") {
     withRocks {
       implicit val ctx = spark.sqlContext
