@@ -27,7 +27,7 @@ object Bench {
       "ann_ivfpq" -> 102.0, "ann_ivfpq_indexed" -> 121.6,
       "dedup_incremental_10pct" -> 307.7,
       "minhash_lsh_neardups" -> 314.0, "pii_redact" -> 56.6,
-      "bm25_topk" -> 60.0, "exact_substr_winnowed" -> 519.8)
+      "bm25_topk" -> 60.0, "exact_substr_winnowed" -> 406.9)
 
   /** The training-data-pipeline scale tier: generate (once) the
     * [[graft.sources.PipelineCorpus]] at `scale`, time the dedup/text/ANN
@@ -284,13 +284,6 @@ object Bench {
     // the most expensive tail stages (exact_substr, exact_dedup), not the
     // breadth. (exact_dedup moved from tier-front to tail in r7 — it is a
     // stable shuffle benchmark, not a recall gate.)
-    // pii_redact runs FIRST on a fresh session (56.6 s solo; the r6/r7
-    // official 241–285 s readings were run-wide contention, disclosed via
-    // its solo_hint in the artifact)
-    timedSafe("pii_redact", estSec = 150) {
-      graft.text.TextAnalysis.redactPii(docs, "text")
-        .write.format("noop").mode("overwrite").save()
-    }
     timedSafe("weighted_mix", estSec = 10) {
       graft.api.Sampling.weightedMix(
         docs.withColumn("source", (col("doc_id") % 16).cast("string")),
@@ -355,6 +348,16 @@ object Bench {
       graft.text.TextAnalysis.withRepetitionFeatures(docs, "text")
         .write.format("noop").mode("overwrite").save()
     }
+    // pii_redact sits AFTER two whole-corpus scans on the same session:
+    // its 56.6 s solo number assumes the 10M-doc parquet is in page cache,
+    // and running it straight after the minhash group's spill churn paid a
+    // cold re-read every round (r7: 241 s, r8 first slot after recycle:
+    // 130 s). text_features + repetition_features re-warm the cache; the
+    // residual gap to solo stays disclosed via solo_hint_sec.
+    timedSafe("pii_redact", estSec = 150) {
+      graft.text.TextAnalysis.redactPii(docs, "text")
+        .write.format("noop").mode("overwrite").save()
+    }
     // model-based quality scoring: hashed-ngram sigmoid scorer, pure
     // scan-stage (weights are arbitrary here — the cost is the feature
     // hashing, identical whatever the fit produced)
@@ -412,9 +415,11 @@ object Bench {
     if (nDocs <= substrCap) timedSafe("exact_substr_winnowed", estSec = 140) {
       graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
-    } else if (!deadlineBlocked(560) &&
+    } else if (!deadlineBlocked(470) &&
         onlyStages.forall(_.contains("exact_substr_winnowed"))) {
-      timedSafe("exact_substr_winnowed", estSec = 560) {
+      // 470 = the 406.9 s r8 solo measure (down from 519.8 at r6 after the
+      // hot-gram prefilter) + in-run margin
+      timedSafe("exact_substr_winnowed", estSec = 470) {
         graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
           .write.format("noop").mode("overwrite").save()
       }
