@@ -489,7 +489,10 @@ object Bench {
       def js(m: Map[String, String]): String =
         m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":\"${jsonEscape(v)}\"" }
           .mkString("{", ",", "}")
-      val hints = soloHints(sc).filter { case (k, _) => sec.contains(k) }
+      // prefix match: a hint also applies to a renamed degraded variant of
+      // its stage (exact_substr_winnowed → exact_substr_winnowed_2m_slice)
+      val hints = soloHints(sc)
+        .filter { case (k, _) => sec.keys.exists(_.startsWith(k)) }
       println(s"""{"pipeline_scale":$sc,"pipeline_sec":${j(sec)},"pipeline_recall":${j(rec)},"pipeline_failed":${js(fl)},"solo_hint_sec":${j(hints)}}""")
       sys.exit(0) // non-daemon metastore/state-store threads outlive stop()
     }
@@ -706,8 +709,10 @@ object Bench {
     // solo_hint_sec: measured quiet-machine costs for the stages that ran,
     // printed NEXT TO the in-run times — official ≫ solo self-documents as
     // run-wide contention rather than a plan regression
+    // prefix match so a hint follows its stage's renamed degraded variant
+    // (exact_substr_winnowed → exact_substr_winnowed_2m_slice)
     val hintsRan = soloHints(pipelineScale)
-      .filter { case (k, _) => pipelineSec.contains(k) }
+      .filter { case (k, _) => pipelineSec.keys.exists(_.startsWith(k)) }
     println(s"""{"tier":"pipeline","scale":$pipelineScale,"sec":${jmap(pipelineSec)},"recall":${jmap(pipelineRecall)},"failed":${jsmap(pipelineFailed)},"solo_hint_sec":${jmap(hintsRan)}}""")
     val fullQs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
