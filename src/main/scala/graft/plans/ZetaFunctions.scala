@@ -193,6 +193,19 @@ object ZetaFunctions {
     (FunctionIdentifier("array_at_ordinal"),
       info("array_at_ordinal", "array_at_ordinal(arr, i) - 1-based element (NULL out of bounds)"),
       (a: Seq[Expression]) => ElementAt(a(0), a(1))),
+    (FunctionIdentifier("approx_quantiles"),
+      info("approx_quantiles",
+        "approx_quantiles(x, n) - n+1 approximate split points (min … max), ZetaSQL shape"),
+      (a: Seq[Expression]) => {
+        val n = a(1) match {
+          case Literal(i: Int, _) if i >= 1 => i
+          case other => throw new IllegalArgumentException(
+            s"approx_quantiles: n must be a positive integer literal, got $other")
+        }
+        val pts = (0 to n).map(i => Literal(i.toDouble / n))
+        new org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile(
+          a(0), CreateArray(pts)).toAggregateExpression()
+      }),
     (FunctionIdentifier("safe_array_at_offset"),
       info("safe_array_at_offset", "safe_array_at_offset(arr, i) - 0-based, NULL out of bounds"),
       // try_element_at still ERRORS on index 0 (INVALID_INDEX_OF_ZERO), so

@@ -550,6 +550,49 @@ object Similarity {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Cell-population skew of a persisted IVF index (max/mean cell
+    * population) — ONE narrow aggregation over the index's cell column.
+    * This is the number maintenance thresholds on: appends keep the
+    * original codebook (the cheap path), so a drifting corpus
+    * concentrates into few cells and per-query probe cost rises with the
+    * skew. */
+  def ivfCellSkew(spark: org.apache.spark.sql.SparkSession, table: String): Double = {
+    val r = spark.table(table).groupBy("cell").count()
+      .agg(max(col("count")).cast("double"), avg(col("count")))
+      .head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Rebalance a persisted IVF index whose appended increments drifted
+    * the cell populations — the deferred heavy half of the maintenance
+    * loop `appendToIvfIndex` documents: refit the codebook from the
+    * index's OWN vectors (bounded deterministic sample → driver-local
+    * Lloyd, the same fit path as the build), reassign every vector in one
+    * scan stage, and rewrite the cell-bucketed layout into a fresh table
+    * swapped in under the old name. The table being rebuilt is also the
+    * lazy scan source, so an in-place overwrite would be data loss (the
+    * Layout.compact rule); the swap is the only non-atomic step. Returns
+    * the NEW codebook — queries keep answering on the old one until
+    * handed the return value. */
+  def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, nlist: Int = 16, seed: Long = 42L, maxIter: Int = 5,
+      trainFraction: Double = 0.1): Array[Array[Double]] = {
+    val c = spark.table(table).select(col("nn_id"), col("cv"))
+    val centers = fitCenters(c, nlist, seed, maxIter, trainFraction)
+    val tmp = table + "_rebalanced_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    c.withColumn("cell", nearestCell(centers)(col("cv")))
+      .select("nn_id", "cv", "cell")
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .bucketBy(centers.length, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    centers
+  }
+
   /** Query a persisted IVF index: each query's `nprobe` nearest cells
     * are point-looked-up through the bucket-file seek (graft.api.Lookup)
     * — only the probed cells' files are read, then scoring and the

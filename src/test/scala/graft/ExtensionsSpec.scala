@@ -304,4 +304,13 @@ class ExtensionsSpec extends GraftSpec {
     assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5))
     assert(r.isNullAt(6) && r.isNullAt(7))
   }
+
+  test("ZetaSQL delta: approx_quantiles returns the n+1 split points") {
+    // ZetaSQL shape: APPROX_QUANTILES(x, n) = [min, …, max] with n+1
+    // entries — on 0..100 exact values the sketch is exact
+    val qs = spark.sql(
+      "SELECT approx_quantiles(id, 4) AS q FROM range(0, 101)")
+      .collect().head.getSeq[Long](0)
+    assert(qs == Seq(0L, 25L, 50L, 75L, 100L), qs.toString)
+  }
 }

@@ -72,6 +72,41 @@ class IvfIndexSpec extends GraftSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_app")
   }
 
+  test("index rebalance: refit + swap restores cell balance after a skewed append; answers stay exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"), col("embedding"))
+    // the append is 3x the base SHIFTED far outside the original
+    // distribution: under the build-time codebook the whole increment
+    // lands in whichever old cell is nearest the shifted cloud — the
+    // worst-case drift the skew metric exists to catch
+    val shifted = emb.filter(col("vec_id") % 4 =!= 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), e => e + lit(10.0f)).as("embedding"))
+    val union = base.unionByName(shifted)
+    val queries = union.filter(col("vec_id").isin(0L, 4L, 100001L, 100002L))
+    try {
+      val centers0 = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+        "ivf_rebal", nlist = 8, seed = 42L, maxIter = 5)
+      Similarity.appendToIvfIndex("ivf_rebal", centers0, shifted, "vec_id", "embedding")
+      val skewBefore = Similarity.ivfCellSkew(spark, "ivf_rebal")
+      val centers1 = Similarity.rebalanceIvfIndex(spark, "ivf_rebal",
+        nlist = 8, seed = 42L, maxIter = 5)
+      val skewAfter = Similarity.ivfCellSkew(spark, "ivf_rebal")
+      assert(skewAfter < skewBefore, s"skew did not improve: $skewBefore -> $skewAfter")
+      assert(spark.table("ivf_rebal").count() == union.count()) // rewrite lost nothing
+      // exactness is codebook-independent under a full probe: the
+      // rebalanced index must answer exactly like brute force on A ∪ B'
+      val viaIndex = Similarity.ivfTopKIndexed(spark, "ivf_rebal", centers1,
+        queries, "vec_id", "embedding", k = 5, nprobe = 8)
+      val exact = Similarity.bruteForceTopK(union, queries, "vec_id", "embedding", k = 5)
+      assert(viaIndex.orderBy("query_id", "rnk").collect().map(_.toString).toSeq ==
+        exact.orderBy("query_id", "rnk").collect().map(_.toString).toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_rebal")
+      spark.sql("DROP TABLE IF EXISTS ivf_rebal_rebalanced_tmp")
+    }
+  }
+
   test("persisted IVF-PQ index: codebooks round-trip; full-probe + exact rerank equals brute force") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 5)
