@@ -566,7 +566,61 @@ object Extended extends QueryModule {
       |FULL OUTER JOIN o ON coalesce(c.nk, s.nk) = o.nk
       |ORDER BY nationkey""".stripMargin
 
+  // Partition (reference transforms/Partition.java): a disjoint covering
+  // split into n outputs sharing one cached upstream — gated by
+  // re-aggregating each branch with its partition index and comparing to
+  // the direct GROUP BY the split must equal.
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import graft.api.Dataflow._
+    val parts = Tables.orders(s, dir)
+      .partitionInto(4, col("o_orderkey") % 4)
+    parts.zipWithIndex.map { case (p, i) =>
+      p.agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(lit(i.toLong).as("part"), col("n"), col("total"))
+    }.reduce(_.unionByName(_)).orderBy("part")
+  }
+
+  private val q145Sql =
+    """SELECT CAST(o_orderkey % 4 AS BIGINT) AS part,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY part""".stripMargin
+
+  // WithFailures (reference transforms/WithFailures.java): a fallible
+  // expression routes rows that fail to a failure output with the input
+  // preserved, instead of failing the pipeline — here a try_divide whose
+  // divisor is zero on every third key. Gate compares branch summaries.
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import graft.api.Dataflow._
+    val (ok, failed) = Tables.orders(s, dir).withFailures(
+      try_divide(col("o_totalprice").cast("double"),
+        (col("o_orderkey") % 3).cast("double")),
+      as = "ratio", inputOk = lit(true))
+    val okSum = ok.agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("ratio")), 2).as("s"))
+      .select(lit("ok").as("branch"), col("n"), col("s"))
+    val flSum = failed.agg(count(lit(1)).cast("long").as("n"))
+      .select(lit("failed").as("branch"), col("n"),
+        lit(null).cast("double").as("s"))
+    okSum.unionByName(flSum).orderBy("branch")
+  }
+
+  private val q146Sql =
+    """WITH r AS (
+      |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |    ELSE CAST(o_totalprice AS DOUBLE) / (o_orderkey % 3) END AS ratio
+      |  FROM orders)
+      |SELECT 'failed' AS branch, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(NULL AS DOUBLE) AS s FROM r WHERE ratio IS NULL
+      |UNION ALL
+      |SELECT 'ok' AS branch, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(ratio), 2) AS s FROM r WHERE ratio IS NOT NULL
+      |ORDER BY branch""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_partition_fanout" -> q145,
+    "q146_with_failures" -> q146,
     "q71_correlated_scalar_subquery" -> q71,
     "q72_having_in_subquery" -> q72,
     "q74_cogroup_3way" -> q74,
@@ -590,6 +644,8 @@ object Extended extends QueryModule {
     "q59_merging_windows" -> q59)
 
   override val oracles: Map[String, String] = Map(
+    "q145_partition_fanout" -> q145Sql,
+    "q146_with_failures" -> q146Sql,
     "q71_correlated_scalar_subquery" -> q71Text,
     "q72_having_in_subquery" -> q72Text,
     "q74_cogroup_3way" -> q74Sql,
