@@ -618,9 +618,33 @@ object Extended extends QueryModule {
       |  round(sum(ratio), 2) AS s FROM r WHERE ratio IS NOT NULL
       |ORDER BY branch""".stripMargin
 
+  // Keys/Values/KvSwap/WithKeys (reference transforms/{Keys,Values,KvSwap,
+  // WithKeys}.java): the KV<K,V> shaping library — WithKeys designates a
+  // key struct, KvSwap exchanges the pair. Gated by round-tripping both
+  // against the flat projection they must reconstruct.
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import graft.api.Dataflow._
+    val base = Tables.customer(s, dir).filter(col("c_custkey") <= 200)
+    val swapped = base
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("value"))
+      .kvSwap // key := acctbal, value := custkey
+    val keyed = base.withKeys("c_nationkey", "c_mktsegment")
+    keyed.select(col("c_custkey"),
+        col("key.c_nationkey").as("knat"), col("key.c_mktsegment").as("kseg"))
+      .join(swapped.select(col("value").as("c_custkey"),
+        round(col("key").cast("double"), 2).as("bal_key")), "c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  private val q147Sql =
+    """SELECT c_custkey, c_nationkey AS knat, c_mktsegment AS kseg,
+      |  round(CAST(c_acctbal AS DOUBLE), 2) AS bal_key
+      |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_partition_fanout" -> q145,
     "q146_with_failures" -> q146,
+    "q147_kv_shaping" -> q147,
     "q71_correlated_scalar_subquery" -> q71,
     "q72_having_in_subquery" -> q72,
     "q74_cogroup_3way" -> q74,
@@ -646,6 +670,7 @@ object Extended extends QueryModule {
   override val oracles: Map[String, String] = Map(
     "q145_partition_fanout" -> q145Sql,
     "q146_with_failures" -> q146Sql,
+    "q147_kv_shaping" -> q147Sql,
     "q71_correlated_scalar_subquery" -> q71Text,
     "q72_having_in_subquery" -> q72Text,
     "q74_cogroup_3way" -> q74Sql,
