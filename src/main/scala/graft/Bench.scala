@@ -37,7 +37,7 @@ object Bench {
     * brute-force top-k on the same queries. Returns (seconds, recalls).
     * Callable standalone (spark-shell) for iteration. */
   def pipelineTier(mkSession: () => SparkSession, scale: Int,
-      deadlineNanos: Long = Long.MaxValue)
+      deadlineNanos: Long = Long.MaxValue, contention: Double = 1.0)
       : (Map[String, Double], Map[String, Double], Map[String, String]) = {
     import org.apache.spark.sql.functions._
     var spark = mkSession()
@@ -97,8 +97,13 @@ object Bench {
     // FINISH inside the budget is skipped up front, because a started
     // stage runs to completion — a 400 s stage launched 30 s before the
     // deadline would blow the whole process past the driver's kill.
+    // The hints are QUIET-machine measurements; `contention` (the gate
+    // tier's published-total / quiet-prior ratio, r8 verdict #3) rescales
+    // them to the machine the run is actually on, so an officially
+    // contended run makes the same skip decisions a rehearsal would have
+    // predicted at that factor.
     def deadlineBlocked(estSec: Long): Boolean =
-      System.nanoTime() + estSec * 1000000000L > deadlineNanos
+      System.nanoTime() + (estSec * contention * 1e9).toLong > deadlineNanos
     def timedSafe(name: String, estSec: Long = 0L)(body: => Unit): Unit =
       if (onlyStages.forall(_.contains(name))) {
         if (onlyStages.isEmpty && deadlineBlocked(estSec))
@@ -113,7 +118,8 @@ object Bench {
     // ---- ANN group FIRST: the round's checked-accuracy-at-scale evidence
     // (recall@10 vs exact brute force on the same queries) must land in
     // the artifact even when the deadline truncates the tier's tail.
-    if (wanted("ann_brute_force", "ann_lsh", "ann_ivf", "ann_ivfpq")
+    if (wanted("ann_brute_force", "ann_lsh", "ann_ivf", "ann_ivfpq",
+        "ann_ivfpq_indexed", "ann_ivfpq_rebalance")
         && !pastDeadline) try {
       // Query count budgets the brute-force baseline (linear in
       // queries x corpus) to ~constant work: target ~4e8 scored pairs,
@@ -174,38 +180,206 @@ object Bench {
           10, nlist = ivfNlist, nprobe = ivfNprobe, m = 8, ksub = 256,
           rerank = pqRerank, trainFraction = kmFraction)
       }
-      // the PERSISTED serving layout, end to end at corpus scale: build
-      // the cell-bucketed codes table + codebooks on disk, then answer
-      // through bucket-file seeks + exact rerank against the raw source.
-      // Timed as one stage (build + persist + query); recall-checked
-      // like the in-job variants.
-      if (wanted("ann_ivfpq_indexed")) {
+      // the PERSISTED serving layout, end to end at corpus scale — now the
+      // FULL maintenance lifecycle: build on the 90% of the corpus whose
+      // leading coordinate sits below the top decile, APPEND the drifted
+      // decile (a by-value split: those vectors concentrate into the few
+      // cells covering their half-space, which is exactly the drift the
+      // skew metric exists to catch — the union is still exactly `emb`,
+      // so the brute-force ground truth is unchanged), then answer through
+      // bucket-file seeks + exact rerank. Timed as one stage
+      // (build + append + persist + query); recall-checked like the
+      // in-job variants.
+      if (wanted("ann_ivfpq_indexed", "ann_ivfpq_rebalance")) {
+        // drift threshold: top-decile first coordinate (setup, untimed —
+        // it defines the scenario, it is not index-maintenance work)
+        val x0thr = emb.select(element_at(col("embedding"), 1)
+            .cast("double").as("x0"))
+          .stat.approxQuantile("x0", Array(0.9), 0.01)(0)
+        val embMain = emb.filter(element_at(col("embedding"), 1).cast("double") < x0thr)
+        val embDrift = emb.filter(element_at(col("embedding"), 1).cast("double") >= x0thr)
+        var pqBooks: Option[Array[Array[Array[Double]]]] = None
         annRecall("ann_ivfpq_indexed") {
           val (centers, books) = graft.similarity.Similarity.buildIvfPqIndex(
-            emb, "vec_id", "embedding", "bench_pq_idx", nlist = ivfNlist,
+            embMain, "vec_id", "embedding", "bench_pq_idx", nlist = ivfNlist,
             m = 8, ksub = 256, trainFraction = kmFraction)
+          graft.similarity.Similarity.appendToIvfPqIndex("bench_pq_idx",
+            centers, books, embDrift, "vec_id", "embedding")
+          pqBooks = Some(books)
           graft.similarity.Similarity.ivfPqTopKIndexed(spark, "bench_pq_idx",
             centers, books, qVecs, "vec_id", "embedding", 10,
             nprobe = ivfNprobe, rerank = pqRerank, rerankFrom = Some(emb))
         }
+        // the maintenance loop CLOSED at corpus scale (r8 verdict #6):
+        // skew-before on the drift-appended index, coarse-codebook refit +
+        // one-scan bucketed rewrite + swap (rebalanceIvfPqIndex — PQ codes
+        // survive, only the coarse routing refits), skew-after, and a
+        // recall re-check under the new codebook. One timed stage; the
+        // skews ride the recall map so the drift→restore arc is
+        // driver-visible next to the recall it protects.
+        pqBooks match {
+          case Some(books) if wanted("ann_ivfpq_rebalance") =>
+            annRecall("ann_ivfpq_rebalance") {
+              recalls += "skew_before" ->
+                graft.similarity.Similarity.ivfCellSkew(spark, "bench_pq_idx")
+              val centers2 = graft.similarity.Similarity.rebalanceIvfPqIndex(
+                spark, "bench_pq_idx", books, emb, "vec_id", "embedding",
+                nlist = ivfNlist, trainFraction = kmFraction)
+              recalls += "skew_after" ->
+                graft.similarity.Similarity.ivfCellSkew(spark, "bench_pq_idx")
+              graft.similarity.Similarity.ivfPqTopKIndexed(spark, "bench_pq_idx",
+                centers2, books, qVecs, "vec_id", "embedding", 10,
+                nprobe = ivfNprobe, rerank = pqRerank, rerankFrom = Some(emb))
+            }
+          case None if wanted("ann_ivfpq_rebalance") =>
+            failures += "ann_ivfpq_rebalance" -> "skipped_no_index"
+          case _ => ()
+        }
         try {
           spark.sql("DROP TABLE IF EXISTS bench_pq_idx")
           spark.sql("DROP TABLE IF EXISTS bench_pq_idx_codebooks")
+          spark.sql("DROP TABLE IF EXISTS bench_pq_idx_rebalanced_tmp")
         } catch { case _: Throwable => }
       }
       brute.unpersist(); qVecs.unpersist()
     } catch { case e: Throwable =>
       failures += "ann_group" -> s"failed: ${e.toString.take(160)}"
       System.err.println(s"[bench-pipeline] ANN group failed: $e")
-    } else if (wanted("ann_brute_force", "ann_lsh", "ann_ivf", "ann_ivfpq"))
+    } else if (wanted("ann_brute_force", "ann_lsh", "ann_ivf", "ann_ivfpq",
+        "ann_ivfpq_indexed", "ann_ivfpq_rebalance"))
       failures += "ann_group" -> "skipped_deadline"
-    recycle() // ANN persists/shuffles released before the minhash group
-    // Incremental dedup runs SECOND (right after the ANN group, before the
-    // minhash/pii long poles): in r7 it sat near the tier's tail and was
-    // the one stage the measured-cost skip sacrificed under contention —
-    // the round's official artifact lost its only increment-proportional
-    // dedup witness. Early placement + a fresh session makes the skip
-    // window structurally impossible unless the ANN group itself overran.
+    recycle() // ANN persists/shuffles released before the breadth block
+    // The CHEAP BREADTH BLOCK runs right after the ANN group (r8 verdict
+    // #1): in r8 these ~14 scan/pack stages sat at the tier's tail and the
+    // official run's contention made the deadline guard chop ALL of them —
+    // none carries a solo hint when skipped, so the artifact lost its
+    // breadth silently. Cheap-first means a budget squeeze now lands on
+    // the tail's solo-hinted HEAVIES (dedup_incremental, minhash,
+    // exact_substr), whose hints ride the artifact and self-document the
+    // contention. Within the block: shuffle-producing stages (packs,
+    // simhash) first, one recycle, then the scan stages with
+    // text_features + repetition_features immediately before pii_redact —
+    // pii's solo number assumes a warm page cache and those two
+    // whole-corpus scans re-warm it (the r7/r8 cold-read lesson).
+    timedSafe("weighted_mix", estSec = 10) {
+      graft.api.Sampling.weightedMix(
+        docs.withColumn("source", (col("doc_id") % 16).cast("string")),
+        "source", "doc_id",
+        Map("0" -> 1.0, "1" -> 0.5), defaultRate = 0.1)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // CDC changelog apply at corpus scale: a 10%-of-corpus increment
+    // (updates + deletes, sequenced) folded into the snapshot — the
+    // snapshot side is one scan + broadcast anti-join (1M changed keys),
+    // only the increment shuffles for its latest-per-key reduction.
+    timedSafe("cdc_apply", estSec = 20) {
+      val changes = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") % 3 + 1).cast("long").as("seq"),
+          when(col("doc_id") % 20 === 0, "D").otherwise("U").as("op"))
+      graft.api.Cdc.applyChangelog(docs.select("doc_id", "text"), changes,
+        Seq("doc_id"), "seq", "op")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val docsTok = docs.withColumn("tok", length(col("text")))
+    timedSafe("pack_chunk", estSec = 15) {
+      graft.pack.Packing.concatAndChunk(docsTok, "doc_id", "tok",
+        budget = 4096L, streams = 64)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timedSafe("pack_greedy", estSec = 15) {
+      graft.pack.Packing.greedyPack(docsTok, "doc_id", "tok",
+        budget = 4096L, streams = 64)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timedSafe("simhash_neardups", estSec = 140) {
+      graft.dedup.Dedup.simhashNearDups(docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // pack×2 + simhash exchange full-width rows; everything from here to
+    // bm25 is scan-stage, so one recycle caps the block's shuffle files
+    recycle()
+    timedSafe("text_features", estSec = 60) {
+      graft.text.TextAnalysis.withTextFeatures(docs, "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    timedSafe("repetition_features", estSec = 70) {
+      graft.text.TextAnalysis.withRepetitionFeatures(docs, "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // pii_redact sits AFTER two whole-corpus scans on the same session:
+    // its 56.6 s solo number assumes the 10M-doc parquet is in page cache
+    // (cold re-reads measured 130–241 s in r7/r8)
+    timedSafe("pii_redact", estSec = 150) {
+      graft.text.TextAnalysis.redactPii(docs, "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // model-based quality scoring: hashed-ngram sigmoid scorer, pure
+    // scan-stage (weights are arbitrary here — the cost is the feature
+    // hashing, identical whatever the fit produced)
+    timedSafe("quality_score", estSec = 60) {
+      graft.text.QualityClassifier.score(docs, "text",
+        Array.tabulate(1024)(i => (i % 7 - 3) * 0.1), bias = 0.0)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timedSafe("markup_strip", estSec = 50) {
+      graft.text.TextAnalysis.stripMarkup(
+        docs.withColumn("h", concat(lit("<p>"), col("text"),
+          lit(" &amp; more</p><!-- x -->"))), "h")
+        .write.format("noop").mode("overwrite").save()
+    }
+    timedSafe("shard_assign", estSec = 40) {
+      graft.pack.Packing.shardByTokenBudget(
+        docs.withColumn("tok", length(col("text")).cast("long")),
+        "doc_id", "tok", budget = 65536L, bucketHexChars = 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timedSafe("domain_cap", estSec = 70) {
+      graft.text.Urls.capPerDomain(
+        docs.withColumn("url", concat(lit("https://w."),
+          (col("doc_id") % 4096).cast("string"), lit(".site.com/p/"),
+          col("doc_id").cast("string"))), "url", "doc_id", n = 2000)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // stopword queries = worst-case df (every document matches every
+    // term), so this times the full matched-row exchange, not a lucky
+    // sparse probe
+    timedSafe("bm25_topk", estSec = 120) {
+      val s = spark // stable identifier for the implicits import
+      import s.implicits._
+      val qs = Seq((0L, "the of and"), (1L, "that it was"),
+        (2L, "with from when")).toDF("qid", "qt")
+      graft.text.Bm25.topK(docs, "doc_id", "text", qs, "qid", "qt", k = 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timedSafe("exact_dedup", estSec = 30) {
+      graft.dedup.Dedup.exact(docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    recycle() // bm25/exact_dedup exchanges released before the BPE fits
+    // 2000 merges = a production-shaped vocabulary run; batched training
+    // makes it ~20 driver round-trips (the r5 finding: one round-trip per
+    // merge meant vocab-size-bound scheduler latency)
+    if (wanted("bpe_train", "bpe_tokenize") && !deadlineBlocked(120)) try {
+      val bpeModel = timed("bpe_train") {
+        graft.text.Bpe.train(docs, "text", numMerges = 2000)
+      }
+      timed("bpe_tokenize") {
+        graft.text.Bpe.tokenize(docs, "doc_id", "text", bpeModel)
+          .write.format("noop").mode("overwrite").save()
+      }
+    } catch { case e: Throwable =>
+      failures += "bpe_group" -> s"failed: ${e.toString.take(160)}"
+      System.err.println(s"[bench-pipeline] bpe group failed: $e")
+    } else if (wanted("bpe_train", "bpe_tokenize"))
+      failures += "bpe_group" -> "skipped_deadline"
+    recycle() // free the BPE dict shuffles before the heavy tail
+    // ---- the HEAVY TAIL: every stage from here carries a solo_hint_sec
+    // in the artifact, so a deadline skip is self-documenting. Order is
+    // ascending replaceability: dedup_incremental (the only increment-
+    // proportional dedup witness) before minhash (whose recall gate is the
+    // round's planted-pair accuracy evidence) before the exact-substring
+    // pole (alternating full/slice clause).
     // The nightly-crawl shape at corpus scale: a 10% increment deduped
     // against the other 90% through the band index — pair generation is
     // the cross-side equi-join only (new×new and old×old pairs are never
@@ -279,128 +453,7 @@ object Bench {
     // `pastDeadline` else left no trace when the cost hint tripped early)
     } else if (wanted("minhash_lsh_neardups", "dup_clusters"))
       failures += "minhash_group" -> "skipped_deadline"
-    recycle() // free the band/pair shuffle files before the text stages
-    // Remaining stages in roughly ascending cost so a tight deadline trims
-    // the most expensive tail stages (exact_substr, exact_dedup), not the
-    // breadth. (exact_dedup moved from tier-front to tail in r7 — it is a
-    // stable shuffle benchmark, not a recall gate.)
-    timedSafe("weighted_mix", estSec = 10) {
-      graft.api.Sampling.weightedMix(
-        docs.withColumn("source", (col("doc_id") % 16).cast("string")),
-        "source", "doc_id",
-        Map("0" -> 1.0, "1" -> 0.5), defaultRate = 0.1)
-        .write.format("noop").mode("overwrite").save()
-    }
-    // CDC changelog apply at corpus scale: a 10%-of-corpus increment
-    // (updates + deletes, sequenced) folded into the snapshot — the
-    // snapshot side is one scan + broadcast anti-join (1M changed keys),
-    // only the increment shuffles for its latest-per-key reduction.
-    timedSafe("cdc_apply", estSec = 20) {
-      val changes = docs.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("text"),
-          (col("doc_id") % 3 + 1).cast("long").as("seq"),
-          when(col("doc_id") % 20 === 0, "D").otherwise("U").as("op"))
-      graft.api.Cdc.applyChangelog(docs.select("doc_id", "text"), changes,
-        Seq("doc_id"), "seq", "op")
-        .write.format("noop").mode("overwrite").save()
-    }
-    // 2000 merges = a production-shaped vocabulary run; batched training
-    // makes it ~20 driver round-trips (the r5 finding: one round-trip per
-    // merge meant vocab-size-bound scheduler latency)
-    if (wanted("bpe_train", "bpe_tokenize") && !deadlineBlocked(120)) try {
-      val bpeModel = timed("bpe_train") {
-        graft.text.Bpe.train(docs, "text", numMerges = 2000)
-      }
-      timed("bpe_tokenize") {
-        graft.text.Bpe.tokenize(docs, "doc_id", "text", bpeModel)
-          .write.format("noop").mode("overwrite").save()
-      }
-    } catch { case e: Throwable =>
-      failures += "bpe_group" -> s"failed: ${e.toString.take(160)}"
-      System.err.println(s"[bench-pipeline] bpe group failed: $e")
-    } else if (wanted("bpe_train", "bpe_tokenize"))
-      failures += "bpe_group" -> "skipped_deadline"
-    recycle() // free the BPE dict shuffles
-    val docsTok = docs.withColumn("tok", length(col("text")))
-    timedSafe("pack_chunk", estSec = 15) {
-      graft.pack.Packing.concatAndChunk(docsTok, "doc_id", "tok",
-        budget = 4096L, streams = 64)
-        .write.format("noop").mode("overwrite").save()
-    }
-    timedSafe("pack_greedy", estSec = 15) {
-      graft.pack.Packing.greedyPack(docsTok, "doc_id", "tok",
-        budget = 4096L, streams = 64)
-        .write.format("noop").mode("overwrite").save()
-    }
-    timedSafe("simhash_neardups", estSec = 140) {
-      graft.dedup.Dedup.simhashNearDups(docs, "doc_id", "text")
-        .write.format("noop").mode("overwrite").save()
-    }
-    // pack×2 + simhash all exchange full-width rows; the stages after this
-    // point are scan-stage until the winnowed anchor exchange, so one
-    // recycle here caps the group's shuffle-file accumulation
-    recycle()
-    timedSafe("text_features", estSec = 60) {
-      graft.text.TextAnalysis.withTextFeatures(docs, "text")
-        .write.format("noop").mode("overwrite").save()
-    }
-    timedSafe("repetition_features", estSec = 70) {
-      graft.text.TextAnalysis.withRepetitionFeatures(docs, "text")
-        .write.format("noop").mode("overwrite").save()
-    }
-    // pii_redact sits AFTER two whole-corpus scans on the same session:
-    // its 56.6 s solo number assumes the 10M-doc parquet is in page cache,
-    // and running it straight after the minhash group's spill churn paid a
-    // cold re-read every round (r7: 241 s, r8 first slot after recycle:
-    // 130 s). text_features + repetition_features re-warm the cache; the
-    // residual gap to solo stays disclosed via solo_hint_sec.
-    timedSafe("pii_redact", estSec = 150) {
-      graft.text.TextAnalysis.redactPii(docs, "text")
-        .write.format("noop").mode("overwrite").save()
-    }
-    // model-based quality scoring: hashed-ngram sigmoid scorer, pure
-    // scan-stage (weights are arbitrary here — the cost is the feature
-    // hashing, identical whatever the fit produced)
-    timedSafe("quality_score", estSec = 60) {
-      graft.text.QualityClassifier.score(docs, "text",
-        Array.tabulate(1024)(i => (i % 7 - 3) * 0.1), bias = 0.0)
-        .write.format("noop").mode("overwrite").save()
-    }
-    timedSafe("markup_strip", estSec = 50) {
-      graft.text.TextAnalysis.stripMarkup(
-        docs.withColumn("h", concat(lit("<p>"), col("text"),
-          lit(" &amp; more</p><!-- x -->"))), "h")
-        .write.format("noop").mode("overwrite").save()
-    }
-    timedSafe("shard_assign", estSec = 40) {
-      graft.pack.Packing.shardByTokenBudget(
-        docs.withColumn("tok", length(col("text")).cast("long")),
-        "doc_id", "tok", budget = 65536L, bucketHexChars = 3)
-        .write.format("noop").mode("overwrite").save()
-    }
-    timedSafe("domain_cap", estSec = 70) {
-      graft.text.Urls.capPerDomain(
-        docs.withColumn("url", concat(lit("https://w."),
-          (col("doc_id") % 4096).cast("string"), lit(".site.com/p/"),
-          col("doc_id").cast("string"))), "url", "doc_id", n = 2000)
-        .write.format("noop").mode("overwrite").save()
-    }
-    // stopword queries = worst-case df (every document matches every
-    // term), so this times the full matched-row exchange, not a lucky
-    // sparse probe
-    timedSafe("bm25_topk", estSec = 120) {
-      val s = spark // stable identifier for the implicits import
-      import s.implicits._
-      val qs = Seq((0L, "the of and"), (1L, "that it was"),
-        (2L, "with from when")).toDF("qid", "qt")
-      graft.text.Bm25.topK(docs, "doc_id", "text", qs, "qid", "qt", k = 10)
-        .write.format("noop").mode("overwrite").save()
-    }
-    recycle() // clean session for the two expensive tail shuffle stages
-    timedSafe("exact_dedup", estSec = 30) {
-      graft.dedup.Dedup.exact(docs, "doc_id", "text")
-        .write.format("noop").mode("overwrite").save()
-    }
+    recycle() // band/pair shuffles released before the substring pole
     // exact-substring candidate discovery at scale: the winnowed path
     // (only ~2/w of positions reach the exchange). Candidate-pair count,
     // not spans — span extension is O(pairs), the exchange is the cost.
@@ -444,7 +497,11 @@ object Bench {
     // same second the kill fired). The pipeline tier consumes whatever the
     // earlier tiers leave and skips-with-marker past the deadline, so the
     // final JSON always gets written and the exit is clean.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3300").toLong
+    // 3400 (was 3300 through r8): the reorder + contention-scaled cost
+    // hints make overshoot bounded by one stage's (actual − est×factor),
+    // so the 200 s gap to the kill absorbs it; the extra 100 s is what
+    // lets the exact-substring full corpus fit on a quiet run.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3400").toLong
     val deadlineNanos = benchT0 + budgetSec * 1000000000L
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -688,12 +745,23 @@ object Bench {
     // default 100 = 10M docs / 20M vectors — the second decade after r5's
     // 1M/2M proof; recall gates re-measured at this scale every round
     val pipelineScale = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_SCALE", "100").toInt
+    // Contention-adaptive budget (r8 verdict #3): the official run shares
+    // the box with the driver's sweep, so rehearsal-quiet stage costs
+    // inflate run-wide (observed 3313 s official vs 3046/3142 s quiet).
+    // The gate tier doubles as the probe: its published total against a
+    // quiet-machine prior scales the pipeline tier's estSec skip hints to
+    // the machine the run is actually on. Clamped to [1, 2]: below 1
+    // would un-skip optimistically; above 2 says the box is broken and
+    // maximum caution is right anyway.
+    val gatePriorSec =
+      sys.env.getOrElse("SPARK_GRAFT_GATE_PRIOR_SEC", "445").toDouble
+    val contention = math.min(2.0, math.max(1.0, total / gatePriorSec))
     val (pipelineSec, pipelineRecall, pipelineFailed)
         : (Map[String, Double], Map[String, Double], Map[String, String]) =
       if (sys.env.contains("SPARK_GRAFT_ONLY")) (Map.empty, Map.empty, Map.empty)
       else try {
         spark.stop()
-        pipelineTier(() => newSession(), pipelineScale, deadlineNanos)
+        pipelineTier(() => newSession(), pipelineScale, deadlineNanos, contention)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench-pipeline] $e")
@@ -724,9 +792,17 @@ object Bench {
     // the rest of the per-stage map stays in the pipeline tier line +
     // bench_full.json to keep this line under the driver's tail capture.
     val annSec = jmap(pipelineSec.filter { case (k, _) => k.startsWith("ann_") })
+    // the HEAVIES' in-run times reach the parsed headline too (r8 verdict
+    // #2: they used to live only on the tier line, which the driver's
+    // ~2 KB tail capture truncates) — prefix match so a renamed degraded
+    // variant (exact_substr_winnowed_2m_slice) still reports
+    val heavyNames = Seq("dedup_incremental", "minhash_lsh_neardups",
+      "dup_clusters", "bpe_train", "bpe_tokenize", "cdc_apply", "exact_substr")
+    val heavySec = jmap(pipelineSec.filter { case (k, _) =>
+      heavyNames.exists(k.startsWith) })
     val elapsed = (System.nanoTime() - benchT0) / 1e9
-    val pipe = s""""pipeline_scale":$pipelineScale,"pipeline_docs":${graft.sources.PipelineCorpus.docsFor(pipelineScale)},"pipeline_vecs":${graft.sources.PipelineCorpus.vecsFor(pipelineScale)},"pipeline_ann_sec":$annSec,"pipeline_recall":${jmap(pipelineRecall)},"pipeline_failed":${jsmap(pipelineFailed)}"""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"tpcds_total_sec":${fmt(tpcdsTotal)},"tpcds_scale10_total_sec":$s10Total,"tpcds_scale10_n":${scale10.size},"queries":$qs,$pipe,"nexmark_streaming_events_per_sec":$nxStream,"nexmark_streaming_num_events":$streamEvents,"stress_events_per_sec":$nxStress,"stress_num_events":$stressEvents,"elapsed_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
+    val pipe = s""""pipeline_scale":$pipelineScale,"pipeline_docs":${graft.sources.PipelineCorpus.docsFor(pipelineScale)},"pipeline_vecs":${graft.sources.PipelineCorpus.vecsFor(pipelineScale)},"pipeline_ann_sec":$annSec,"pipeline_heavy_sec":$heavySec,"pipeline_recall":${jmap(pipelineRecall)},"pipeline_failed":${jsmap(pipelineFailed)}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"tpcds_total_sec":${fmt(tpcdsTotal)},"tpcds_scale10_total_sec":$s10Total,"tpcds_scale10_n":${scale10.size},"contention_factor":${fmt(contention)},"queries":$qs,$pipe,"nexmark_streaming_events_per_sec":$nxStream,"nexmark_streaming_num_events":$streamEvents,"stress_events_per_sec":$nxStress,"stress_num_events":$stressEvents,"elapsed_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
     val s10Qs = scale10.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val full = line.dropRight(1) +

@@ -1065,6 +1065,66 @@ object TrainingData extends QueryModule {
       |  doc_id % 10 = 0 AS updated
       |FROM documents WHERE doc_id % 20 <> 0 ORDER BY doc_id""".stripMargin
 
+  // Streaming Deduplicate-with-TTL on the NATIVE stateful substrate
+  // (transformWithState — streaming/StatefulV2.scala): the first
+  // ORACLE-gated path that executes the V2 engine. StatefulV2Spec pins
+  // V1 ≡ V2 and plan-asserts the TransformWithState operator; this gate
+  // pins the substrate against the batch-semantic DuckDB oracle through a
+  // real file stream. doc_id folds down mod 500 so duplicate keys recur
+  // within AND across micro-batches (maxFilesPerTrigger=2 over 8 files);
+  // the emitted value is a pure function of the key, so "first arrival
+  // wins" is deterministic whatever batch order the file source picks.
+  // transformWithState ships on RocksDB only: the provider conf is set for
+  // the stream and restored only AFTER the query stops — swapping it under
+  // a live query races the in-flight checkpoint (StatefulV2Spec.withRocks).
+  // Reference analog: transforms/Deduplicate.java:68 on the portable
+  // state/timers runner path (DoFn.java:475–540).
+  private def s148(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_s148_").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    Tables.documents(s, dir)
+      .select((col("doc_id") % 500).cast("long").as("k"))
+      .withColumn("v", col("k") * 2 + 1)
+      .repartition(8).write.mode("overwrite").parquet(inDir)
+    val (ck, cv) = graft.streaming.StatefulV2.requiredConf
+    val prev = s.conf.getOption(ck)
+    s.conf.set(ck, cv)
+    try {
+      val pairs = s.readStream.schema("k LONG, v LONG")
+        .option("maxFilesPerTrigger", 2).parquet(inDir)
+        .as[(Long, Long)].map(r => (r._1, r))
+      val q = graft.streaming.StatefulV2.deduplicate(pairs, ttlMs = 3600000L)
+        .toDF("k", "v")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+        .start()
+      // Poll the sink to the query's DETERMINISTIC end state (exactly one
+      // row per distinct key) and stop — NOT processAllAvailable or
+      // AvailableNow: every key holds a live one-hour TTL timer, and a
+      // stateful query with pending processing-time timers schedules
+      // another (empty) batch after every batch to give them a chance to
+      // fire, so neither ever settles (observed: 3,900+ empty
+      // micro-batches). Reading the sink mid-stream is safe — the parquet
+      // read goes through the sink's _spark_metadata commit log.
+      val expected = s.read.parquet(inDir).select("k").distinct().count()
+      def sinkCount(): Long =
+        try s.read.parquet(outDir).count() catch { case _: Throwable => 0L }
+      val pollDeadline = System.currentTimeMillis() + 120000
+      try {
+        while (sinkCount() < expected && System.currentTimeMillis() < pollDeadline)
+          Thread.sleep(200)
+      } finally q.stop()
+    } finally prev.fold(s.conf.unset(ck))(v => s.conf.set(ck, v))
+    s.read.parquet(outDir).orderBy("k")
+  }
+
+  private val s148Sql =
+    """SELECT DISTINCT CAST(doc_id % 500 AS BIGINT) AS k,
+      |  CAST((doc_id % 500) * 2 + 1 AS BIGINT) AS v
+      |FROM documents ORDER BY k""".stripMargin
+
   // Z-order (Morton) curve: the bit-interleave that drives multi-column
   // file clustering (api/Layout.zorder). The gate checks the curve math
   // itself — the oracle expands the identical shift/mask/or closed form;
@@ -1712,6 +1772,7 @@ object TrainingData extends QueryModule {
     "t140_bpe_production_vocab" -> t140,
     "s141_streaming_curation_e2e" -> s141,
     "s144_streaming_cdc_apply" -> s144,
+    "s148_streaming_dedup_ttl_v2" -> s148,
     "d60_exact_dedup" -> d60,
     "d107_exact_substring_spans" -> d107,
     "d108_exact_substring_scrub" -> d108,
@@ -1770,6 +1831,7 @@ object TrainingData extends QueryModule {
     "t140_bpe_production_vocab" -> t140Sql,
     "s141_streaming_curation_e2e" -> s141Sql,
     "s144_streaming_cdc_apply" -> s144Sql,
+    "s148_streaming_dedup_ttl_v2" -> s148Sql,
     "d60_exact_dedup" -> d60Sql,
     "d107_exact_substring_spans" -> d107Sql,
     "d108_exact_substring_scrub" -> d108Sql,

@@ -912,6 +912,44 @@ object Similarity {
     writePqRows(newVecs.select(col(idCol).as("nn_id"),
       col(vecCol).cast("array<double>").as("cv")), centers, books, table, "append")
 
+  /** Rebalance a persisted IVF-PQ index whose appended increments drifted
+    * the cell populations — the PQ counterpart of [[rebalanceIvfIndex]],
+    * thresholded on the same [[ivfCellSkew]] probe. The index deliberately
+    * holds no raw vectors, so the reassignment reads `source` (the
+    * raw-vector source of truth — the same contract as ivfPqTopKIndexed's
+    * `rerankFrom`): refit the COARSE codebook from a bounded deterministic
+    * sample of the source, KEEP the PQ codebooks (`books` — PQ quantizes
+    * raw vectors, not cell residuals, so codes are invariant under a
+    * coarse re-clustering), and rewrite the cell-bucketed layout in ONE
+    * scan stage over the source into a fresh table swapped in under the
+    * old name. Re-encoding rides the scan the reassignment needs anyway
+    * and avoids shuffling the old 20M-row codes table into a join; the
+    * persisted codebooks table is refreshed so [[loadPqCodebooks]] stays
+    * consistent with the swapped index. In-place overwrite of the
+    * lazily-scanned source table would be data loss (the Layout.compact
+    * rule); the DROP+RENAME swap is the only non-atomic step. Returns the
+    * NEW coarse codebook — queries keep answering on the old one until
+    * handed the return value. */
+  def rebalanceIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, books: Array[Array[Array[Double]]], source: DataFrame,
+      idCol: String, vecCol: String, nlist: Int = 16, seed: Long = 42L,
+      maxIter: Int = 5, trainFraction: Double = 0.1): Array[Array[Double]] = {
+    val c = source.select(col(idCol).as("nn_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val centers = collectSample(c.select(col("cv")), nlist.toLong * 10, seed,
+        trainFraction) match {
+      case Some(s) => localKMeans(s, nlist, maxIter, seed)
+      case None => fitCenters(c, nlist, seed, maxIter, trainFraction)
+    }
+    val tmp = table + "_rebalanced_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    writePqRows(c, centers, books, tmp, "overwrite")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    saveCodebooks(spark, table, centers, books)
+    centers
+  }
+
   /** Query a persisted IVF-PQ index: probed cells resolve to bucket-file
     * seeks (graft.api.Lookup — only nprobe of the nlist files are read),
     * ADC scores the resident codes, and `rerank > 0` re-scores the

@@ -58,16 +58,24 @@ object StatefulV2 {
     * timer. On expiry, every name whose deadline has passed fires in one
     * `onTimer` call (sorted, matching V1's multiplexed drain order).
     *
-    * One V1 quirk is deliberately absent: V1 drains overdue deadlines at
-    * the head of `onElements` because a GroupState timeout never fires for
-    * a key with data in the batch; native timers fire regardless of key
-    * hotness, so the drain is the engine's job again. */
+    * Deadlines already overdue at batch time drain at the HEAD of
+    * `handleInputRows`, exactly as V1 drains them at the head of
+    * `onElements` (and as the reference fires an eligible timer before
+    * delivering the next bundle): an element arriving in the same
+    * micro-batch after its key's deadline sees the post-timer state on
+    * BOTH substrates — e.g. a Deduplicate element landing after its key's
+    * TTL expiry is re-emitted, not dropped, so V1 ≡ V2 holds AT the TTL
+    * boundary too. The native timer for a drained deadline still fires
+    * later; its `handleExpiredTimer` finds nothing left and no-ops. */
   def statefulParDo[K, V, S, O](
       ds: Dataset[(K, V)],
       logic: ParDoLogic[K, V, S, O],
       timeMode: TimeMode = TimeMode.ProcessingTime())(
       implicit kEnc: Encoder[K], oEnc: Encoder[O],
       sEnc: Encoder[S]): Dataset[O] = {
+    // the drain clock: batch processing time, or the watermark in the
+    // event-time domain (computed once — the flag rides the task closure)
+    val eventTime = timeMode == TimeMode.EventTime()
 
     val processor = new StatefulProcessor[K, (K, V), O] {
       @transient private var cell: ValueState[S] = _
@@ -105,10 +113,21 @@ object StatefulV2 {
       override def handleInputRows(key: K, rows: Iterator[(K, V)],
           tv: TimerValues): Iterator[O] = {
         val timers = readTimers()
-        val cells = Cells(if (cell.exists()) cell.get() else logic.zero, timers)
-        val (next, out) = logic.onElements(key, rows.map(_._2).toSeq, cells)
-        sync(timers.deadlines.values.toSet, next)
-        out.iterator
+        val prevArmed = timers.deadlines.values.toSet
+        // V1-parity drain (see the method scaladoc): deadlines overdue at
+        // batch time fire BEFORE the batch's elements are delivered
+        val nowMs = if (eventTime) tv.getCurrentWatermarkInMs()
+                    else tv.getCurrentProcessingTimeInMs()
+        val overdue = timers.fired(nowMs)
+        val preCells = Cells(if (cell.exists()) cell.get() else logic.zero, timers)
+        val (afterTimer, timerOut) =
+          if (overdue.isEmpty) (Some(preCells), Seq.empty[O])
+          else logic.onTimer(key, overdue,
+            preCells.copy(timers = timers.afterFiring(nowMs)))
+        val base = afterTimer.getOrElse(Cells(logic.zero, Timers.empty))
+        val (next, out) = logic.onElements(key, rows.map(_._2).toSeq, base)
+        sync(prevArmed, next)
+        (timerOut ++ out).iterator
       }
 
       override def handleExpiredTimer(key: K, tv: TimerValues,
@@ -199,16 +218,26 @@ object StatefulV2 {
     * (sdk/state/StateSpecs.java `bag()`): appending an element is an
     * append to the cell, not a read-modify-write of a serialized Seq blob.
     * At a million buffered elements per hot key, V1 rewrites the whole
-    * buffer every micro-batch; this writes only the delta. */
+    * buffer every micro-batch; this WRITES only the delta. The per-bundle
+    * READ (`buf.get()`, to test the batch boundary) remains O(buffer) —
+    * the same cost profile as the reference's BagState-over-store. */
   def groupIntoBatchesListState[K, V](ds: Dataset[(K, V)], batchSize: Int,
       maxWaitMs: Long)(implicit kEnc: Encoder[K], vEnc: Encoder[V],
       outEnc: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] = {
 
     val processor = new StatefulProcessor[K, (K, V), (K, Seq[V])] {
       @transient private var buf: ListState[V] = _
+      // the armed flush deadline (absent = no timer): one timer per
+      // partial-batch EPOCH, so a deadline armed for an already-flushed
+      // batch never cuts a later partial batch's maxWait short, and the
+      // timer really is deleted when the buffer drains
+      @transient private var armed: ValueState[Long] = _
 
-      override def init(outputMode: OutputMode, tm: TimeMode): Unit =
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
         buf = getHandle.getListState[V]("buf", vEnc, TTLConfig.NONE)
+        armed = getHandle.getValueState[Long]("armedAt",
+          Encoders.scalaLong, TTLConfig.NONE)
+      }
 
       override def handleInputRows(key: K, rows: Iterator[(K, V)],
           tv: TimerValues): Iterator[(K, Seq[V])] = {
@@ -220,15 +249,30 @@ object StatefulV2 {
           buf.clear()
           rest.foreach(buf.appendValue)
         }
-        // one flush timer while a partial batch waits (the reference's
-        // buffering timer); native delete when the buffer empties
-        if (rest.nonEmpty)
-          getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + maxWaitMs)
+        // one flush timer per waiting partial batch (the reference's
+        // buffering timer), managed by epoch:
+        //  - buffer drained → delete the timer (nothing left to flush)
+        //  - full batches flushed, remainder carried → the remainder is a
+        //    NEW epoch (its elements arrived this bundle): re-arm at
+        //    now + maxWait, deleting the flushed epoch's stale deadline
+        //  - still accumulating → keep the existing deadline (maxWait
+        //    counts from the epoch's FIRST element, not its latest)
+        val prev = if (armed.exists()) Some(armed.get()) else None
+        if (rest.isEmpty) {
+          prev.foreach(getHandle.deleteTimer)
+          if (prev.isDefined) armed.clear()
+        } else if (full.nonEmpty || prev.isEmpty) {
+          prev.foreach(getHandle.deleteTimer)
+          val at = tv.getCurrentProcessingTimeInMs() + maxWaitMs
+          getHandle.registerTimer(at)
+          armed.update(at)
+        }
         full.iterator.map(key -> _)
       }
 
       override def handleExpiredTimer(key: K, tv: TimerValues,
           info: ExpiredTimerInfo): Iterator[(K, Seq[V])] = {
+        armed.clear()
         val rest = if (buf.exists()) buf.get().toSeq else Seq.empty
         buf.clear()
         if (rest.nonEmpty) Iterator(key -> rest) else Iterator.empty
@@ -284,13 +328,27 @@ object StatefulV2 {
 
     val processor = new StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, Long, V)] {
       @transient private var buf: OrderedList[V] = _
+      // the currently armed deadline: re-arming every bundle without
+      // deleting would accumulate one live timer per bundle on a hot key
+      // (spurious empty wakeups + timer-store growth)
+      @transient private var armed: ValueState[Long] = _
 
-      override def init(outputMode: OutputMode, tm: TimeMode): Unit =
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
         buf = orderedListState[V](this, "buf")
+        armed = getHandle.getValueState[Long]("armedAt",
+          Encoders.scalaLong, TTLConfig.NONE)
+      }
 
       private def rearm(): Unit = {
-        val entries = buf.read()
-        if (entries.nonEmpty) getHandle.registerTimer(entries.head._1)
+        val want = buf.read().headOption.map(_._1)
+        val have = if (armed.exists()) Some(armed.get()) else None
+        if (want != have) {
+          have.foreach(getHandle.deleteTimer)
+          want match {
+            case Some(at) => getHandle.registerTimer(at); armed.update(at)
+            case None => armed.clear()
+          }
+        }
       }
 
       override def handleInputRows(key: K, rows: Iterator[(K, java.sql.Timestamp, V)],
@@ -302,6 +360,7 @@ object StatefulV2 {
 
       override def handleExpiredTimer(key: K, tv: TimerValues,
           info: ExpiredTimerInfo): Iterator[(K, Long, V)] = {
+        armed.clear() // the fired timer was consumed natively
         val wm = tv.getCurrentWatermarkInMs()
         val ready = buf.readRange(Long.MinValue, wm + 1)
         buf.clearRange(Long.MinValue, wm + 1)

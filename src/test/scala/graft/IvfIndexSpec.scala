@@ -140,6 +140,48 @@ class IvfIndexSpec extends GraftSpec {
     }
   }
 
+  test("IVF-PQ index rebalance: coarse refit + swap restores balance; codes survive; answers stay exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"), col("embedding"))
+    // same worst-case drift as the IVF rebalance test: the 3x increment
+    // shifted far outside the build-time distribution piles into one cell
+    val shifted = emb.filter(col("vec_id") % 4 =!= 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), e => e + lit(10.0f)).as("embedding"))
+    val union = base.unionByName(shifted)
+    val queries = union.filter(col("vec_id").isin(0L, 4L, 100001L, 100002L))
+    try {
+      val (centers0, books) = Similarity.buildIvfPqIndex(base, "vec_id",
+        "embedding", "pq_rebal", nlist = 8, m = 8, ksub = 16)
+      Similarity.appendToIvfPqIndex("pq_rebal", centers0, books, shifted,
+        "vec_id", "embedding")
+      val skewBefore = Similarity.ivfCellSkew(spark, "pq_rebal")
+      val centers1 = Similarity.rebalanceIvfPqIndex(spark, "pq_rebal", books,
+        union, "vec_id", "embedding", nlist = 8, seed = 43L, maxIter = 5)
+      val skewAfter = Similarity.ivfCellSkew(spark, "pq_rebal")
+      assert(skewAfter < skewBefore, s"skew did not improve: $skewBefore -> $skewAfter")
+      assert(spark.table("pq_rebal").count() == union.count()) // rewrite lost nothing
+      // the refreshed codebooks table reloads the NEW coarse codebook and
+      // the UNCHANGED PQ books (codes are coarse-invariant)
+      val (c2, b2) = Similarity.loadPqCodebooks(spark, "pq_rebal")
+      assert(c2.map(_.toSeq).toSeq == centers1.map(_.toSeq).toSeq)
+      assert(b2.map(_.map(_.toSeq).toSeq).toSeq ==
+        books.map(_.map(_.toSeq).toSeq).toSeq)
+      // full probe + deep exact rerank under the NEW codebook ⇒ exactly
+      // brute force over A ∪ B' (exactness is codebook-independent)
+      val got = Similarity.ivfPqTopKIndexed(spark, "pq_rebal", centers1, books,
+        queries, "vec_id", "embedding", k = 5, nprobe = 8, rerank = 4000,
+        rerankFrom = Some(union))
+      val brute = Similarity.bruteForceTopK(union, queries, "vec_id", "embedding", 5)
+      assert(got.orderBy("query_id", "rnk").collect().map(_.toString).toSeq ==
+        brute.orderBy("query_id", "rnk").collect().map(_.toString).toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_rebal")
+      spark.sql("DROP TABLE IF EXISTS pq_rebal_rebalanced_tmp")
+      spark.sql("DROP TABLE IF EXISTS pq_rebal_codebooks")
+    }
+  }
+
   test("rankTopK large-k window path ranks identically to the heap path") {
     // The PQ rerank shortlist calls rankTopK with k in the 10^5 band,
     // which routes to the window path (k > 4096); small k keeps the

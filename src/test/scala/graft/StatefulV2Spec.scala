@@ -34,7 +34,14 @@ class StatefulV2Spec extends GraftSpec {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)
     try body
-    finally old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    finally {
+      // stop any stream the body leaked (e.g. q1 when q2's start threw)
+      // BEFORE restoring the provider: swapping the conf under a live
+      // RocksDB query races its in-flight checkpoint (the transient
+      // CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT task retries seen in r8)
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => })
+      old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
   }
 
   test("deduplicate: V1 and V2 emit identical values on identical scripted input") {
@@ -56,6 +63,44 @@ class StatefulV2Spec extends GraftSpec {
         val v1 = spark.table("dd_v1").as[Int].collect().sorted.toSeq
         val v2 = spark.table("dd_v2").as[Int].collect().sorted.toSeq
         assert(v1 == Seq(1, 3, 5) && v2 == v1, s"v1=$v1 v2=$v2")
+        // plan assertion (backs the s148 oracle gate, which runs this same
+        // deduplicate shape): the V2 substrate really executes the native
+        // transformWithState operator, not a fallback
+        val baos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(baos)) { q2.explain() }
+        assert(baos.toString.contains("TransformWithState"),
+          s"V2 physical plan lacks TransformWithState:\n${baos.toString.take(2000)}")
+      } finally { q1.stop(); q2.stop() }
+    }
+  }
+
+  test("deduplicate TTL boundary: an element arriving after its key's " +
+      "deadline re-emits on both substrates") {
+    // the r8-advice divergence: V2 used to process a bundle's rows before
+    // draining overdue deadlines, so an element landing after its key's
+    // TTL expiry (but in a data-carrying batch) was dropped by V2 and
+    // emitted by V1. Both substrates must re-emit — whether the TTL
+    // cleared via a fired timer between batches or via the head-of-bundle
+    // drain, the post-TTL element is a first-seen again.
+    withRocks {
+      implicit val ctx = spark.sqlContext
+      val in1 = MemoryStream[(String, Int)]
+      val in2 = MemoryStream[(String, Int)]
+      val q1 = Stateful.deduplicate(in1.toDS(), ttlMs = 1)
+        .writeStream.format("memory").queryName("ddttl_v1")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      val q2 = StatefulV2.deduplicate(in2.toDS(), ttlMs = 1)
+        .writeStream.format("memory").queryName("ddttl_v2")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      try {
+        Seq(in1, in2).foreach(_.addData(("a", 1)))
+        awaitRows("ddttl_v1", 1); awaitRows("ddttl_v2", 1)
+        Thread.sleep(300) // the 1 ms TTL deadline is long past
+        Seq(in1, in2).foreach(_.addData(("a", 2)))
+        awaitRows("ddttl_v1", 2); awaitRows("ddttl_v2", 2)
+        val v1 = spark.table("ddttl_v1").as[Int].collect().sorted.toSeq
+        val v2 = spark.table("ddttl_v2").as[Int].collect().sorted.toSeq
+        assert(v1 == Seq(1, 2) && v2 == v1, s"v1=$v1 v2=$v2")
       } finally { q1.stop(); q2.stop() }
     }
   }
