@@ -1115,6 +1115,11 @@ object TrainingData extends QueryModule {
       try {
         while (sinkCount() < expected && System.currentTimeMillis() < pollDeadline)
           Thread.sleep(200)
+        // stop between triggers: interrupting a mid-batch state-store
+        // commit logs a benign-but-noisy CANNOT_COMMIT task error
+        while (q.status.isTriggerActive &&
+            System.currentTimeMillis() < pollDeadline)
+          Thread.sleep(5)
       } finally q.stop()
     } finally prev.fold(s.conf.unset(ck))(v => s.conf.set(ck, v))
     s.read.parquet(outDir).orderBy("k")

@@ -27,6 +27,21 @@ class StreamingSpec extends GraftSpec {
       s"$table did not reach $n rows within ${timeoutMs}ms")
   }
 
+  /** Stop between triggers: those same never-quiescing timer queries are
+    * almost always mid-batch, and a stop() landing there interrupts a
+    * state-store commit — the benign but noisy
+    * CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT task error (same helper as
+    * StatefulV2Spec). */
+  private def stopQuietly(qs: org.apache.spark.sql.streaming.StreamingQuery*): Unit =
+    qs.foreach { q =>
+      val deadline = System.currentTimeMillis() + 5000
+      try {
+        while (q.status.isTriggerActive && System.currentTimeMillis() < deadline)
+          Thread.sleep(5)
+      } catch { case _: Throwable => }
+      q.stop()
+    }
+
   test("tumbling window with watermark drops late data (append mode)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
@@ -51,7 +66,7 @@ class StreamingSpec extends GraftSpec {
       val rows = spark.table("tumbled")
         .select("start", "n").as[(Timestamp, Long)].collect().toMap
       assert(rows(ts("2024-01-01 00:00:00")) == 2L) // late element NOT counted
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("streaming incremental dedup pairs arriving docs against a static corpus") {
@@ -79,7 +94,7 @@ class StreamingSpec extends GraftSpec {
       input.addData((103L, "completely different content about database query optimization engines"))
       q.processAllAvailable()
       assert(got.toSet == Set((101L, 0L), (103L, 2L)))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("streaming deduplicate keeps first occurrence across micro-batches") {
@@ -95,7 +110,7 @@ class StreamingSpec extends GraftSpec {
       awaitRows("deduped", 3)
       val vals = spark.table("deduped").as[Int].collect().sorted.toSeq
       assert(vals == Seq(1, 3, 5))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("late-firing panes: a late element fires a LATE pane instead of dropping") {
@@ -133,7 +148,7 @@ class StreamingSpec extends GraftSpec {
       assert(aPanes == Seq(
         ("a", winStart, 3, 0L, "ON_TIME"),
         ("a", winStart, 8, 1L, "LATE")), s"got $aPanes")
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("late-firing panes: too-late element GCs state and flushes the pending pane") {
@@ -178,7 +193,7 @@ class StreamingSpec extends GraftSpec {
         .filter(_._1 == "a").toSeq
       val winStart = ts("2024-01-01 00:00:00").getTime
       assert(aPanes == Seq(("a", winStart, 7, 0L, "ON_TIME")), s"got $aPanes")
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("groupIntoBatches flushes full batches immediately") {
@@ -193,7 +208,7 @@ class StreamingSpec extends GraftSpec {
       val out = spark.table("batched").as[(String, Seq[Int])].collect()
       // a: one full batch of 2 emitted, 1 buffered; b: buffered
       assert(out.toSeq == Seq(("a", Seq(1, 2))))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("session windows merge within gap on a stream") {
@@ -214,7 +229,7 @@ class StreamingSpec extends GraftSpec {
       q.processAllAvailable()
       val closed = spark.table("sessions").as[(String, Long)].collect().toSeq
       assert(closed.contains(("a", 2L)) && closed.contains(("a", 1L)))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("stream-static join enriches a stream against a dimension (side-input join)") {
@@ -233,7 +248,7 @@ class StreamingSpec extends GraftSpec {
       q.processAllAvailable()
       val rows = spark.table("enriched").as[(Long, Double, String)].collect().sortBy(_._1)
       assert(rows.toSeq == Seq((1L, 10.0, "gold"), (3L, 5.0, "none")))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("stream-stream interval join with watermarks") {
@@ -258,7 +273,7 @@ class StreamingSpec extends GraftSpec {
       q.processAllAvailable()
       val rows = spark.table("ssjoin").as[(Long, Timestamp, Timestamp)].collect()
       assert(rows.toSeq == Seq((7L, ts("2024-01-01 00:02:00"), ts("2024-01-01 00:01:00"))))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("rate source ticks (GenerateSequence/PeriodicImpulse analog)") {
@@ -270,7 +285,7 @@ class StreamingSpec extends GraftSpec {
         Thread.sleep(200)
       assert(!spark.table("ticks").isEmpty, "rate source produced no rows")
       assert(spark.table("ticks").columns.toSet == Set("timestamp", "value"))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("file watch source streams new files into a file sink (TextIO.watchForNewFiles → WriteFiles)") {
@@ -289,7 +304,7 @@ class StreamingSpec extends GraftSpec {
       q.processAllAvailable()
       val vals = spark.read.parquet(outDir).as[String].collect().toSet
       assert(vals == Set("alpha", "beta", "gamma"))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("streaming MATCH_RECOGNIZE finalizes matches at the watermark") {
@@ -320,7 +335,7 @@ class StreamingSpec extends GraftSpec {
       val rows = spark.table("cepstream").as[(String, Long)].collect()
       assert(rows.toSeq == Seq(("u", ts("2024-01-01 00:00:01").getTime)),
         s"got ${rows.toSeq}")
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("streaming MATCH_RECOGNIZE: PREV at the buffer head sees the consumed predecessor") {
@@ -355,7 +370,7 @@ class StreamingSpec extends GraftSpec {
       val got = spark.table("cepprev").as[(String, Int)].collect().map(_._2).toSet
       // 5 from the (0,5) match; 100 only if PREV resolved to the consumed 5
       assert(got == Set(5, 100), s"got $got")
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("count-triggered early firing emits running panes every N elements") {
@@ -372,7 +387,7 @@ class StreamingSpec extends GraftSpec {
       val rows = spark.table("panes").as[(String, Long, Long)].collect().sortBy(_._3)
       // accumulating panes: pane 0 after 2 elements (sum 3), pane 1 after 4 (sum 10)
       assert(rows.toSeq == Seq(("a", 3L, 0L), ("a", 10L, 1L)))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("orFinally: repeated count panes until the total closes the key") {
@@ -394,7 +409,7 @@ class StreamingSpec extends GraftSpec {
       // final pane, then the key is closed and 100/200 are discarded
       assert(rows.toSeq == Seq(("a", 3L, 0L, false), ("a", 10L, 1L, false),
         ("a", 15L, 2L, true)))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("afterEach: sequenced count sub-triggers fire in order, then finish") {
@@ -413,7 +428,7 @@ class StreamingSpec extends GraftSpec {
       // pane 0 after 1 element, pane 1 after 2 more, pane 2 after 3 more;
       // elements 7,8 arrive on a finished sequence and never fire
       assert(rows.toSeq == Seq(("a", 1L, 0L), ("a", 6L, 1L), ("a", 21L, 2L)))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("processing-time early firing emits a running pane after the delay") {
@@ -431,7 +446,7 @@ class StreamingSpec extends GraftSpec {
       awaitRows("pt_panes", 2) // new element re-arms; pane 1 is accumulating
       val rows = spark.table("pt_panes").as[(String, Long, Long)].collect().sortBy(_._3)
       assert(rows.toSeq == Seq(("a", 3L, 0L), ("a", 7L, 1L)))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("hot keys drain processing-time panes while receiving data every batch") {
@@ -454,7 +469,7 @@ class StreamingSpec extends GraftSpec {
         fired = spark.table("hot_panes").count() >= 2
       }
       assert(fired, "hot key never fired a processing-time pane while receiving data every batch")
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("AfterFirst(count, processing-time) fires on whichever satisfies first") {
@@ -472,7 +487,7 @@ class StreamingSpec extends GraftSpec {
       awaitRows("first_of", 2)
       val rows = spark.table("first_of").as[(String, Long, Long)].collect().sortBy(_._3)
       assert(rows.toSeq == Seq(("a", 3L, 0L), ("a", 15L, 1L)))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("AfterAll(count, processing-time) fires only when both are satisfied") {
@@ -497,7 +512,7 @@ class StreamingSpec extends GraftSpec {
       awaitRows("all_of", 2)
       val rows = spark.table("all_of").as[(String, Long, Long)].collect().sortBy(_._3)
       assert(rows.toSeq == Seq(("a", 3L, 0L), ("a", 15L, 1L)))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("windowed writes: file sink partitioned by window start (WriteFiles windowed writes)") {
@@ -523,7 +538,7 @@ class StreamingSpec extends GraftSpec {
       assert(dirs == Set("win=00-00", "win=00-01"), dirs.toString) // one dir per window
       val back = spark.read.parquet(outDir)
       assert(back.count() == 2)
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("foreachBatch sink sequences per-batch side effects (Wait.on / custom sinks)") {
@@ -543,7 +558,7 @@ class StreamingSpec extends GraftSpec {
       q.processAllAvailable()
       val batches = seen.toArray(Array.empty[(Long, Long)]).toSeq
       assert(batches == Seq((0L, 3L), (1L, 1L)), batches.toString)
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("stateful queries run unchanged on the RocksDB state store") {
@@ -586,7 +601,7 @@ class StreamingSpec extends GraftSpec {
         awaitRows("rocks_batched", 1)
         val out = spark.table("rocks_batched").as[(String, Seq[Int])].collect()
         assert(out.toSeq == Seq(("a", Seq(1, 2))), out.toSeq.toString)
-      } finally { q1.stop(); q2.stop() }
+      } finally stopQuietly(q1, q2)
     } finally old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 
