@@ -23,11 +23,14 @@ object Bench {
   def soloHints(scale: Int): Map[String, Double] =
     if (scale != 100) Map.empty
     else Map(
-      "ann_brute_force" -> 65.0, "ann_ivf" -> 40.0, "ann_lsh" -> 53.0,
-      "ann_ivfpq" -> 102.0, "ann_ivfpq_indexed" -> 121.6,
-      "dedup_incremental_10pct" -> 307.7,
-      "minhash_lsh_neardups" -> 314.0, "pii_redact" -> 56.6,
-      "bm25_topk" -> 60.0, "exact_substr_winnowed" -> 406.9)
+      "ann_brute_force" -> 61.7, "ann_ivf" -> 46.3, "ann_lsh" -> 54.4,
+      "ann_ivfpq" -> 102.0, "ann_ivfpq_indexed" -> 110.4, // incl. the drifted append since r9
+      "ann_ivfpq_rebalance" -> 103.7, // skew + coarse refit + rewrite + recall re-check
+      "dedup_incremental_10pct" -> 394.0, // r9 quiet-tier slot (was 307.7 solo r7)
+      "minhash_lsh_neardups" -> 261.0, "pii_redact" -> 61.8,
+      "bm25_topk" -> 56.8, "dup_clusters" -> 46.9,
+      "bpe_train" -> 19.1, "bpe_tokenize" -> 27.8,
+      "exact_substr_winnowed" -> 275.0) // r9 2-pass solo (single pass was 406.9 and ENOSPC-fragile)
 
   /** The training-data-pipeline scale tier: generate (once) the
     * [[graft.sources.PipelineCorpus]] at `scale`, time the dedup/text/ANN
@@ -172,14 +175,19 @@ object Bench {
         graft.similarity.Similarity.ivfTopK(emb, qVecs, "vec_id", "embedding",
           10, nlist = ivfNlist, nprobe = ivfNprobe, trainFraction = kmFraction)
       }
-      // IVF-PQ with exact rerank (IVFADC+R): the memory-bounded serving
-      // shape — codes+norms resident instead of raw vectors. Same coarse
-      // grid as IVF so recall differences isolate the quantization+rerank.
-      annRecall("ann_ivfpq") {
-        graft.similarity.Similarity.ivfPqTopK(emb, qVecs, "vec_id", "embedding",
-          10, nlist = ivfNlist, nprobe = ivfNprobe, m = 8, ksub = 256,
-          rerank = pqRerank, trainFraction = kmFraction)
-      }
+      // IVF-PQ with exact rerank (IVFADC+R), the IN-JOB variant: OPT-IN
+      // since r9 (SPARK_GRAFT_PIPELINE_STAGES=ann_ivfpq) — the persisted
+      // pair below (ann_ivfpq_indexed: build + drifted append + seek +
+      // rerank; ann_ivfpq_rebalance: skew + coarse refit + re-check) runs
+      // the same codebook fits, encode, ADC and rerank end to end THROUGH
+      // the serving layout, recall-gated at 20M, so the in-job run-only
+      // variant duplicated ~100 s of the tier for no extra evidence.
+      if (onlyStages.exists(_.contains("ann_ivfpq")))
+        annRecall("ann_ivfpq") {
+          graft.similarity.Similarity.ivfPqTopK(emb, qVecs, "vec_id", "embedding",
+            10, nlist = ivfNlist, nprobe = ivfNprobe, m = 8, ksub = 256,
+            rerank = pqRerank, trainFraction = kmFraction)
+        }
       // the PERSISTED serving layout, end to end at corpus scale — now the
       // FULL maintenance lifecycle: build on the 90% of the corpus whose
       // leading coordinate sits below the top decile, APPEND the drifted
@@ -261,7 +269,10 @@ object Bench {
     // text_features + repetition_features immediately before pii_redact —
     // pii's solo number assumes a warm page cache and those two
     // whole-corpus scans re-warm it (the r7/r8 cold-read lesson).
-    timedSafe("weighted_mix", estSec = 10) {
+    // est 60, not its ~6 s warm cost: first corpus scan after the ANN
+    // group's recycle absorbs the cold 10M-doc parquet read (measured
+    // 57.6 s in the r9 quiet rehearsal)
+    timedSafe("weighted_mix", estSec = 60) {
       graft.api.Sampling.weightedMix(
         docs.withColumn("source", (col("doc_id") % 16).cast("string")),
         "source", "doc_id",
@@ -373,7 +384,8 @@ object Bench {
       System.err.println(s"[bench-pipeline] bpe group failed: $e")
     } else if (wanted("bpe_train", "bpe_tokenize"))
       failures += "bpe_group" -> "skipped_deadline"
-    recycle() // free the BPE dict shuffles before the heavy tail
+    // (no recycle after bpe: the batched trainer's dict exchanges are a
+    // few GB — the heavy tail's own pre-stage recycles bound the disk)
     // ---- the HEAVY TAIL: every stage from here carries a solo_hint_sec
     // in the artifact, so a deadline skip is self-documenting. Order is
     // ascending replaceability: dedup_incremental (the only increment-
@@ -384,7 +396,7 @@ object Bench {
     // against the other 90% through the band index — pair generation is
     // the cross-side equi-join only (new×new and old×old pairs are never
     // formed), so join work is increment-proportional.
-    timedSafe("dedup_incremental_10pct", estSec = 330) {
+    timedSafe("dedup_incremental_10pct", estSec = 400) {
       graft.dedup.Dedup.minhashNearDupsAgainst(
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0),
@@ -402,7 +414,7 @@ object Bench {
     // not sum. The pairs write rides inside the minhash timing (disclosed:
     // it is ~500k rows at scale 100, noise next to the banding shuffle).
     val pairsPath = graft.sources.PipelineCorpus.dirFor(scale) + "/tmp_pairs"
-    if (wanted("minhash_lsh_neardups", "dup_clusters") && !deadlineBlocked(560)) try {
+    if (wanted("minhash_lsh_neardups", "dup_clusters") && !deadlineBlocked(420)) try {
     // stale-data guard (r6 advice): a previous run's pairs must never feed
     // this run's recall gate — delete first, and bail if the write failed.
     try {
@@ -421,13 +433,20 @@ object Bench {
     val found = spark.read.parquet(pairsPath).persist()
     // recall vs planted pairs whose exact shingle Jaccard clears the
     // 0.7 query threshold (the denominator is known by construction).
-    // Only ids ≡ 8,9 (mod 10) participate in planted pairs — filtering
-    // BEFORE shingling cuts the verify join's shingle compute and shuffle
-    // 5x (at scale 100 that is 2M docs shingled instead of 10M).
-    val planted = docs.filter(col("dup_of") >= 0)
+    // The ground-truth derivation is MEASUREMENT infrastructure, not a
+    // product stage, so it runs on an unbiased 1-in-4 SAMPLE of the
+    // planted pairs (sampled by the dup side's id — deterministic, and
+    // the estimate keeps a five-figure denominator at scale 100); only
+    // the sampled pairs' docs are shingled, via a semi-join on the pair
+    // ids, cutting the verify join's shingle compute and shuffle ~4x on
+    // top of the r8 ids≡8,9(mod 10) prefilter.
+    val planted = docs.filter(col("dup_of") >= 0 && col("doc_id") % 4 === 0)
       .select(col("dup_of").as("id_a"), col("doc_id").as("id_b"))
-    val sh = docs.filter(col("doc_id") % 10 >= 8).select(col("doc_id"),
-      graft.functions.charShingleHashes(col("text"), 5).as("sh"))
+    val pairIds = planted.select(col("id_a").as("doc_id"))
+      .union(planted.select(col("id_b").as("doc_id"))).distinct()
+    val sh = docs.join(pairIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.charShingleHashes(col("text"), 5).as("sh"))
     val plantedTrue = planted
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -468,12 +487,24 @@ object Bench {
     if (nDocs <= substrCap) timedSafe("exact_substr_winnowed", estSec = 140) {
       graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
-    } else if (!deadlineBlocked(470) &&
+    } else if (!deadlineBlocked(330) &&
         onlyStages.forall(_.contains("exact_substr_winnowed"))) {
-      // 470 = the 406.9 s r8 solo measure (down from 519.8 at r6 after the
-      // hot-gram prefilter) + in-run margin
-      timedSafe("exact_substr_winnowed", estSec = 470) {
-        graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
+      // TWO fingerprint-space passes with a session recycle between (the
+      // recycle rides inside the timing): the single-pass anchor exchange
+      // + its sort spill held ~2 copies of the 2G-row anchor stream on
+      // disk at once and died ENOSPC at 10M docs with ~60 GB free (r9
+      // rehearsal); pmod(h,2) passes bound peak scratch to ~half, each
+      // gram's pairs complete in its pass, union ≡ single pass
+      // (ExactSubstrSpec). Measured solo 275.0 s — FASTER than the 406.9 s
+      // single pass (each pass's sort mostly fits memory, so the spill
+      // I/O more than pays for the second anchor scan).
+      timedSafe("exact_substr_winnowed", estSec = 330) {
+        graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text",
+            hashSplit = 2, hashPart = 0)
+          .write.format("noop").mode("overwrite").save()
+        recycle() // free pass-0 shuffle/spill before pass 1 — the point
+        graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text",
+            hashSplit = 2, hashPart = 1)
           .write.format("noop").mode("overwrite").save()
       }
     } else {
@@ -497,11 +528,11 @@ object Bench {
     // same second the kill fired). The pipeline tier consumes whatever the
     // earlier tiers leave and skips-with-marker past the deadline, so the
     // final JSON always gets written and the exit is clean.
-    // 3400 (was 3300 through r8): the reorder + contention-scaled cost
+    // 3450 (was 3300 through r8): the reorder + contention-scaled cost
     // hints make overshoot bounded by one stage's (actual − est×factor),
-    // so the 200 s gap to the kill absorbs it; the extra 100 s is what
+    // so the 150 s gap to the kill absorbs it; the extra 150 s is what
     // lets the exact-substring full corpus fit on a quiet run.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3400").toLong
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3450").toLong
     val deadlineNanos = benchT0 + budgetSec * 1000000000L
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -131,7 +131,20 @@ object ExactSubstr {
     * corpus-wide) is capped at `maxPerGram` occurrences, the same
     * skip-huge-cluster guard as the LSH bucket cap. */
   def winnowedCandidates(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 50, w: Int = 10, maxPerGram: Int = 1000): DataFrame = {
+      minLen: Int = 50, w: Int = 10, maxPerGram: Int = 1000,
+      hashSplit: Int = 1, hashPart: Int = 0): DataFrame = {
+    // hashSplit/hashPart: SCRATCH-DISK bounding for single-node runs. The
+    // anchor exchange + its sort spill hold ~2 copies of the anchor
+    // stream on local disk at once (observed ENOSPC at 10M docs with
+    // ~60 GB free); splitting the fingerprint space into `hashSplit`
+    // passes — each pass keeps only anchors with pmod(h, split) = part —
+    // bounds peak scratch to ~1/split at the cost of re-running the
+    // anchor scan per pass. Every gram lands in exactly one pass, so the
+    // union of the passes' outputs IS the single-pass result (each gram's
+    // pair set is computed whole in its pass; spec-pinned). On a real
+    // cluster scratch is per-executor and ample — leave the default 1.
+    require(hashSplit >= 1 && hashPart >= 0 && hashPart < hashSplit,
+      s"hashPart $hashPart must be in [0, $hashSplit)")
     // Anchor selection runs entirely INSIDE the scan stage — a
     // per-document rolling min is doc-local by definition, and expressing
     // it as a window function would first shuffle one row per corpus
@@ -148,9 +161,12 @@ object ExactSubstr {
     // a superset of robust winnowing's rightmost-min, so the ≥ minLen+w-1
     // detection guarantee still holds). Only anchors (~2/w of positions)
     // are exploded onto the wire.
-    val anchors = df.select(col(idCol).as("id"),
+    val allAnchors = df.select(col(idCol).as("id"),
         explode(graft.functions.winnowedAnchors(col(textCol), minLen, w)).as("a"))
       .select(col("id"), col("a.i").as("i"), col("a.h").as("h"))
+    val anchors =
+      if (hashSplit == 1) allAnchors
+      else allAnchors.filter(pmod(col("h"), lit(hashSplit.toLong)) === hashPart)
     // ONE aggregate per fingerprint bucket: the cap filter and the
     // pairwise expansion both read the collected (id, pos) list, so the
     // anchor pipeline runs once and its rows cross the wire once. The

@@ -111,6 +111,20 @@ class ExactSubstrSpec extends GraftSpec {
       assert(got == want, s"minLen=$minLen w=$w cap=$cap: " +
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
       assert(got.nonEmpty, s"degenerate test at minLen=$minLen w=$w cap=$cap")
+      // the scratch-disk pass split partitions the result by gram: the
+      // union of the passes IS the single-pass pair set, each pass is a
+      // strict subset, and the passes are disjoint
+      val parts = (0 until 3).map { p =>
+        ExactSubstr.winnowedCandidates(docs, "doc_id", "text", minLen, w,
+          cap, hashSplit = 3, hashPart = p)
+          .select("id_a", "pos_a", "id_b", "pos_b", "h")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+      }
+      assert(parts.reduce(_ ++ _) == want,
+        s"3-pass union != single pass at minLen=$minLen w=$w cap=$cap")
+      assert(parts.forall(_.size < want.size), "a pass unexpectedly saw every gram")
+      assert(parts.combinations(2).forall { case Seq(a, b) => (a & b).isEmpty },
+        "passes overlap")
     }
   }
 
