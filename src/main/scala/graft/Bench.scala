@@ -437,12 +437,18 @@ object Bench {
     // 0.7 query threshold (the denominator is known by construction).
     // The ground-truth derivation is MEASUREMENT infrastructure, not a
     // product stage, so it runs on an unbiased 1-in-4 SAMPLE of the
-    // planted pairs (sampled by the dup side's id — deterministic, and
-    // the estimate keeps a five-figure denominator at scale 100); only
-    // the sampled pairs' docs are shingled, via a semi-join on the pair
-    // ids, cutting the verify join's shingle compute and shuffle ~4x on
-    // top of the r8 ids≡8,9(mod 10) prefilter.
-    val planted = docs.filter(col("dup_of") >= 0 && col("doc_id") % 4 === 0)
+    // planted pairs (deterministic, and the estimate keeps a five-figure
+    // denominator at scale 100); only the sampled pairs' docs are
+    // shingled, via a semi-join on the pair ids, cutting the verify
+    // join's shingle compute and shuffle ~4x on top of the r8
+    // ids≡8,9(mod 10) prefilter. The sample predicate is a HASH of the
+    // id, never id arithmetic: the planted ids are themselves a residue
+    // class (≡9 mod 10), so a `% 4` sample intersects it EMPTILY — the
+    // r9 dress rehearsal lost the minhash_planted recall to exactly that
+    // (denominator 0, silently). Hash sampling is structure-free, and an
+    // empty ground truth now leaves a loud failure marker besides.
+    val planted = docs.filter(col("dup_of") >= 0 &&
+      pmod(xxhash64(col("doc_id")), lit(4L)) === 0L)
       .select(col("dup_of").as("id_a"), col("doc_id").as("id_b"))
     val pairIds = planted.select(col("id_a").as("doc_id"))
       .union(planted.select(col("id_b").as("doc_id"))).distinct()
@@ -457,6 +463,7 @@ object Bench {
     val denom = plantedTrue.count()
     val hit = plantedTrue.join(found, Seq("id_a", "id_b"), "left_semi").count()
     if (denom > 0) recalls += "minhash_planted" -> hit.toDouble / denom
+    else failures += "minhash_planted" -> "failed: empty ground-truth sample"
     plantedTrue.unpersist()
     // cluster resolution over the found pairs: the large-star/small-star
     // fixpoint at real pair volume (planted chains make multi-doc
@@ -581,8 +588,10 @@ object Bench {
           .mkString("{", ",", "}")
       // prefix match: a hint also applies to a renamed degraded variant of
       // its stage (exact_substr_winnowed → exact_substr_winnowed_2m_slice)
+      // and to a skipped stage's failure marker
       val hints = soloHints(sc)
-        .filter { case (k, _) => sec.keys.exists(_.startsWith(k)) }
+        .filter { case (k, _) => sec.keys.exists(_.startsWith(k)) ||
+          fl.keys.exists(_.startsWith(k)) }
       println(s"""{"pipeline_scale":$sc,"pipeline_sec":${j(sec)},"pipeline_recall":${j(rec)},"pipeline_failed":${js(fl)},"solo_hint_sec":${j(hints)}}""")
       sys.exit(0) // non-daemon metastore/state-store threads outlive stop()
     }
@@ -786,8 +795,11 @@ object Bench {
     // the machine the run is actually on. Clamped to [1, 2]: below 1
     // would un-skip optimistically; above 2 says the box is broken and
     // maximum caution is right anyway.
+    // 460 = ~1.82 s/query (r8 rehearsal-2: 447.9 s / 246) × the r9 suite's
+    // 253 gates — the prior must track the suite size or added gates read
+    // as phantom contention
     val gatePriorSec =
-      sys.env.getOrElse("SPARK_GRAFT_GATE_PRIOR_SEC", "445").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_GATE_PRIOR_SEC", "460").toDouble
     val contention = math.min(2.0, math.max(1.0, total / gatePriorSec))
     val (pipelineSec, pipelineRecall, pipelineFailed)
         : (Map[String, Double], Map[String, Double], Map[String, String]) =
@@ -807,13 +819,16 @@ object Bench {
     def jsmap(m: Map[String, String]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":\"" + jsonEscape(v) + "\"" }
         .mkString("{", ",", "}")
-    // solo_hint_sec: measured quiet-machine costs for the stages that ran,
-    // printed NEXT TO the in-run times — official ≫ solo self-documents as
-    // run-wide contention rather than a plan regression
-    // prefix match so a hint follows its stage's renamed degraded variant
-    // (exact_substr_winnowed → exact_substr_winnowed_2m_slice)
+    // solo_hint_sec: measured quiet-machine costs for the stages that RAN
+    // OR were SKIPPED, printed NEXT TO the in-run times — official ≫ solo
+    // self-documents as run-wide contention rather than a plan
+    // regression, and a skipped stage's hint discloses what the skip
+    // cost (the r9 rehearsal's deferred exact_substr carried no number
+    // otherwise). Prefix match so a hint follows its stage's renamed
+    // degraded variant (exact_substr_winnowed → ..._2m_slice/_full).
     val hintsRan = soloHints(pipelineScale)
-      .filter { case (k, _) => pipelineSec.keys.exists(_.startsWith(k)) }
+      .filter { case (k, _) => pipelineSec.keys.exists(_.startsWith(k)) ||
+        pipelineFailed.keys.exists(_.startsWith(k)) }
     println(s"""{"tier":"pipeline","scale":$pipelineScale,"sec":${jmap(pipelineSec)},"recall":${jmap(pipelineRecall)},"failed":${jsmap(pipelineFailed)},"solo_hint_sec":${jmap(hintsRan)}}""")
     val fullQs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

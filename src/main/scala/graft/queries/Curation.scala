@@ -306,7 +306,145 @@ object Curation extends QueryModule {
       |SELECT doc_id, substring(md5(text), 1, 16) AS fp
       |FROM applied ORDER BY doc_id""".stripMargin
 
+  // ---- t149: URL canonicalization + URL-level dedup ----------------------
+  // Deterministic messy URLs over the documents table: five variants per
+  // id-group of 5 — {scheme/host case + www + :80 + trailing slash,
+  // fragment} collapse to one http canonical, {www + :443 + tracking
+  // params + param order} to one https canonical, and a unique tail. The
+  // oracle replays the ENTIRE canonicalization algebra (fragment, case,
+  // www, default port, trailing slash, tracking filter, param sort)
+  // independently in DuckDB, then takes min(doc_id) per canonical. Ref:
+  // the reference's own url normalization lives app-side; this is the
+  // RefinedWeb-style crawl dedup stage.
+  private def t149Messy(s: SparkSession, dir: String): DataFrame = {
+    val n = floor(col("doc_id") / 5).cast("long").cast("string")
+    val v = col("doc_id") % 5
+    Tables.documents(s, dir).withColumn("url",
+      when(v === 0, concat(lit("HTTP://WWW.Site"), n, lit(".COM:80/Articles/"),
+        n, lit("/")))
+      .when(v === 1, concat(lit("http://site"), n, lit(".com/Articles/"), n,
+        lit("#section-2")))
+      .when(v === 2, concat(lit("https://www.site"), n, lit(".com:443/Articles/"),
+        n, lit("?utm_source=feed&b=2&a=1")))
+      .when(v === 3, concat(lit("https://site"), n, lit(".com/Articles/"), n,
+        lit("?a=1&utm_campaign=x&b=2&fbclid=abc")))
+      .otherwise(concat(lit("https://site"), n, lit(".com/unique/"),
+        col("doc_id").cast("string"))))
+  }
+
+  private def t149(s: SparkSession, dir: String): DataFrame =
+    graft.text.Urls.dedupByCanonicalUrl(t149Messy(s, dir), "url", "doc_id")
+      .select(col("doc_id"), col("url_canonical"))
+      .orderBy("doc_id")
+
+  private val t149Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id // 5) || '.COM:80/Articles/' || (doc_id // 5) || '/'
+      |      WHEN 1 THEN 'http://site' || (doc_id // 5) || '.com/Articles/' || (doc_id // 5) || '#section-2'
+      |      WHEN 2 THEN 'https://www.site' || (doc_id // 5) || '.com:443/Articles/' || (doc_id // 5) || '?utm_source=feed&b=2&a=1'
+      |      WHEN 3 THEN 'https://site' || (doc_id // 5) || '.com/Articles/' || (doc_id // 5) || '?a=1&utm_campaign=x&b=2&fbclid=abc'
+      |      ELSE 'https://site' || (doc_id // 5) || '.com/unique/' || doc_id
+      |    END AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS h0,
+      |    regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+      |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM m)),
+      |h AS (
+      |  SELECT doc_id, scheme,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(h0, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(h0, ':443$', '')
+      |         ELSE h0 END AS host,
+      |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+      |      x -> x <> '' AND NOT regexp_matches(x,
+      |        '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)(=.*)?$'))), '&') AS q
+      |  FROM p),
+      |canon AS (
+      |  SELECT doc_id, scheme || '://' || host || path ||
+      |    CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url_canonical
+      |  FROM h)
+      |SELECT min(doc_id) AS doc_id, url_canonical
+      |FROM canon GROUP BY url_canonical ORDER BY doc_id""".stripMargin
+
+  // ---- p150: ranked-retrieval quality metrics (recall/MRR/nDCG@10) ------
+  // The run is a REAL pass through the similarity stack (exact cosine
+  // top-10, the d64-green ranking discipline: sim rounded to 4, ties by
+  // id); qrels derive from the embeddings table's own cluster labels —
+  // same-label documents are relevant, graded 2 when vec_id % 3 = 0 else
+  // 1. The oracle recomputes the run (d64's CTE), the qrels, and every
+  // metric definition (gain 2^g−1, log2 discounts, ideal ranking with
+  // deterministic tie-break) independently in DuckDB.
+  private def p150(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val run = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("nn_id").as("doc_id"), col("rnk").as("rank"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("label").as("ql"))
+    val qrels = emb.select(col("vec_id").as("doc_id"), col("label"))
+      .join(q, col("label") === col("ql") && col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, 2.0).otherwise(1.0).as("grade"))
+    graft.similarity.RetrievalMetrics.evaluate(run, qrels, k = 10)
+      .select(col("query_id"), col("n_relevant"),
+        round(col("recall_at_k"), 6).as("recall_at_k"),
+        round(col("precision_at_k"), 6).as("precision_at_k"),
+        round(col("mrr_at_k"), 6).as("mrr_at_k"),
+        round(col("ndcg_at_k"), 6).as("ndcg_at_k"))
+      .orderBy("query_id")
+  }
+
+  private val p150Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+      |           FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS doc_id,
+      |    round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
+      |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      |run AS (
+      |  SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rnk
+      |  FROM scored QUALIFY rnk <= 10),
+      |qrels AS (
+      |  SELECT q.query_id, e.vec_id AS doc_id,
+      |    CASE WHEN e.vec_id % 3 = 0 THEN 2.0 ELSE 1.0 END AS grade
+      |  FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.query_id),
+      |ideal AS (
+      |  SELECT query_id, count(*) AS n_relevant,
+      |    sum(CASE WHEN irank <= 10
+      |             THEN (pow(2.0, grade) - 1) / log2(irank + 1) END) AS idcg
+      |  FROM (SELECT query_id, grade,
+      |          row_number() OVER (PARTITION BY query_id
+      |                             ORDER BY grade DESC, doc_id) AS irank
+      |        FROM qrels)
+      |  GROUP BY query_id),
+      |j AS (
+      |  SELECT r.query_id, r.rnk, coalesce(g.grade, 0.0) AS grade
+      |  FROM run r LEFT JOIN qrels g
+      |    ON g.query_id = r.query_id AND g.doc_id = r.doc_id),
+      |perq AS (
+      |  SELECT query_id,
+      |    sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS hits,
+      |    min(CASE WHEN grade > 0 THEN rnk END) AS first_rel,
+      |    sum((pow(2.0, grade) - 1) / log2(rnk + 1)) AS dcg
+      |  FROM j GROUP BY query_id)
+      |SELECT i.query_id, CAST(i.n_relevant AS BIGINT) AS n_relevant,
+      |  round(coalesce(p.hits, 0) * 1.0 / i.n_relevant, 6) AS recall_at_k,
+      |  round(coalesce(p.hits, 0) / 10.0, 6) AS precision_at_k,
+      |  round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr_at_k,
+      |  round(coalesce(p.dcg / i.idcg, 0.0), 6) AS ndcg_at_k
+      |FROM ideal i LEFT JOIN perq p ON p.query_id = i.query_id
+      |ORDER BY i.query_id""".stripMargin
+
   override def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t149_url_canonical_dedup" -> (t149 _),
+    "p150_retrieval_metrics" -> (p150 _),
     "t127_boilerplate_strip" -> (t127 _),
     "t128_weighted_sample" -> (t128 _),
     "p129_snapshot_diff" -> (p129 _),
@@ -316,6 +454,8 @@ object Curation extends QueryModule {
     "d142_cdc_apply" -> (d142 _))
 
   override def oracles: Map[String, String] = Map(
+    "t149_url_canonical_dedup" -> t149Sql,
+    "p150_retrieval_metrics" -> p150Sql,
     "t127_boilerplate_strip" -> t127Sql,
     "t128_weighted_sample" -> t128Sql,
     "p129_snapshot_diff" -> p129Sql,

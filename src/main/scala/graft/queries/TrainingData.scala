@@ -1559,6 +1559,28 @@ object TrainingData extends QueryModule {
        |SELECT query_id, rnk, doc_id, score FROM r
        |ORDER BY query_id, rnk""".stripMargin
 
+  // BM25 answered from the PERSISTED inverted index (r9): build the
+  // term-bucketed postings + stats + meta layout, then answer the t119
+  // queries through bucket-file seeks only. The oracle is t119's full
+  // DuckDB recompute VERBATIM — the serving layout must answer exactly
+  // what the in-job scan answers (the fold is bit-compatible: sorted-term
+  // contributions from the same 0.0; see Bm25.topKIndexed scaladoc).
+  // Tables are (re)built at gate start, never dropped at the end — the
+  // returned frame reads them lazily when the driver writes it.
+  private def t151(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // buildIndex is self-cleaning (catalog drop + stale-location delete),
+    // so re-running the gate against a warehouse left by a previous
+    // session is safe
+    graft.text.Bm25.buildIndex(Tables.documents(s, dir), "doc_id", "text",
+      "gate_bm25_idx", buckets = 16)
+    val q = bm25Queries.toDF("query_id", "qtext")
+    graft.text.Bm25.topKIndexed(s, "gate_bm25_idx", q, "query_id", "qtext",
+      k = 10).orderBy("query_id", "rnk")
+  }
+
+  private val t151Sql = t119Sql // the index must answer exactly the scan's answer
+
   // MMR diversified re-ranking: brute-force cosine top-20 candidates per
   // query, greedily re-ranked to a top-5 trading relevance (λ=0.7)
   // against max similarity to already-picked docs. The oracle replays the
@@ -1766,6 +1788,7 @@ object TrainingData extends QueryModule {
     "d125_embedding_near_dups" -> d125,
     "t122_url_domain_cap" -> t122,
     "t119_bm25_topk" -> t119,
+    "t151_bm25_indexed" -> t151,
     "d137_hybrid_rrf_retrieval" -> d137,
     "d138_mmr_diversified_topk" -> d138,
     "t120_markup_strip" -> t120,
@@ -1825,6 +1848,7 @@ object TrainingData extends QueryModule {
     "d125_embedding_near_dups" -> d125Sql,
     "t122_url_domain_cap" -> t122Sql,
     "t119_bm25_topk" -> t119Sql,
+    "t151_bm25_indexed" -> t151Sql,
     "d137_hybrid_rrf_retrieval" -> d137Sql,
     "d138_mmr_diversified_topk" -> d138Sql,
     "t120_markup_strip" -> t120Sql,

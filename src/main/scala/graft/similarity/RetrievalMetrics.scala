@@ -1,0 +1,107 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked-retrieval quality metrics — the evaluation harness for the
+  * engine's retrieval stack (brute-force / LSH / IVF-PQ ANN, BM25, RRF
+  * hybrid fusion): given a ranked run and graded relevance judgments
+  * (qrels), compute the standard per-query metrics a retrieval deployment
+  * gates on — recall@k, precision@k, MRR@k, nDCG@k (trec_eval
+  * definitions).
+  *
+  * This is the missing closing piece next to the bench's recall gates:
+  * those compare an approximate ANN run against the exact run; this
+  * compares ANY run against human/ground-truth judgments, with graded
+  * relevance and rank discounting.
+  *
+  * Shape at 100 TB: the corpus never appears — a run is O(queries × k)
+  * rows and qrels O(queries × judged) rows, both narrow. One hash
+  * exchange of each on the query key (the join + the per-query
+  * aggregates), one per-query window over qrels for the ideal ranking
+  * (IDCG). No broadcast assumptions: query counts can be huge
+  * (click-log-derived qrels), and everything partitions by query id.
+  *
+  * Conventions (trec_eval):
+  *  - a document is RELEVANT iff its grade > 0; graded gain is 2^g − 1;
+  *  - recall@k = relevant-retrieved-in-top-k / total-relevant (uncapped
+  *    denominator); precision@k divides by k, not by |retrieved|;
+  *  - MRR@k = 1 / rank of the first relevant hit within the top k, 0 when
+  *    none;
+  *  - nDCG@k = DCG@k / IDCG@k with log2(rank+1) discounts, IDCG from the
+  *    query's own grades sorted descending (ties on grade broken by doc
+  *    id so the ideal ranking — and therefore the metric — is
+  *    deterministic);
+  *  - queries with NO relevant document in qrels are dropped (trec_eval's
+  *    convention: such queries are unevaluable — every metric's
+  *    denominator is degenerate);
+  *  - run documents absent from qrels count as grade 0 (unjudged =
+  *    irrelevant, the standard pessimistic convention).
+  */
+object RetrievalMetrics {
+
+  /** Per-query metrics of `run` (queryCol, docCol, rankCol — rank is
+    * 1-based, lower is better) against `qrels` (queryCol, docCol,
+    * gradeCol ≥ 0). Returns one row per evaluable query:
+    * (queryCol, n_relevant, recall_at_k, precision_at_k, mrr_at_k,
+    * ndcg_at_k). */
+  def evaluate(run: DataFrame, qrels: DataFrame, k: Int,
+      queryCol: String = "query_id", docCol: String = "doc_id",
+      rankCol: String = "rank", gradeCol: String = "grade"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = col(queryCol)
+    // gain/discount as doubles once, so both DCG sides share the algebra
+    def gain(g: org.apache.spark.sql.Column) = pow(lit(2.0), g) - lit(1.0)
+    def disc(r: org.apache.spark.sql.Column) = log(2.0, r.cast("double") + lit(1.0))
+
+    val rel = qrels.filter(col(gradeCol) > 0)
+      .select(q, col(docCol), col(gradeCol).cast("double").as(gradeCol))
+    // total-relevant + ideal DCG per query: one narrow pass over qrels.
+    // The IDCG window is per-query top-k — bounded work per key, the same
+    // partitioned-window discipline as the OVER-clause operators.
+    val w = Window.partitionBy(queryCol)
+      .orderBy(col(gradeCol).desc, col(docCol))
+    val ideal = rel
+      .withColumn("irank", row_number().over(w))
+      .groupBy(queryCol)
+      .agg(count(lit(1)).as("n_relevant"),
+        sum(when(col("irank") <= k,
+          gain(col(gradeCol)) / disc(col("irank")))).as("idcg"))
+
+    val topK = run.filter(col(rankCol) <= k)
+      .select(q, col(docCol), col(rankCol).cast("double").as(rankCol))
+    val judged = topK
+      .join(rel, Seq(queryCol, docCol), "left")
+      .na.fill(0.0, Seq(gradeCol))
+    val perQuery = judged.groupBy(queryCol).agg(
+      sum(when(col(gradeCol) > 0, 1L).otherwise(0L)).as("hits"),
+      min(when(col(gradeCol) > 0, col(rankCol))).as("first_rel"),
+      sum(gain(col(gradeCol)) / disc(col(rankCol))).as("dcg"))
+
+    // inner join = drop queries with no relevant docs (unevaluable) AND
+    // queries qrels knows but the run never answered... except the latter
+    // ARE evaluable failures — re-admit them as all-zero rows via the
+    // right join, so a run that silently drops a query scores 0, not
+    // "absent from the report".
+    perQuery.join(ideal, Seq(queryCol), "right")
+      .select(q,
+        col("n_relevant"),
+        (coalesce(col("hits"), lit(0L)) / col("n_relevant")).as("recall_at_k"),
+        (coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("precision_at_k"),
+        coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("mrr_at_k"),
+        coalesce(col("dcg") / col("idcg"), lit(0.0)).as("ndcg_at_k"))
+  }
+
+  /** Macro-averaged summary of [[evaluate]]'s output: one row —
+    * (n_queries, recall_at_k, precision_at_k, mrr_at_k, ndcg_at_k),
+    * each metric the unweighted mean over evaluable queries (trec_eval's
+    * "all" row). */
+  def summarize(perQuery: DataFrame): DataFrame =
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      avg("recall_at_k").as("recall_at_k"),
+      avg("precision_at_k").as("precision_at_k"),
+      avg("mrr_at_k").as("mrr_at_k"),
+      avg("ndcg_at_k").as("ndcg_at_k"))
+}

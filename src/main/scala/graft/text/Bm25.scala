@@ -151,4 +151,188 @@ object Bm25 {
       .withColumnRenamed("nn_id", "doc_id")
       .withColumnRenamed("sim", "score")
   }
+
+  // ---- persisted inverted index (build / serve / append) -----------------
+  //
+  // [[topK]] scans the corpus per query batch — the right plan for ad-hoc
+  // selection sweeps. A retrieval DEPLOYMENT builds the inverted index
+  // once and answers from it: the postings table below is the lexical
+  // counterpart of the persisted IVF-PQ/band-index serving layouts, with
+  // the same contract — term-bucketed parquet so a query's work is
+  // bucket-file SEEKS (graft.api.Lookup) over its own terms only, never a
+  // corpus scan, plus append maintenance whose cost is increment-sized.
+  //
+  // Layout: `<table>`       (term, doc_id, tf, dl)  bucketed by term
+  //         `<table>_stats` (term, df)              bucketed by term
+  //         `<table>_meta`  (n_docs, sum_dl, buckets) one row
+  //
+  // dl rides denormalized on every posting so scoring needs no doc-table
+  // join; df is persisted (not recomputed from postings at query time) so
+  // idf costs |query terms| seeks. The build's one wide exchange — token
+  // instances grouped to (term, doc) — is the canonical inverted-index
+  // construction cost and is paid once; queries and appends never repeat
+  // it over history.
+
+  /** (term, doc_id, tf, dl) postings of a corpus — one row per distinct
+    * (document, term), tf the in-document count, dl the document length
+    * under the shared tokenizer. */
+  private def postings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .withColumn("dl", size(col("tk")).cast("double"))
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+  /** DROP a managed table AND its warehouse location: a fresh session's
+    * catalog does not know a previous session's tables, so `DROP IF
+    * EXISTS` alone leaves the old directory behind and the next
+    * `saveAsTable` dies with LOCATION_ALREADY_EXISTS. Deleting the
+    * location after the catalog drop is safe in both worlds (the drop
+    * already removed it when the catalog knew the table). */
+  def dropIndexTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+        name.toLowerCase)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    } catch { case _: Throwable => }
+  }
+
+  /** Build the persisted index. `buckets` fixes the term-bucket count for
+    * the table's lifetime (appends read it back from the meta row).
+    * Self-cleaning: any previous incarnation of the three tables is
+    * dropped (catalog + stale location) first — which also means `docs`
+    * must NOT itself read from the table being rebuilt (the
+    * lazily-scanned-source rule; rebuild through a fresh name and swap
+    * if in-place semantics are needed). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    Seq(table, s"${table}_stats", s"${table}_meta")
+      .foreach(dropIndexTable(spark, _))
+    postings(docs, idCol, textCol)
+      .repartition(col("term"))
+      .write.mode("overwrite").bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
+    // df from the persisted postings: one narrow (term, count) aggregate
+    spark.table(table).groupBy("term").agg(count(lit(1)).as("df"))
+      .repartition(col("term"))
+      .write.mode("overwrite").bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${table}_stats")
+    writeMeta(docs.select(tokens(col(textCol)).as("tk"))
+        .agg(count(lit(1)).as("n"), coalesce(sum(size(col("tk")).cast("double")),
+          lit(0.0)).as("s")).head() match {
+        case r => (r.getLong(0), r.getDouble(1))
+      }, spark, table, buckets, mode = "overwrite")
+  }
+
+  private def writeMeta(nAndSum: (Long, Double),
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      buckets: Int, mode: String): Unit = {
+    val s = spark
+    import s.implicits._
+    Seq((nAndSum._1, nAndSum._2, buckets))
+      .toDF("n_docs", "sum_dl", "buckets")
+      .coalesce(1).write.mode(mode).format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  /** Fold NEW documents into a persisted index. Postings append is
+    * increment-sized; the (term, df) stats table is merged and swapped
+    * (a narrow O(vocabulary) rewrite — the disclosed maintenance cost,
+    * same swap discipline as the IVF rebalance: never overwrite a table
+    * a live plan lazily reads). Document ids must be NEW — re-ingesting
+    * an id double-counts its df, the [[graft.dedup.Dedup.appendToBandIndex]]
+    * contract. */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      docsInc: DataFrame, idCol: String, textCol: String): Unit = {
+    val meta = spark.table(s"${table}_meta").head()
+    val buckets = meta.getAs[Int]("buckets")
+    val p = postings(docsInc, idCol, textCol)
+    p.repartition(col("term"))
+      .write.mode("append").bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
+    val merged = spark.table(s"${table}_stats")
+      .unionByName(p.groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum("df").as("df"))
+    val tmp = s"${table}_stats_tmp"
+    dropIndexTable(spark, tmp)
+    merged.repartition(col("term"))
+      .write.mode("overwrite").bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO ${table}_stats")
+    val inc = docsInc.select(tokens(col(textCol)).as("tk"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("tk")).cast("double")), lit(0.0)).as("s")).head()
+    writeMeta((meta.getAs[Long]("n_docs") + inc.getLong(0),
+      meta.getAs[Double]("sum_dl") + inc.getDouble(1)),
+      spark, table, buckets, mode = "overwrite")
+  }
+
+  /** Top-k BM25 from the persisted index: idf resolves through stats
+    * bucket seeks, candidates through postings bucket seeks — only the
+    * query terms' bucket files are ever read (the Lookup contract), so
+    * query cost scales with matched postings, not corpus size. Scores are
+    * bit-compatible with [[topK]]: per-document contributions fold in
+    * sorted term order from the same 0.0, with the same IEEE op order
+    * (zero-tf terms add +0.0 in the in-job fold, which is exact), and the
+    * same round + id tie-break. Pinned ≡ topK in Bm25IndexSpec. */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      roundTo: Int = 6, maxTerms: Int = 100000): DataFrame = {
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+    val terms = qterms.select("term").distinct().collect().map(_.getString(0))
+    require(terms.length <= maxTerms,
+      s"query vocabulary ${terms.length} exceeds maxTerms=$maxTerms")
+    val meta = spark.table(s"${table}_meta").head()
+    val nDocs = meta.getAs[Long]("n_docs").toDouble
+    def emptyResult = {
+      val empty = spark.table(table).limit(0).select(
+        lit(null).cast(queries.schema(queryIdCol).dataType).as("query_id"),
+        col("doc_id").as("nn_id"), lit(0.0).as("sim"))
+      Similarity.rankTopK(empty, k)
+        .withColumnRenamed("nn_id", "doc_id").withColumnRenamed("sim", "score")
+    }
+    if (terms.isEmpty || nDocs == 0) return emptyResult
+    val avgdl = meta.getAs[Double]("sum_dl") / nDocs
+    val s2 = spark
+    import s2.implicits._
+    val probe = terms.toSeq.toDF("pterm")
+    // idf: |query terms| point lookups against the stats buckets — the
+    // same formula and IEEE op order as the in-job stats scan
+    val idfRows = graft.api.Lookup.lookupJoin(spark, probe,
+        s"${table}_stats", "pterm", "term")
+      .select(col("term"), col("df").cast("double").as("df"))
+      .collect()
+      .map(r => (r.getString(0),
+        math.log((nDocs - r.getDouble(1) + 0.5) / (r.getDouble(1) + 0.5) + 1)))
+    if (idfRows.isEmpty) return emptyResult // no query term indexed
+    val idfDf = idfRows.toSeq.toDF("term", "w")
+    val qw = qterms.join(idfDf, Seq("term")) // unindexed terms drop (df=0)
+      .select(col("query_id"), col("term"), col("w"))
+    // candidates: postings bucket seeks for the query terms only
+    val post = graft.api.Lookup.lookupJoin(spark, probe, table, "pterm", "term")
+      .select(col("term"), col("doc_id"), col("tf").cast("double").as("tf"),
+        col("dl"))
+    val lenNorm = col("dl") / avgdl * (b * k1) + lit(k1 * (1 - b))
+    val scored = post.join(broadcast(qw), Seq("term"))
+      // same IEEE op order as topK's fold body
+      .withColumn("c", col("w") * col("tf") * (k1 + 1) / (col("tf") + lenNorm))
+      .groupBy("query_id", "doc_id")
+      // deterministic per-document fold: sorted (term, contribution)
+      // structs re-create topK's sorted-term sum exactly
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("c")))),
+        lit(0.0), (acc, e) => acc + e("c")).as("raw"))
+      .select(col("query_id"), col("doc_id").as("nn_id"),
+        round(col("raw"), roundTo).as("sim"))
+    Similarity.rankTopK(scored, k)
+      .withColumnRenamed("nn_id", "doc_id")
+      .withColumnRenamed("sim", "score")
+  }
 }

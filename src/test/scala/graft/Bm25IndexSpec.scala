@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.Lookup
+import graft.text.Bm25
+
+/** Persisted BM25 inverted index: the term-bucketed serving layout
+  * answers exactly what the in-job corpus scan answers, appends fold
+  * increments with correct df/N/avgdl bookkeeping, and a query physically
+  * reads only its own terms' bucket files. */
+class Bm25IndexSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def corpusA = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick red fox"),
+    (2L, "brown bears eat honey near the river"),
+    (3L, "a lazy afternoon by the quiet river"),
+    (4L, "dogs and foxes are distant cousins"),
+    (5L, "the river runs quick and brown")).toDF("doc_id", "text")
+
+  private def corpusB = Seq(
+    (6L, "quick thinking saves the lazy dog"),
+    (7L, "honey and rivers and foxes")).toDF("doc_id", "text")
+
+  private def queries = Seq(
+    (0L, "quick fox"), (1L, "brown river"), (2L, "lazy dog honey"))
+    .toDF("qid", "qt")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("query_id", "rnk").collect().map(_.toString).toSeq
+
+  private def dropAll(t: String): Unit =
+    Seq(t, s"${t}_stats", s"${t}_stats_tmp", s"${t}_meta")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+
+  test("indexed topK answers exactly the in-job topK answer") {
+    try {
+      Bm25.buildIndex(corpusA, "doc_id", "text", "bm25_idx", buckets = 8)
+      val indexed = Bm25.topKIndexed(spark, "bm25_idx", queries, "qid", "qt", k = 4)
+      val direct = Bm25.topK(corpusA, "doc_id", "text", queries, "qid", "qt", k = 4)
+      assert(rows(indexed) == rows(direct))
+      assert(rows(indexed).nonEmpty)
+    } finally dropAll("bm25_idx")
+  }
+
+  test("append ≡ rebuild ≡ in-job on the unioned corpus; bookkeeping exact") {
+    try {
+      Bm25.buildIndex(corpusA, "doc_id", "text", "bm25_app", buckets = 8)
+      Bm25.appendToIndex(spark, "bm25_app", corpusB, "doc_id", "text")
+      Bm25.buildIndex(corpusA.unionByName(corpusB), "doc_id", "text",
+        "bm25_full", buckets = 8)
+      val union = corpusA.unionByName(corpusB)
+      val appended = Bm25.topKIndexed(spark, "bm25_app", queries, "qid", "qt", k = 5)
+      val rebuilt = Bm25.topKIndexed(spark, "bm25_full", queries, "qid", "qt", k = 5)
+      val direct = Bm25.topK(union, "doc_id", "text", queries, "qid", "qt", k = 5)
+      assert(rows(appended) == rows(rebuilt))
+      assert(rows(appended) == rows(direct))
+
+      // bookkeeping: stats and meta after the append equal the full build's
+      val stA = spark.table("bm25_app_stats").as[(String, Long)].collect().toSet
+      val stF = spark.table("bm25_full_stats").as[(String, Long)].collect().toSet
+      assert(stA == stF)
+      val mA = spark.table("bm25_app_meta").head()
+      val mF = spark.table("bm25_full_meta").head()
+      assert(mA.getLong(0) == mF.getLong(0) && mA.getDouble(1) == mF.getDouble(1))
+    } finally { dropAll("bm25_app"); dropAll("bm25_full") }
+  }
+
+  test("query seeks only its own terms' bucket files") {
+    try {
+      Bm25.buildIndex(corpusA, "doc_id", "text", "bm25_seek", buckets = 8)
+      val probe = Seq("fox", "river").toDF("pterm")
+      val joined = Lookup.lookupJoin(spark, probe, "bm25_seek", "pterm", "term")
+      val touched = joined.select(input_file_name().as("f")).distinct()
+        .collect().flatMap(r => Lookup.bucketIdOf(r.getString(0))).toSet
+      val expected = Set("fox", "river").map(t =>
+        Lookup.bucketFor(t, org.apache.spark.sql.types.StringType, 8))
+      assert(touched.subsetOf(expected), s"touched $touched, expected $expected")
+    } finally dropAll("bm25_seek")
+  }
+
+  test("empty query vocabulary and unindexed terms degrade to empty") {
+    try {
+      Bm25.buildIndex(corpusA, "doc_id", "text", "bm25_empty", buckets = 4)
+      val noTerms = Seq((0L, " ")).toDF("qid", "qt")
+      assert(Bm25.topKIndexed(spark, "bm25_empty", noTerms.limit(0),
+        "qid", "qt", k = 3).count() == 0)
+      val alien = Seq((0L, "zzz qqq")).toDF("qid", "qt")
+      assert(Bm25.topKIndexed(spark, "bm25_empty", alien,
+        "qid", "qt", k = 3).count() == 0)
+    } finally dropAll("bm25_empty")
+  }
+}

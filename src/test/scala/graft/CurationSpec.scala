@@ -284,4 +284,110 @@ class CurationSpec extends GraftSpec {
     assert(cdcRows(Cdc.applyChangelog(snap, c1, Seq("k"), "seq", "op",
       broadcastChanges = false)) == cdcRows(a1))
   }
+
+  // ---- URL canonicalization + URL dedup ----------------------------------
+
+  test("url canonicalize: case, www, default port, fragment, slash, tracking") {
+    val urls = Seq(
+      (0L, "HTTP://WWW.Example.COM:80/Path/One/"),
+      (1L, "http://example.com/Path/One#frag"),
+      (2L, "https://www.shop.net:443/p?utm_source=a&b=2&a=1&fbclid=z"),
+      (3L, "https://shop.net/p?a=1&b=2"),
+      (4L, "http://a.com/"),           // root path drops entirely
+      (5L, "http://a.com:8080/x"),     // non-default port survives
+      (6L, "https://a.com:80/x"),      // :80 is NOT default for https
+      (7L, "not a url at all"))        // junk rides through unchanged
+      .toDF("id", "url")
+    val out = urls
+      .withColumn("c", graft.text.Urls.canonicalize(col("url")))
+      .select("id", "c").as[(Long, String)].collect().toMap
+    assert(out(0L) == "http://example.com/Path/One")
+    assert(out(1L) == "http://example.com/Path/One")
+    assert(out(2L) == "https://shop.net/p?a=1&b=2")
+    assert(out(3L) == "https://shop.net/p?a=1&b=2")
+    assert(out(4L) == "http://a.com")
+    assert(out(5L) == "http://a.com:8080/x")
+    assert(out(6L) == "https://a.com:80/x")
+    assert(out(7L) == "not a url at all")
+  }
+
+  test("url canonicalize: path and query stay case-sensitive") {
+    val c = graft.text.Urls.canonicalize(col("u"))
+    val out = Seq("http://A.com/CaseD?Key=Val").toDF("u")
+      .select(c).as[String].head()
+    assert(out == "http://a.com/CaseD?Key=Val")
+  }
+
+  test("url dedup: min id survives per canonical group") {
+    val docs = Seq(
+      (10L, "HTTP://WWW.X.COM:80/a/"),
+      (11L, "http://x.com/a#z"),           // same canonical as 10
+      (12L, "http://x.com/a?utm_source=s"), // same canonical as 10
+      (20L, "https://x.com/a"),            // different scheme → distinct
+      (30L, "http://x.com/b"))
+      .toDF("doc_id", "url")
+    val kept = graft.text.Urls.dedupByCanonicalUrl(docs, "url", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L, 30L))
+  }
+
+  // ---- ranked-retrieval metrics (recall/precision/MRR/nDCG@k) ------------
+
+  import graft.similarity.RetrievalMetrics
+
+  private def log2(x: Double) = math.log(x) / math.log(2.0)
+
+  test("retrieval metrics: closed forms at k=3") {
+    // q1: graded qrels, partial hit set; q2: relevant found at rank 2;
+    // q3: judged but ABSENT from the run (scores zero, stays in report);
+    // q4: in the run but unjudged (dropped — unevaluable).
+    val run = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3), (1L, 12L, 4), // rank 4 > k
+      (2L, 99L, 1), (2L, 20L, 2),
+      (4L, 40L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 10L, 2.0), (1L, 11L, 1.0), (1L, 12L, 1.0),
+      (2L, 20L, 1.0),
+      (3L, 30L, 1.0),
+      (4L, 41L, 0.0)) // grade 0 = judged irrelevant → q4 has no relevant
+      .toDF("query_id", "doc_id", "grade")
+    val out = RetrievalMetrics.evaluate(run, qrels, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+
+    assert(out.keySet == Set(1L, 2L, 3L)) // q4 dropped: nothing relevant
+    val (n1, rec1, prec1, mrr1, ndcg1) = out(1L)
+    assert(n1 == 3L)
+    assert(rec1 == 2.0 / 3)   // docs 10, 11 in top-3; doc 12 at rank 4 misses
+    assert(prec1 == 2.0 / 3)
+    assert(mrr1 == 1.0)
+    val dcg1 = 3.0 / log2(2) + 1.0 / log2(4)
+    val idcg1 = 3.0 / log2(2) + 1.0 / log2(3) + 1.0 / log2(4)
+    assert(math.abs(ndcg1 - dcg1 / idcg1) < 1e-12)
+
+    val (n2, rec2, prec2, mrr2, ndcg2) = out(2L)
+    assert((n2, rec2, prec2, mrr2) == ((1L, 1.0, 1.0 / 3, 0.5)))
+    assert(math.abs(ndcg2 - (1.0 / log2(3)) / 1.0) < 1e-12)
+
+    assert(out(3L) == ((1L, 0.0, 0.0, 0.0, 0.0))) // silently dropped query
+  }
+
+  test("retrieval metrics: perfect ranking scores 1.0 everywhere") {
+    val qrels = Seq((1L, 10L, 2.0), (1L, 11L, 1.0)).toDF("query_id", "doc_id", "grade")
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val m = RetrievalMetrics.evaluate(run, qrels, k = 2).collect()(0)
+    assert(m.getDouble(2) == 1.0 && m.getDouble(4) == 1.0 && m.getDouble(5) == 1.0)
+  }
+
+  test("retrieval metrics: summarize macro-averages per-query rows") {
+    val qrels = Seq((1L, 10L, 1.0), (2L, 20L, 1.0)).toDF("query_id", "doc_id", "grade")
+    val run = Seq((1L, 10L, 1), (2L, 99L, 1)).toDF("query_id", "doc_id", "rank")
+    val s = RetrievalMetrics.summarize(
+      RetrievalMetrics.evaluate(run, qrels, k = 1)).collect()(0)
+    assert(s.getLong(0) == 2L)
+    assert(s.getDouble(1) == 0.5) // recall: (1 + 0) / 2
+    assert(s.getDouble(4) == 0.5) // ndcg:   (1 + 0) / 2
+  }
 }
