@@ -31,6 +31,7 @@ object Bench {
       "bm25_topk" -> 56.8, "dup_clusters" -> 46.9,
       "simhash_neardups" -> 74.2,
       "weighted_mix" -> 57.6, // first post-recycle slot: absorbs the cold corpus read
+      "bm25_indexed" -> 621.6, // opt-in stage: build + stopword-query seeks
       "bpe_train" -> 19.1, "bpe_tokenize" -> 27.8,
       "exact_substr_winnowed" -> 275.0) // r9 2-pass solo (single pass was 406.9 and ENOSPC-fragile)
 
@@ -526,6 +527,29 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // Persisted BM25 inverted index at corpus scale — OPT-IN
+    // (SPARK_GRAFT_PIPELINE_STAGES=bm25_indexed), like the in-job
+    // ann_ivfpq stage: the build's token-instance exchange is a second
+    // bm25-class pole the default tier's budget does not carry. One
+    // timing covers build (postings + stats + meta over the full corpus)
+    // plus the same worst-case stopword queries as bm25_topk answered
+    // through term-bucket seeks; COVERAGE.md records the solo
+    // measurement.
+    if (onlyStages.exists(_.contains("bm25_indexed"))) {
+      timedSafe("bm25_indexed") {
+        graft.text.Bm25.buildIndex(docs, "doc_id", "text",
+          "bench_bm25_idx", buckets = 64)
+        val s = spark
+        import s.implicits._
+        val qs = Seq((0L, "the of and"), (1L, "that it was"),
+          (2L, "with from when")).toDF("qid", "qt")
+        graft.text.Bm25.topKIndexed(spark, "bench_bm25_idx", qs, "qid", "qt",
+          k = 10).write.format("noop").mode("overwrite").save()
+      }
+      try Seq("bench_bm25_idx", "bench_bm25_idx_stats", "bench_bm25_idx_meta")
+        .foreach(t => graft.text.Bm25.dropIndexTable(spark, t))
+      catch { case _: Throwable => }
+    }
     try spark.stop() catch { case _: Throwable => }
     (times, recalls, failures)
   }
@@ -537,11 +561,16 @@ object Bench {
     // same second the kill fired). The pipeline tier consumes whatever the
     // earlier tiers leave and skips-with-marker past the deadline, so the
     // final JSON always gets written and the exit is clean.
-    // 3450 (was 3300 through r8): the reorder + contention-scaled cost
-    // hints make overshoot bounded by one stage's (actual − est×factor),
-    // so the 150 s gap to the kill absorbs it; the extra 150 s is what
-    // lets the exact-substring full corpus fit on a quiet run.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3450").toLong
+    // 3350 (3450 in the r9 rehearsals, 3300 through r8): overshoot is
+    // bounded by one stage's (actual − est×factor), and the r9 dress
+    // rehearsals put the worst observed tail-stage actual at ~1.7–2.0×
+    // its est (exact_substr 541 s vs est 330, minhash group ~650 vs 420)
+    // — so the gap to the 3600 s driver kill must absorb up to ~230 s.
+    // 3350 keeps worst-case elapsed ≤ ~3580 while still fitting the FULL
+    // tier on a quiet run (rehearsal 2: all 25 stages incl. the
+    // exact-substring full corpus, elapsed 3472.7, zero skips — the same
+    // start decisions replay at 3350).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3350").toLong
     val deadlineNanos = benchT0 + budgetSec * 1000000000L
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
