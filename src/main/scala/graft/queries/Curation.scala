@@ -363,7 +363,7 @@ object Curation extends QueryModule {
       |    array_to_string(list_sort(list_filter(
       |      string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
       |      x -> x <> '' AND NOT regexp_matches(x,
-      |        '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)(=.*)?$'))), '&') AS q
+      |        '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid)(=.*)?$'))), '&') AS q
       |  FROM p),
       |canon AS (
       |  SELECT doc_id, scheme || '://' || host || path ||

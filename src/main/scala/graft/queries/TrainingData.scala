@@ -1130,6 +1130,75 @@ object TrainingData extends QueryModule {
       |  CAST((doc_id % 500) * 2 + 1 AS BIGINT) AS v
       |FROM documents ORDER BY k""".stripMargin
 
+  // GroupIntoBatches on the NATIVE stateful substrate (r10 — the second
+  // oracle gate through transformWithState, after s148): the
+  // ListState-buffered, epoch-timer-managed batcher
+  // (StatefulV2.groupIntoBatchesListState) run through a real file
+  // stream on the RocksDB provider. Determinism argument: v is a pure
+  // function of k (v = 2k+1) and elements only leave through FULL
+  // batches (maxWaitMs = 10 min ≫ the gate's poll window, so the flush
+  // timer never fires; per-key counts divide the batch size at the gate
+  // SF, and were they not to, both sides would agree on floor(n/B)
+  // batches) — so whatever micro-batch boundaries the file source picks,
+  // the flushed multiset is exactly floor(n_k/B) batches of B identical
+  // values per key. The timer/epoch machinery still executes for real:
+  // every carried partial batch arms/deletes/re-arms its deadline across
+  // bundles (the r9 epoch-correctness logic, StatefulV2.scala:249).
+  // Reference analog: GroupIntoBatches.java:59 on the state/timers path.
+  private def s152(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_s152_").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    Tables.documents(s, dir)
+      .select((col("doc_id") % 25).cast("long").as("k"))
+      .withColumn("v", col("k") * 2 + 1)
+      .repartition(8).write.mode("overwrite").parquet(inDir)
+    val expectedBatches = s.read.parquet(inDir).groupBy("k").count()
+      .agg(coalesce(sum(floor(col("count") / 5)), lit(0L)).as("b"))
+      .head().getLong(0)
+    val (ck, cv) = graft.streaming.StatefulV2.requiredConf
+    val prev = s.conf.getOption(ck)
+    s.conf.set(ck, cv)
+    try {
+      val pairs = s.readStream.schema("k LONG, v LONG")
+        .option("maxFilesPerTrigger", 2).parquet(inDir)
+        .as[(Long, Long)]
+      val q = graft.streaming.StatefulV2
+        .groupIntoBatches(pairs, batchSize = 5, maxWaitMs = 600000L)
+        .toDF("k", "batch")
+        .select(col("k"), size(col("batch")).cast("long").as("batch_size"),
+          org.apache.spark.sql.functions.aggregate(col("batch"), lit(0L),
+            (a, x) => a + x).as("batch_sum"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+        .start()
+      // same poll discipline as s148: the armed flush timers keep the
+      // query scheduling (empty) batches forever, so poll the sink to the
+      // deterministic end state and stop BETWEEN triggers
+      def sinkCount(): Long =
+        try s.read.parquet(outDir).count() catch { case _: Throwable => 0L }
+      val pollDeadline = System.currentTimeMillis() + 120000
+      try {
+        while (sinkCount() < expectedBatches &&
+            System.currentTimeMillis() < pollDeadline)
+          Thread.sleep(200)
+        while (q.status.isTriggerActive &&
+            System.currentTimeMillis() < pollDeadline)
+          Thread.sleep(5)
+      } finally q.stop()
+    } finally prev.fold(s.conf.unset(ck))(v => s.conf.set(ck, v))
+    s.read.parquet(outDir).orderBy("k")
+  }
+
+  private val s152Sql =
+    """WITH c AS (SELECT CAST(doc_id % 25 AS BIGINT) AS k, count(*) AS n
+      |           FROM documents GROUP BY 1),
+      |x AS (SELECT k, unnest(range(CAST(n // 5 AS BIGINT))) AS i FROM c)
+      |SELECT k, CAST(5 AS BIGINT) AS batch_size,
+      |  CAST(5 * (2 * k + 1) AS BIGINT) AS batch_sum
+      |FROM x ORDER BY k""".stripMargin
+
   // Z-order (Morton) curve: the bit-interleave that drives multi-column
   // file clustering (api/Layout.zorder). The gate checks the curve math
   // itself — the oracle expands the identical shift/mask/or closed form;
@@ -1581,6 +1650,29 @@ object TrainingData extends QueryModule {
 
   private val t151Sql = t119Sql // the index must answer exactly the scan's answer
 
+  // BM25 persisted-index APPEND lifecycle (r10): build on the even half
+  // of the corpus, fold the odd half in through appendToIndex (postings
+  // append + stats merge-and-SWAP + meta fold — exactly the bookkeeping
+  // an oracle catches drifting), then answer the t119 queries from the
+  // appended index. The oracle is t119's full-corpus DuckDB recompute
+  // VERBATIM: build(A) + append(B) must answer exactly what
+  // build(A ∪ B) answers, which is bit-for-bit what the in-job scan
+  // answers (Bm25IndexSpec pins append ≡ rebuild; this gate pins the
+  // whole lifecycle against the independent oracle).
+  private def t153(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    graft.text.Bm25.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", "gate_bm25_app_idx", buckets = 16)
+    graft.text.Bm25.appendToIndex(s, "gate_bm25_app_idx",
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    val q = bm25Queries.toDF("query_id", "qtext")
+    graft.text.Bm25.topKIndexed(s, "gate_bm25_app_idx", q, "query_id",
+      "qtext", k = 10).orderBy("query_id", "rnk")
+  }
+
+  private val t153Sql = t119Sql // append ≡ rebuild ≡ the scan's answer
+
   // MMR diversified re-ranking: brute-force cosine top-20 candidates per
   // query, greedily re-ranked to a top-5 trading relevance (λ=0.7)
   // against max similarity to already-picked docs. The oracle replays the
@@ -1789,6 +1881,7 @@ object TrainingData extends QueryModule {
     "t122_url_domain_cap" -> t122,
     "t119_bm25_topk" -> t119,
     "t151_bm25_indexed" -> t151,
+    "t153_bm25_index_append" -> t153,
     "d137_hybrid_rrf_retrieval" -> d137,
     "d138_mmr_diversified_topk" -> d138,
     "t120_markup_strip" -> t120,
@@ -1801,6 +1894,7 @@ object TrainingData extends QueryModule {
     "s141_streaming_curation_e2e" -> s141,
     "s144_streaming_cdc_apply" -> s144,
     "s148_streaming_dedup_ttl_v2" -> s148,
+    "s152_streaming_batches_v2" -> s152,
     "d60_exact_dedup" -> d60,
     "d107_exact_substring_spans" -> d107,
     "d108_exact_substring_scrub" -> d108,
@@ -1849,6 +1943,7 @@ object TrainingData extends QueryModule {
     "t122_url_domain_cap" -> t122Sql,
     "t119_bm25_topk" -> t119Sql,
     "t151_bm25_indexed" -> t151Sql,
+    "t153_bm25_index_append" -> t153Sql,
     "d137_hybrid_rrf_retrieval" -> d137Sql,
     "d138_mmr_diversified_topk" -> d138Sql,
     "t120_markup_strip" -> t120Sql,
@@ -1861,6 +1956,7 @@ object TrainingData extends QueryModule {
     "s141_streaming_curation_e2e" -> s141Sql,
     "s144_streaming_cdc_apply" -> s144Sql,
     "s148_streaming_dedup_ttl_v2" -> s148Sql,
+    "s152_streaming_batches_v2" -> s152Sql,
     "d60_exact_dedup" -> d60Sql,
     "d107_exact_substring_spans" -> d107Sql,
     "d108_exact_substring_scrub" -> d108Sql,

@@ -45,7 +45,17 @@ object RetrievalMetrics {
     * 1-based, lower is better) against `qrels` (queryCol, docCol,
     * gradeCol ≥ 0). Returns one row per evaluable query:
     * (queryCol, n_relevant, recall_at_k, precision_at_k, mrr_at_k,
-    * ndcg_at_k). */
+    * ndcg_at_k).
+    *
+    * Uniqueness contract: (query, doc) is a KEY of both inputs. A
+    * malformed input would otherwise produce plausible-but-wrong numbers
+    * silently (duplicate run rows double-count hits/DCG — recall and
+    * precision can exceed 1.0; duplicate qrels rows inflate n_relevant
+    * and fan out the join), so the contract is ENFORCED here, not
+    * assumed: qrels collapses to max(grade) per (query, doc) and the run
+    * to min(rank) per (query, doc) — both deterministic, both no-ops on
+    * well-formed input, each one narrow map-side-combinable aggregate on
+    * the same query-keyed partitioning the metrics already shuffle on. */
   def evaluate(run: DataFrame, qrels: DataFrame, k: Int,
       queryCol: String = "query_id", docCol: String = "doc_id",
       rankCol: String = "rank", gradeCol: String = "grade"): DataFrame = {
@@ -57,6 +67,7 @@ object RetrievalMetrics {
 
     val rel = qrels.filter(col(gradeCol) > 0)
       .select(q, col(docCol), col(gradeCol).cast("double").as(gradeCol))
+      .groupBy(queryCol, docCol).agg(max(col(gradeCol)).as(gradeCol))
     // total-relevant + ideal DCG per query: one narrow pass over qrels.
     // The IDCG window is per-query top-k — bounded work per key, the same
     // partitioned-window discipline as the OVER-clause operators.
@@ -71,6 +82,7 @@ object RetrievalMetrics {
 
     val topK = run.filter(col(rankCol) <= k)
       .select(q, col(docCol), col(rankCol).cast("double").as(rankCol))
+      .groupBy(queryCol, docCol).agg(min(col(rankCol)).as(rankCol))
     val judged = topK
       .join(rel, Seq(queryCol, docCol), "left")
       .na.fill(0.0, Seq(gradeCol))

@@ -187,18 +187,56 @@ object Bm25 {
   /** DROP a managed table AND its warehouse location: a fresh session's
     * catalog does not know a previous session's tables, so `DROP IF
     * EXISTS` alone leaves the old directory behind and the next
-    * `saveAsTable` dies with LOCATION_ALREADY_EXISTS. Deleting the
-    * location after the catalog drop is safe in both worlds (the drop
-    * already removed it when the catalog knew the table). */
+    * `saveAsTable` dies with LOCATION_ALREADY_EXISTS. The location is
+    * resolved from the CATALOG while the table still exists (correct for
+    * `db.tbl`-qualified names and a non-default current database, whose
+    * real layout is `warehouse/<db>.db/<tbl>`); only for a table no
+    * session knows any more does the path fall back to the same layout
+    * derivation. Deleting the location after the catalog drop is safe in
+    * both worlds (the drop already removed it when the catalog knew the
+    * table). */
   def dropIndexTable(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit = {
+    val loc: Option[org.apache.hadoop.fs.Path] =
+      try {
+        if (spark.catalog.tableExists(name))
+          Some(new org.apache.hadoop.fs.Path(
+            spark.sessionState.catalog.getTableMetadata(
+              spark.sessionState.sqlParser.parseTableIdentifier(name)).location))
+        else None
+      } catch { case _: Throwable => None }
     spark.sql(s"DROP TABLE IF EXISTS $name")
     try {
-      val p = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
-        name.toLowerCase)
+      val p = loc.getOrElse {
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val (db, tbl) = name.split("\\.") match {
+          case Array(d, t) => (d, t)
+          case _ => (spark.catalog.currentDatabase, name)
+        }
+        if (db.equalsIgnoreCase("default"))
+          new org.apache.hadoop.fs.Path(wh, tbl.toLowerCase)
+        else new org.apache.hadoop.fs.Path(wh,
+          s"${db.toLowerCase}.db/${tbl.toLowerCase}")
+      }
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     } catch { case _: Throwable => }
+  }
+
+  /** Atomically-enough replace `target` with `tmp` via rename-aside:
+    * target → target_old, tmp → target, drop target_old. A crash between
+    * any two steps leaves a COMPLETE table recoverable by rename (the
+    * pre-swap stats/meta live on as `_old` until the new table is in
+    * place) — never the no-stats-at-all window a drop-then-rename swap
+    * has. [[appendToIndex]] repairs a half-completed swap on entry. */
+  private def swapInto(spark: org.apache.spark.sql.SparkSession,
+      tmp: String, target: String): Unit = {
+    val old = s"${target}_old"
+    dropIndexTable(spark, old) // stranded by a crash after a prior swap
+    if (spark.catalog.tableExists(target))
+      spark.sql(s"ALTER TABLE $target RENAME TO $old")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $target")
+    dropIndexTable(spark, old)
   }
 
   /** Build the persisted index. `buckets` fixes the term-bucket count for
@@ -211,7 +249,10 @@ object Bm25 {
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 64): Unit = {
     val spark = docs.sparkSession
-    Seq(table, s"${table}_stats", s"${table}_meta")
+    // incl. any _tmp/_old strandings a crashed append left behind
+    Seq(table, s"${table}_stats", s"${table}_meta",
+        s"${table}_stats_tmp", s"${table}_stats_old",
+        s"${table}_meta_tmp", s"${table}_meta_old")
       .foreach(dropIndexTable(spark, _))
     postings(docs, idCol, textCol)
       .repartition(col("term"))
@@ -226,18 +267,18 @@ object Bm25 {
         .agg(count(lit(1)).as("n"), coalesce(sum(size(col("tk")).cast("double")),
           lit(0.0)).as("s")).head() match {
         case r => (r.getLong(0), r.getDouble(1))
-      }, spark, table, buckets, mode = "overwrite")
+      }, spark, s"${table}_meta", buckets)
   }
 
   private def writeMeta(nAndSum: (Long, Double),
-      spark: org.apache.spark.sql.SparkSession, table: String,
-      buckets: Int, mode: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, metaTable: String,
+      buckets: Int): Unit = {
     val s = spark
     import s.implicits._
     Seq((nAndSum._1, nAndSum._2, buckets))
       .toDF("n_docs", "sum_dl", "buckets")
-      .coalesce(1).write.mode(mode).format("parquet")
-      .saveAsTable(s"${table}_meta")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(metaTable)
   }
 
   /** Fold NEW documents into a persisted index. Postings append is
@@ -246,9 +287,27 @@ object Bm25 {
     * same swap discipline as the IVF rebalance: never overwrite a table
     * a live plan lazily reads). Document ids must be NEW — re-ingesting
     * an id double-counts its df, the [[graft.dedup.Dedup.appendToBandIndex]]
-    * contract. */
+    * contract.
+    *
+    * Crash safety: the stats and meta replacements go through
+    * [[swapInto]]'s rename-aside (target → `_old`, tmp → target, drop
+    * `_old`), so a failure between any two steps leaves a complete table
+    * on disk — either the live one or its `_old` — and THIS method
+    * repairs a half-finished swap on entry (rename `_old` back when the
+    * live table is missing). The one non-idempotent step remains the
+    * postings append itself: a retry AFTER postings committed but before
+    * the stats swap re-appends the increment — recover by rebuilding
+    * stats/meta from the postings table, or rebuild the index (the ids
+    * contract above). */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, table: String,
       docsInc: DataFrame, idCol: String, textCol: String): Unit = {
+    def repair(target: String): Unit =
+      try {
+        if (!spark.catalog.tableExists(target) &&
+            spark.catalog.tableExists(s"${target}_old"))
+          spark.sql(s"ALTER TABLE ${target}_old RENAME TO $target")
+      } catch { case _: Throwable => }
+    repair(s"${table}_stats"); repair(s"${table}_meta")
     val meta = spark.table(s"${table}_meta").head()
     val buckets = meta.getAs[Int]("buckets")
     val p = postings(docsInc, idCol, textCol)
@@ -263,14 +322,16 @@ object Bm25 {
     merged.repartition(col("term"))
       .write.mode("overwrite").bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(tmp)
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO ${table}_stats")
+    swapInto(spark, tmp, s"${table}_stats")
     val inc = docsInc.select(tokens(col(textCol)).as("tk"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(size(col("tk")).cast("double")), lit(0.0)).as("s")).head()
+    val metaTmp = s"${table}_meta_tmp"
+    dropIndexTable(spark, metaTmp)
     writeMeta((meta.getAs[Long]("n_docs") + inc.getLong(0),
       meta.getAs[Double]("sum_dl") + inc.getDouble(1)),
-      spark, table, buckets, mode = "overwrite")
+      spark, metaTmp, buckets)
+    swapInto(spark, metaTmp, s"${table}_meta")
   }
 
   /** Top-k BM25 from the persisted index: idf resolves through stats

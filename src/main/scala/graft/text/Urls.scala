@@ -51,9 +51,20 @@ object Urls {
   /** Query parameters that never change the fetched content — the
     * standard tracking/attribution keys every crawl canonicalizer strips
     * (RefinedWeb's URL dedup normalizes before matching for exactly this
-    * reason: the same page arrives once per campaign link otherwise). */
-  private val TrackingParam =
-    "^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)(=.*)?$"
+    * reason: the same page arrives once per campaign link otherwise).
+    * Deliberately NOT in the default list: `ref` — unlike the utm_ keys
+    * or gclid it is a generic name that is frequently FUNCTIONAL
+    * (`?ref=<branch>`
+    * content selectors), so stripping it by default merges genuinely
+    * distinct pages; callers whose crawl uses `ref` for attribution pass
+    * their own list. Each entry is a regex matched against the param
+    * NAME. */
+  val DefaultTrackingParams: Seq[String] =
+    Seq("utm_[^=]*", "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid",
+      "igshid")
+
+  private def trackingRegex(params: Seq[String]): String =
+    params.mkString("^(", "|", ")(=.*)?$")
 
   /** Canonical form of a URL for identity comparison (crawl URL-dedup —
     * the RefinedWeb/C4 "same page, many links" collapse). Pure codegen'd
@@ -66,14 +77,16 @@ object Urls {
     *  3. leading `www.` dropped from the host;
     *  4. default port stripped (`:80` for http, `:443` for https);
     *  5. trailing `/`s stripped from the path (root path becomes empty);
-    *  6. tracking query params removed ([[TrackingParam]]), the
-    *     survivors sorted so param order never splits an identity, empty
-    *     query dropped entirely.
+    *  6. tracking query params removed ([[DefaultTrackingParams]], or the
+    *     caller's own `trackingParams` name-regexes — per-crawl policy
+    *     data), the survivors sorted so param order never splits an
+    *     identity, empty query dropped entirely.
     *
     * Non-URL junk degrades gracefully: no `scheme://` match → empty
     * scheme/host and the input's text rides through the path term, so
-    * distinct junk stays distinct. */
-  def canonicalize(url: Column): Column = {
+    * distinct junk stays distinct. A null URL canonicalizes to null. */
+  def canonicalize(url: Column,
+      trackingParams: Seq[String] = DefaultTrackingParams): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostRaw = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
@@ -89,7 +102,7 @@ object Urls {
     val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
     val query = regexp_extract(rest, "\\?(.*)$", 1)
     val kept = filter(split(query, "&"),
-      p => p =!= "" && !p.rlike(TrackingParam))
+      p => p =!= "" && !p.rlike(trackingRegex(trackingParams)))
     val q = array_join(array_sort(kept), "&")
     concat(scheme, when(scheme =!= "", lit("://")).otherwise(lit("")), host,
       path, when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
@@ -99,12 +112,23 @@ object Urls {
     * canonical URL. Adds `url_canonical`. The keep decision shuffles a
     * NARROW (canonical, id) projection only (one map-side-combined min
     * per URL); the wide rows cross the wire once in the final semi-join —
-    * the d60 exact-dedup discipline on the URL key. */
-  def dedupByCanonicalUrl(df: DataFrame, urlCol: String,
-      idCol: String): DataFrame = {
-    val withC = df.withColumn("url_canonical", canonicalize(col(urlCol)))
-    val keep = withC.select(col("url_canonical"), col(idCol))
-      .groupBy("url_canonical").agg(min(col(idCol)).as(idCol))
-    withC.join(keep, Seq("url_canonical", idCol), "left_semi")
+    * the d60 exact-dedup discipline on the URL key.
+    *
+    * Null/missing URLs (routine in crawl data) are NOT an identity class:
+    * each null-URL row is its own key (a surrogate built from `idCol`
+    * backs the null canonical in the join key), so every one of them
+    * survives untouched with `url_canonical` null — null-rejecting join
+    * equality would otherwise silently drop them all. */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String, idCol: String,
+      trackingParams: Seq[String] = DefaultTrackingParams): DataFrame = {
+    val withC = df.withColumn("url_canonical",
+      canonicalize(col(urlCol), trackingParams))
+    // NUL prefix keeps surrogates disjoint from real canonicals (no
+    // URL canonicalizes to a leading NUL byte)
+    val keyed = withC.withColumn("_url_key", coalesce(col("url_canonical"),
+      concat(lit("\u0000id:"), col(idCol).cast("string"))))
+    val keep = keyed.select(col("_url_key"), col(idCol))
+      .groupBy("_url_key").agg(min(col(idCol)).as(idCol))
+    keyed.join(keep, Seq("_url_key", idCol), "left_semi").drop("_url_key")
   }
 }

@@ -80,6 +80,53 @@ class Bm25IndexSpec extends GraftSpec {
     } finally dropAll("bm25_seek")
   }
 
+  test("append repairs a crash-stranded stats/meta swap on entry") {
+    try {
+      Bm25.buildIndex(corpusA, "doc_id", "text", "bm25_crash", buckets = 8)
+      // simulate the worst swap crash: stats renamed aside, nothing
+      // renamed in — no live stats table, only the recoverable _old
+      spark.sql("ALTER TABLE bm25_crash_stats RENAME TO bm25_crash_stats_old")
+      spark.sql("ALTER TABLE bm25_crash_meta RENAME TO bm25_crash_meta_old")
+      Bm25.appendToIndex(spark, "bm25_crash", corpusB, "doc_id", "text")
+      val direct = Bm25.topK(corpusA.unionByName(corpusB), "doc_id", "text",
+        queries, "qid", "qt", k = 5)
+      val indexed = Bm25.topKIndexed(spark, "bm25_crash", queries, "qid", "qt", k = 5)
+      assert(rows(indexed) == rows(direct))
+      // no strandings left behind
+      assert(!spark.catalog.tableExists("bm25_crash_stats_old"))
+      assert(!spark.catalog.tableExists("bm25_crash_meta_old"))
+      assert(!spark.catalog.tableExists("bm25_crash_stats_tmp"))
+      assert(!spark.catalog.tableExists("bm25_crash_meta_tmp"))
+    } finally {
+      dropAll("bm25_crash")
+      Seq("bm25_crash_stats_old", "bm25_crash_meta_old", "bm25_crash_meta_tmp")
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    }
+  }
+
+  test("dropIndexTable resolves db-qualified locations from the catalog") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS bm25db")
+    try {
+      Bm25.buildIndex(corpusA, "doc_id", "text", "bm25db.qidx", buckets = 4)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier("bm25db.qidx"))
+          .location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(loc))
+      Bm25.dropIndexTable(spark, "bm25db.qidx")
+      assert(!spark.catalog.tableExists("bm25db.qidx"))
+      assert(!fs.exists(loc), s"stale location survives at $loc")
+      // rebuild at the same name must not die with LOCATION_ALREADY_EXISTS
+      Bm25.buildIndex(corpusA, "doc_id", "text", "bm25db.qidx", buckets = 4)
+      assert(spark.catalog.tableExists("bm25db.qidx"))
+    } finally {
+      Seq("bm25db.qidx", "bm25db.qidx_stats", "bm25db.qidx_meta")
+        .foreach(n => Bm25.dropIndexTable(spark, n))
+      spark.sql("DROP DATABASE IF EXISTS bm25db CASCADE")
+    }
+  }
+
   test("empty query vocabulary and unindexed terms degrade to empty") {
     try {
       Bm25.buildIndex(corpusA, "doc_id", "text", "bm25_empty", buckets = 4)

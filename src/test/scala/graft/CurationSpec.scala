@@ -331,6 +331,42 @@ class CurationSpec extends GraftSpec {
     assert(kept == Set(10L, 20L, 30L))
   }
 
+  test("url dedup: null URLs pass through untouched, one each") {
+    // null/missing URLs are routine in crawl data — they are NOT one
+    // identity class (that would keep a single survivor) and NOT droppable
+    // (null-rejecting join equality would silently lose all of them)
+    val docs = Seq(
+      (1L, Option("http://x.com/a")),
+      (2L, Option("http://x.com/a#z")), // dup of 1
+      (3L, None),
+      (4L, None),
+      (5L, Option("http://x.com/b")))
+      .toDF("doc_id", "url")
+    val out = graft.text.Urls.dedupByCanonicalUrl(docs, "url", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
+    // null URL → null canonical in the output (no surrogate leaks out)
+    assert(out.filter(col("doc_id") === 3L)
+      .select("url_canonical").collect()(0).isNullAt(0))
+  }
+
+  test("url canonicalize: ref is functional by default, strippable by policy") {
+    val u = Seq("https://host.dev/repo/file?ref=main").toDF("u")
+    // default list keeps ref: ?ref=<branch> selects CONTENT
+    assert(u.select(graft.text.Urls.canonicalize(col("u"))).as[String].head()
+      == "https://host.dev/repo/file?ref=main")
+    // a crawl that uses ref for attribution opts in per call
+    val strip = graft.text.Urls.DefaultTrackingParams :+ "ref"
+    assert(u.select(graft.text.Urls.canonicalize(col("u"), strip))
+      .as[String].head() == "https://host.dev/repo/file")
+    // and the dedup honors the same policy
+    val docs = Seq((1L, "https://h.io/p?ref=a"), (2L, "https://h.io/p?ref=b"))
+      .toDF("doc_id", "url")
+    assert(graft.text.Urls.dedupByCanonicalUrl(docs, "url", "doc_id")
+      .count() == 2)
+    assert(graft.text.Urls.dedupByCanonicalUrl(docs, "url", "doc_id", strip)
+      .count() == 1)
+  }
+
   // ---- ranked-retrieval metrics (recall/precision/MRR/nDCG@k) ------------
 
   import graft.similarity.RetrievalMetrics
@@ -379,6 +415,22 @@ class CurationSpec extends GraftSpec {
     val run = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
     val m = RetrievalMetrics.evaluate(run, qrels, k = 2).collect()(0)
     assert(m.getDouble(2) == 1.0 && m.getDouble(4) == 1.0 && m.getDouble(5) == 1.0)
+  }
+
+  test("retrieval metrics: duplicate (query, doc) rows are collapsed, not counted") {
+    // the uniqueness contract is enforced: a run listing the same doc
+    // twice (or qrels judging it twice) must not push recall/precision
+    // past 1.0 or double-count DCG
+    val qrels = Seq((1L, 10L, 1.0), (1L, 10L, 2.0)) // duplicate judgment
+      .toDF("query_id", "doc_id", "grade")
+    val run = Seq((1L, 10L, 1), (1L, 10L, 2)) // duplicate retrieval
+      .toDF("query_id", "doc_id", "rank")
+    val m = RetrievalMetrics.evaluate(run, qrels, k = 2).collect()(0)
+    assert(m.getLong(1) == 1L)        // n_relevant: one doc, max grade wins
+    assert(m.getDouble(2) == 1.0)     // recall capped by the collapse
+    assert(m.getDouble(3) == 0.5)     // precision: 1 hit / k, not 2 / k
+    assert(m.getDouble(4) == 1.0)     // MRR from min rank
+    assert(m.getDouble(5) == 1.0)     // DCG counted once → ideal
   }
 
   test("retrieval metrics: summarize macro-averages per-query rows") {
