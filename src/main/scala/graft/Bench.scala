@@ -35,8 +35,9 @@ object Bench {
       // scan before the breadth block — r9 verdict #6
       "bm25_indexed" -> 621.6, // opt-in stage: build + stopword-query seeks
       "bpe_train" -> 19.1, "bpe_tokenize" -> 27.8,
-      "exact_substr_winnowed" -> 420.0) // r10 2-pass solo re-measure (275 r9 — same code,
-      // slower box state; single pass was 406.9 and ENOSPC-fragile)
+      "exact_substr_winnowed" -> 420.0) // r10 BOTH-passes solo re-measure (275 r9 —
+      // same code, slower box state); each _pass0/_pass1 stage is ~half;
+      // single pass was 406.9 and ENOSPC-fragile
 
   /** The training-data-pipeline scale tier: generate (once) the
     * [[graft.sources.PipelineCorpus]] at `scale`, time the dedup/text/ANN
@@ -417,20 +418,27 @@ object Bench {
     // (no recycle after bpe: the batched trainer's dict exchanges are a
     // few GB — the heavy tail's own pre-stage recycles bound the disk)
     // ---- the HEAVY TAIL: every stage from here carries a solo_hint_sec
-    // in the artifact, so a deadline skip is self-documenting. Order is
-    // ascending SUBSTITUTABILITY (r10): dedup_incremental (the only
-    // increment-proportional dedup witness, no cheaper variant) before
-    // the exact-substring pole (its full corpus has no substitute — a
-    // slice witnesses the plan, not the pole — and it entered r10 three
-    // rounds officially unwitnessed) before minhash LAST, because minhash
-    // is the one heavy that now degrades GRACEFULLY: its 1/5
-    // pair-preserving slice still measures planted recall.
+    // in the artifact, so a deadline skip is self-documenting. r10 order,
+    // EVIDENCE-FIRST then upgrades: dedup_incremental (the only
+    // increment-proportional witness, no cheaper variant), then the
+    // GUARANTEED-RECALL minhash 1/5 slice (cheap enough to always fit —
+    // rehearsal 4 lost ALL minhash evidence when the substring pole blew
+    // 2.4× past its est; the ~180 s slice premium buys planted recall on
+    // EVERY round), then the exact-substring pole (full corpus when the
+    // budget fits — it has no substitute and entered r10 three rounds
+    // officially unwitnessed), then the minhash FULL group as an upgrade
+    // when budget remains. Heavy estSec values are WORST-OBSERVED in-run
+    // costs, not solo costs (solo rides solo_hint_sec): a started stage
+    // runs to completion, and the gap between the 3350 s start budget and
+    // the 3600 s driver kill only absorbs (actual − est×factor) — est
+    // must carry the observed variance or an overrun loses the artifact
+    // (rehearsal 4: elapsed 3799 with optimistic ests — past the kill).
     // The nightly-crawl shape at corpus scale: a 10% increment deduped
     // against the other 90% through the band index — pair generation is
     // the cross-side equi-join only (new×new and old×old pairs are never
     // formed), so join work is increment-proportional.
     remeasureContention() // the breadth block + bpe just probed the box
-    timedSafe("dedup_incremental_10pct", estSec = 400) {
+    timedSafe("dedup_incremental_10pct", estSec = 550) {
       graft.dedup.Dedup.minhashNearDupsAgainst(
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0),
@@ -538,6 +546,20 @@ object Bench {
       }
     }
     remeasureContention() // dedup_incremental's ratio is the freshest probe
+    val minhashWanted = wanted("minhash_lsh_neardups", "dup_clusters")
+    // guaranteed planted-recall evidence FIRST: the pair-preserving 1/5
+    // slice (est = worst-observed ~170 s for the whole slice group)
+    var minhashRecallInHand = false
+    if (minhashWanted && !deadlineBlocked(180)) {
+      minhashGroup(slice = true)
+      minhashRecallInHand = true
+    } else if (minhashWanted)
+      failures += "minhash_group" -> "skipped_deadline"
+    recycle() // slice band/pair shuffles released before the pole
+    if (onlyStages.isEmpty && !pastDeadline) // warm-read discipline
+      try docs.write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    remeasureContention() // the slice group's ratios feed the pole choice
     // exact-substring candidate discovery at scale: the winnowed path
     // (only ~2/w of positions reach the exchange). Candidate-pair count,
     // not spans — span extension is O(pairs), the exchange is the cost.
@@ -553,53 +575,60 @@ object Bench {
     if (nDocs <= substrCap) timedSafe("exact_substr_winnowed", estSec = 140) {
       graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
-    } else if (!deadlineBlocked(420) &&
+    } else if (!deadlineBlocked(450) &&
         onlyStages.forall(_.contains("exact_substr_winnowed"))) {
-      // TWO fingerprint-space passes with a session recycle between (the
-      // recycle rides inside the timing): the single-pass anchor exchange
-      // + its sort spill held ~2 copies of the 2G-row anchor stream on
-      // disk at once and died ENOSPC at 10M docs with ~60 GB free (r9
-      // rehearsal); pmod(h,2) passes bound peak scratch to ~half, each
-      // gram's pairs complete in its pass, union ≡ single pass
-      // (ExactSubstrSpec). Measured solo 275.0 s — FASTER than the 406.9 s
-      // single pass (each pass's sort mostly fits memory, so the spill
-      // I/O more than pays for the second anchor scan).
-      timedSafe("exact_substr_winnowed", estSec = 420) {
+      // TWO fingerprint-space passes, each a SEPARATELY-BUDGETED stage
+      // since r10 (the r9 shape timed both under one est and rehearsal 4
+      // watched the pair run 1022 s — past the kill margin; granular
+      // stages bound per-stage overshoot to ~100 s and let the chooser
+      // land pass 0 even on days pass 1 cannot fit). Each pass is a
+      // FULL-CORPUS run over half the gram fingerprint space — all 10M
+      // docs, all positions, the identical anchor-exchange shape at half
+      // the pair volume — so pass 0 alone is a real full-corpus witness,
+      // and pass0 ∪ pass1 ≡ the single pass exactly (ExactSubstrSpec).
+      // The split exists for disk too: the single-pass anchor exchange +
+      // sort spill held ~2 copies of the 2G-row anchor stream and died
+      // ENOSPC at 10M docs (r9 rehearsal); per-pass sorts mostly fit
+      // memory, so two passes are FASTER besides (406.9 s single-pass vs
+      // 275–421 s two-pass solo).
+      timedSafe("exact_substr_winnowed_pass0", estSec = 450) {
         graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text",
             hashSplit = 2, hashPart = 0)
           .write.format("noop").mode("overwrite").save()
-        recycle() // free pass-0 shuffle/spill before pass 1 — the point
-        graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text",
-            hashSplit = 2, hashPart = 1)
-          .write.format("noop").mode("overwrite").save()
       }
+      recycle() // pass-0 shuffle/spill released — the split's whole point
+      if (onlyStages.isEmpty && !pastDeadline) // warm-read discipline
+        try docs.write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      if (!deadlineBlocked(450))
+        timedSafe("exact_substr_winnowed_pass1", estSec = 450) {
+          graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text",
+              hashSplit = 2, hashPart = 1)
+            .write.format("noop").mode("overwrite").save()
+        }
+      else failures += "exact_substr_winnowed_pass1" -> "deferred_budget"
     } else {
       if (onlyStages.isEmpty)
         failures += "exact_substr_winnowed_full" -> "deferred_budget"
-      timedSafe(s"exact_substr_winnowed_${substrCap / 1000000}m_slice", estSec = 140) {
+      timedSafe(s"exact_substr_winnowed_${substrCap / 1000000}m_slice", estSec = 180) {
         graft.dedup.ExactSubstr.winnowedCandidates(
           docs.filter(col("doc_id") % lit(math.max(nDocs / substrCap, 1L)) === 0),
           "doc_id", "text")
           .write.format("noop").mode("overwrite").save()
       }
     }
-    recycle() // anchor/pair shuffles released before the minhash group
+    recycle() // anchor/pair shuffles released before the minhash upgrade
     if (onlyStages.isEmpty && !pastDeadline) // same warm-read discipline
       try docs.write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
-    val minhashWanted = wanted("minhash_lsh_neardups", "dup_clusters")
     remeasureContention() // the substring pole's ratio feeds this choice
-    if (minhashWanted && !deadlineBlocked(420)) minhashGroup(slice = false)
-    else if (minhashWanted && !deadlineBlocked(110)) {
-      // full group doesn't fit, the 1/5 slice does: the round still gets a
-      // planted-recall number, and the marker + solo hint disclose what
-      // the budget squeeze cost
+    // FULL minhash group as the budget-permitting upgrade (recall is
+    // already in hand from the slice; est = worst-observed group cost).
+    // Marker keyed so a deferral is never silent (r7 advice).
+    if (minhashWanted && minhashRecallInHand && !deadlineBlocked(650))
+      minhashGroup(slice = false)
+    else if (minhashWanted && minhashRecallInHand)
       failures += "minhash_group_full" -> "deferred_budget"
-      minhashGroup(slice = true)
-    // marker keyed on the SAME guard as the run branch (r7 advice: the old
-    // `pastDeadline` else left no trace when the cost hint tripped early)
-    } else if (minhashWanted)
-      failures += "minhash_group" -> "skipped_deadline"
     // Persisted BM25 inverted index at corpus scale — OPT-IN
     // (SPARK_GRAFT_PIPELINE_STAGES=bm25_indexed), like the in-job
     // ann_ivfpq stage: the build's token-instance exchange is a second
