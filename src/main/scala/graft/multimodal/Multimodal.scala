@@ -2,7 +2,6 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) column plumbing.
   *
@@ -11,28 +10,20 @@ import org.apache.spark.sql.types._
   * prunes on the metadata columns without touching the blobs, and decode
   * runs per-partition next to the data (never on the driver).
   *
-  * Two decode paths:
-  *  - a REAL pure-JVM PPM (P6) codec ([[Ppm]]) — decode, pixel stats,
-  *    nearest-neighbor resize run end-to-end on actual image bytes
-  *    (oracle-checked: m94/m95 against an independent arithmetic
-  *    integration of the pixel formula);
-  *  - clearly-marked deterministic STUBs for the codec families this
-  *    environment cannot ship (JPEG/audio/video). Everything around both
-  *    — the asset schema, the mapPartitions batch shape, the
-  *    per-partition iterator contract (setup once per partition, stream
-  *    rows, no materialization) — is the production plumbing any codec
-  *    drops into.
+  * All decode/inspect/resize/sample paths run on REAL bytes through
+  * pure-JVM codecs for real public formats — PPM/P6 ([[Ppm]]), RIFF/PCM16
+  * WAV ([[Wav]]), YUV4MPEG2 ([[Y4m]]) — oracle-checked against
+  * independent arithmetic integrations of the generation laws (m69/m70,
+  * m94–m98). The container ships no JPEG/MP3/H.264 codecs; these formats
+  * are the honest real-format stand-ins, and everything around them — the
+  * asset schema, the mapPartitions batch shape, the per-partition
+  * iterator contract (setup once per partition, stream rows, no
+  * materialization) — is the production plumbing any codec drops into.
+  * The one remaining deterministic stand-in is [[featureExtractStub]]
+  * (an embedding MODEL, not a codec — no pure-JVM implementation can be
+  * "the real thing"); it is clearly marked.
   */
 object Multimodal {
-
-  /** Typed metadata emitted by the decode step. */
-  val decodedSchema: StructType = StructType(Seq(
-    StructField("asset_id", LongType, nullable = false),
-    StructField("byte_len", IntegerType, nullable = false),
-    StructField("header_hex", StringType, nullable = false),
-    StructField("fake_width", IntegerType, nullable = false),
-    StructField("fake_height", IntegerType, nullable = false),
-    StructField("fake_channels", IntegerType, nullable = false)))
 
   /** Wrap a text/blob column as a binary asset table: (asset_id, content).
     * In production `content` arrives as real bytes from parquet/tar
@@ -41,49 +32,47 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("asset_id"),
       col(payloadCol).cast("binary").as("content"))
 
-  /** Per-partition decode. The iterator is streamed — constant memory per
-    * partition regardless of partition size — and the (stub) codec is
-    * initialized once per partition, the contract a JNI/FFI decoder needs.
-    *
-    * STUB: dimensions are derived deterministically from the payload bytes
-    * instead of an actual image parse. Swap `decodeOne` for a real codec. */
-  def decodeStub(spark: SparkSession, assets: DataFrame): DataFrame = {
+  /** REAL asset inspection — the "what is this file" metadata pass an
+    * ingest runs before committing to full decode: dimensions parsed from
+    * the ACTUAL P6 header bytes (magic validated, raster length checked),
+    * plus raw byte length and the leading bytes hex-encoded for format
+    * forensics. Same per-partition streamed-iterator contract as
+    * [[decodePpm]]: codec state initializes once per partition, rows
+    * stream through, constant memory, scan-stage, no shuffle. */
+  def inspectPpm(spark: SparkSession, assets: DataFrame): DataFrame = {
     import spark.implicits._
     assets.select("asset_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition setup would open the codec here (once, not per row)
-        rows.map { case (id, bytes) => decodeOne(id, bytes) }
+        rows.map { case (id, bytes) =>
+          val (w, h, _) = Ppm.decode(bytes) // parse + validate real bytes
+          val header = bytes.take(8).map(b => f"${b & 0xff}%02x").mkString
+          (id, bytes.length, header, w, h, 3)
+        }
       }
-      .toDF("asset_id", "byte_len", "header_hex",
-        "fake_width", "fake_height", "fake_channels")
+      .toDF("asset_id", "byte_len", "header_hex", "width", "height",
+        "channels")
   }
 
-  /** ??? real codec goes here — deterministic fake for now: header is the
-    * first 8 bytes hex-encoded; dimensions derived from byte length. */
-  private def decodeOne(id: Long, bytes: Array[Byte]): (Long, Int, String, Int, Int, Int) = {
-    val header = bytes.take(8).map(b => f"${b & 0xff}%02x").mkString
-    val len = bytes.length
-    (id, len, header, len % 640 + 1, len % 480 + 1, len % 3 + 1)
+  /** REAL frame sampling by SEEK OFFSET: walk the actual Y4M container
+    * ([[Y4m.frameOffsets]] — header line, FRAME markers, plane strides),
+    * keep every `stride`-th frame, one output row per kept frame with its
+    * original index and its raster's byte offset in the stream. This is
+    * the index a video pipeline materializes so downstream decode tasks
+    * read ONLY their frames' byte ranges — the fan-out shape of
+    * [[sampleVideoFrames]] without touching pixel data (1 asset row → N
+    * frame rows, all inside one task). */
+  def frameByteOffsets(spark: SparkSession, assets: DataFrame,
+      stride: Int): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1)
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Y4m.frameOffsets(bytes).zipWithIndex.collect {
+          case (off, i) if i % stride == 0 => (id, i.toLong, off)
+        }
+      }
+      .toDF("asset_id", "frame_idx", "byte_offset")
   }
-
-  /** Frame sampling stub: pick every `stride`-th "frame" (byte offset) of
-    * the payload — the partition/batch shape of real video frame sampling
-    * (one input row fans out to N frame rows, all inside one task). */
-  def sampleFramesStub(spark: SparkSession, assets: DataFrame, stride: Int): DataFrame =
-    assets.select(col("asset_id"),
-      posexplode(sequence(lit(0),
-        greatest(floor(octet_length(col("content")) / lit(stride)).cast("int") - 1, lit(0)))))
-      .select(col("asset_id"), col("pos").as("frame_idx"),
-        (col("col") * stride).as("byte_offset"))
-
-  /** Resize stub: emits the (target_w, target_h) metadata and a payload
-    * "resized" by truncation to w*h bytes — the real operation is a
-    * per-row codec call with the SAME shape: binary in, binary + metadata
-    * out, executed inside the scan stage (no shuffle, no driver). */
-  def resizeStub(assets: DataFrame, targetW: Int, targetH: Int): DataFrame =
-    assets.select(col("asset_id"),
-      lit(targetW).as("target_w"), lit(targetH).as("target_h"),
-      substring(col("content"), 1, targetW * targetH).as("content"))
 
   /** Deterministic PPM asset generation (for specs and the oracle-checked
     * decode gate): image `id` is `(8 + id%5) × (6 + id%4)` with pixel

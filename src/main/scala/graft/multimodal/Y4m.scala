@@ -71,6 +71,42 @@ object Y4m {
     Video(w, h, fn, fd, mono, frames.result())
   }
 
+  /** Byte offset of each frame's RASTER within the stream — a real walk
+    * of the container (header line, then per-frame FRAME markers, plane
+    * strides from the parsed geometry) without materializing any plane.
+    * This is the index a seek-based frame reader needs: task i reads only
+    * `[offset_i, offset_i + frameSize)`. One offset per frame, stream
+    * order; validates magic/markers/geometry like [[decode]]. */
+  def frameOffsets(bytes: Array[Byte]): Vector[Long] = {
+    val nl = bytes.indexOf('\n'.toByte)
+    require(nl > 0, "no stream header")
+    val header = new String(bytes, 0, nl, "US-ASCII")
+    require(header.startsWith("YUV4MPEG2"), "not a YUV4MPEG2 stream")
+    var w = -1; var h = -1; var mono = false
+    header.split(' ').drop(1).filter(_.nonEmpty).foreach { p =>
+      p.head match {
+        case 'W' => w = p.tail.toInt
+        case 'H' => h = p.tail.toInt
+        case 'C' => mono = p.tail.startsWith("mono")
+        case _ => // F, Ip, A1:1, X...: irrelevant to offsets
+      }
+    }
+    require(w > 0 && h > 0, "missing W/H in stream header")
+    val fs = frameSize(w, h, mono)
+    var i = nl + 1
+    val out = Vector.newBuilder[Long]
+    while (i < bytes.length) {
+      val fnl = bytes.indexOf('\n'.toByte, i)
+      require(fnl > 0 &&
+        new String(bytes, i, math.min(5, fnl - i), "US-ASCII") == "FRAME",
+        "expected FRAME marker")
+      require(bytes.length - (fnl + 1) >= fs, "truncated frame")
+      out += (fnl + 1).toLong
+      i = fnl + 1 + fs
+    }
+    out.result()
+  }
+
   /** Keep every `stride`-th frame (temporal subsampling — the real
     * version of frame sampling for training pipelines). */
   def sampleFrames(v: Video, stride: Int): Video = {

@@ -310,17 +310,27 @@ object Curation extends QueryModule {
   // Deterministic messy URLs over the documents table: five variants per
   // id-group of 5 — {scheme/host case + www + :80 + trailing slash,
   // fragment} collapse to one http canonical, {www + :443 + tracking
-  // params + param order} to one https canonical, and a unique tail. The
-  // oracle replays the ENTIRE canonicalization algebra (fragment, case,
-  // www, default port, trailing slash, tracking filter, param sort)
-  // independently in DuckDB, then takes min(doc_id) per canonical. Ref:
-  // the reference's own url normalization lives app-side; this is the
-  // RefinedWeb-style crawl dedup stage.
+  // params + param order} to one https canonical, and a unique tail —
+  // PLUS the two crawl-reality arms layered on top by id mod 7: NULL urls
+  // (every one must survive, one each, with url_canonical NULL — the
+  // silent-loss class the r10 fix closed) and non-URL junk (canonicalizes
+  // to itself verbatim; equal junk collapses like any other identity,
+  // colliding by id mod 100 here). The oracle replays the ENTIRE
+  // canonicalization algebra (fragment, case, www, default port, trailing
+  // slash, tracking filter, param sort, junk/null degradation)
+  // independently in DuckDB, then takes min(doc_id) per canonical with
+  // null rows passed through ungrouped. Ref: the reference's own url
+  // normalization lives app-side; this is the RefinedWeb-style crawl
+  // dedup stage.
   private def t149Messy(s: SparkSession, dir: String): DataFrame = {
     val n = floor(col("doc_id") / 5).cast("long").cast("string")
     val v = col("doc_id") % 5
+    val w = col("doc_id") % 7
     Tables.documents(s, dir).withColumn("url",
-      when(v === 0, concat(lit("HTTP://WWW.Site"), n, lit(".COM:80/Articles/"),
+      when(w === 6, lit(null).cast("string"))
+      .when(w === 3, concat(lit("not a url "),
+        (col("doc_id") % 100).cast("string")))
+      .when(v === 0, concat(lit("HTTP://WWW.Site"), n, lit(".COM:80/Articles/"),
         n, lit("/")))
       .when(v === 1, concat(lit("http://site"), n, lit(".com/Articles/"), n,
         lit("#section-2")))
@@ -340,20 +350,28 @@ object Curation extends QueryModule {
   private val t149Sql =
     """WITH m AS (
       |  SELECT doc_id,
-      |    CASE doc_id % 5
+      |    CASE WHEN doc_id % 7 = 6 THEN NULL
+      |         WHEN doc_id % 7 = 3 THEN 'not a url ' || (doc_id % 100)
+      |    ELSE CASE doc_id % 5
       |      WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id // 5) || '.COM:80/Articles/' || (doc_id // 5) || '/'
       |      WHEN 1 THEN 'http://site' || (doc_id // 5) || '.com/Articles/' || (doc_id // 5) || '#section-2'
       |      WHEN 2 THEN 'https://www.site' || (doc_id // 5) || '.com:443/Articles/' || (doc_id // 5) || '?utm_source=feed&b=2&a=1'
       |      WHEN 3 THEN 'https://site' || (doc_id // 5) || '.com/Articles/' || (doc_id // 5) || '?a=1&utm_campaign=x&b=2&fbclid=abc'
       |      ELSE 'https://site' || (doc_id // 5) || '.com/unique/' || doc_id
-      |    END AS url
+      |    END END AS url
       |  FROM documents),
+      |p0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM m),
       |p AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, nofrag,
       |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      |    regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS h0,
-      |    regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
-      |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM m)),
+      |    regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS h0
+      |  FROM p0),
+      |p2 AS (
+      |  SELECT doc_id, scheme, h0,
+      |    CASE WHEN scheme <> '' THEN
+      |      regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
+      |    ELSE nofrag END AS rest
+      |  FROM p),
       |h AS (
       |  SELECT doc_id, scheme,
       |    CASE WHEN scheme = 'http' THEN regexp_replace(h0, ':80$', '')
@@ -364,13 +382,18 @@ object Curation extends QueryModule {
       |      string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
       |      x -> x <> '' AND NOT regexp_matches(x,
       |        '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid)(=.*)?$'))), '&') AS q
-      |  FROM p),
+      |  FROM p2),
       |canon AS (
-      |  SELECT doc_id, scheme || '://' || host || path ||
+      |  SELECT doc_id,
+      |    CASE WHEN scheme <> '' THEN scheme || '://' ELSE '' END
+      |      || host || path ||
       |    CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url_canonical
       |  FROM h)
       |SELECT min(doc_id) AS doc_id, url_canonical
-      |FROM canon GROUP BY url_canonical ORDER BY doc_id""".stripMargin
+      |FROM canon WHERE url_canonical IS NOT NULL GROUP BY url_canonical
+      |UNION ALL
+      |SELECT doc_id, url_canonical FROM canon WHERE url_canonical IS NULL
+      |ORDER BY doc_id""".stripMargin
 
   // ---- p150: ranked-retrieval quality metrics (recall/MRR/nDCG@10) ------
   // The run is a REAL pass through the similarity stack (exact cosine
@@ -382,15 +405,26 @@ object Curation extends QueryModule {
   // deterministic tie-break) independently in DuckDB.
   private def p150(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val run = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+    val run0 = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", k = 10)
       .select(col("query_id"), col("nn_id").as("doc_id"), col("rnk").as("rank"))
+    // Malformed-input arm (the r10 uniqueness-contract fix, oracle-gated):
+    // query 0's whole run re-appears at WORSE in-window ranks and query
+    // 1's whole qrels re-appears at grade 1. evaluate's enforced collapse
+    // (min rank / max grade per (query, doc)) must restore the clean
+    // fixture exactly — without it, recall/precision double-count and
+    // n_relevant inflates. The oracle applies the same collapse on the
+    // same duplicated inputs, independently.
+    val run = run0.unionByName(run0.filter(col("query_id") === 0)
+      .withColumn("rank", least(col("rank") + 3, lit(10))))
     val q = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("label").as("ql"))
-    val qrels = emb.select(col("vec_id").as("doc_id"), col("label"))
+    val qrels0 = emb.select(col("vec_id").as("doc_id"), col("label"))
       .join(q, col("label") === col("ql") && col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id"),
         when(col("doc_id") % 3 === 0, 2.0).otherwise(1.0).as("grade"))
+    val qrels = qrels0.unionByName(qrels0.filter(col("query_id") === 1)
+      .withColumn("grade", lit(1.0)))
     graft.similarity.RetrievalMetrics.evaluate(run, qrels, k = 10)
       .select(col("query_id"), col("n_relevant"),
         round(col("recall_at_k"), 6).as("recall_at_k"),
@@ -407,14 +441,27 @@ object Curation extends QueryModule {
       |  SELECT q.query_id, e.vec_id AS doc_id,
       |    round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
       |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
-      |run AS (
+      |run0 AS (
       |  SELECT query_id, doc_id,
       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rnk
       |  FROM scored QUALIFY rnk <= 10),
-      |qrels AS (
+      |run AS (  -- duplicated query-0 rows collapse back to min(rank)
+      |  SELECT query_id, doc_id, min(rnk) AS rnk FROM (
+      |    SELECT * FROM run0
+      |    UNION ALL
+      |    SELECT query_id, doc_id, least(rnk + 3, 10) AS rnk
+      |    FROM run0 WHERE query_id = 0)
+      |  GROUP BY query_id, doc_id),
+      |qrels0 AS (
       |  SELECT q.query_id, e.vec_id AS doc_id,
       |    CASE WHEN e.vec_id % 3 = 0 THEN 2.0 ELSE 1.0 END AS grade
       |  FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.query_id),
+      |qrels AS (  -- duplicated query-1 judgments collapse back to max(grade)
+      |  SELECT query_id, doc_id, max(grade) AS grade FROM (
+      |    SELECT * FROM qrels0
+      |    UNION ALL
+      |    SELECT query_id, doc_id, 1.0 AS grade FROM qrels0 WHERE query_id = 1)
+      |  GROUP BY query_id, doc_id),
       |ideal AS (
       |  SELECT query_id, count(*) AS n_relevant,
       |    sum(CASE WHEN irank <= 10

@@ -434,37 +434,56 @@ object TrainingData extends QueryModule {
       |  (dup_bigram_ratio <= 0.2 AND dup_trigram_ratio <= 0.18) AS keep
       |FROM r ORDER BY doc_id""".stripMargin
 
-  // Multimodal decode plumbing (deterministic stub codec over binary
-  // assets via per-partition mapPartitions).
+  // REAL asset inspection (the former stub-codec gate, retired r11):
+  // deterministic P6 PPM images generated from doc_id, header-PARSED by
+  // the pure-JVM codec — byte length, leading-bytes hex, and dimensions
+  // all come from the actual bytes (the old gate derived fake dims from
+  // payload length). The oracle reconstructs the P6 header text from the
+  // generation law and never sees a byte.
   private def m69(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeStub(s,
-      Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text"))
+    Multimodal.inspectPpm(s,
+      Multimodal.generatePpmAssets(s,
+        Tables.documents(s, dir).select("doc_id"), "doc_id"))
       .orderBy("asset_id")
 
   private val m69Sql =
-    """SELECT doc_id AS asset_id,
-      |  CAST(strlen(text) AS INT) AS byte_len,
-      |  lower(hex(substring(text, 1, 8))) AS header_hex,
-      |  CAST(strlen(text) % 640 + 1 AS INT) AS fake_width,
-      |  CAST(strlen(text) % 480 + 1 AS INT) AS fake_height,
-      |  CAST(strlen(text) % 3 + 1 AS INT) AS fake_channels
-      |FROM documents ORDER BY asset_id""".stripMargin
+    """WITH ids AS (SELECT doc_id AS id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+      |             FROM documents),
+      |hdr AS (SELECT id, w, h,
+      |          'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) AS header
+      |        FROM ids)
+      |SELECT id AS asset_id,
+      |  CAST(strlen(header) + w * h * 3 AS INT) AS byte_len,
+      |  lower(hex(substring(header, 1, 8))) AS header_hex,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(3 AS INT) AS channels
+      |FROM hdr ORDER BY asset_id""".stripMargin
 
-  // Frame-sampling fan-out shape (1 asset row → N frame rows in-task).
+  // REAL frame sampling by seek offset (stub retired r11): walk the
+  // actual Y4M container, record every kept frame's raster byte offset —
+  // the seek index a video pipeline builds so decode tasks read only
+  // their byte ranges. Same 1-asset-row → N-frame-rows in-task fan-out;
+  // the oracle re-derives header length and per-frame stride from the
+  // container grammar (header line + "FRAME\n" + w·h luma per frame).
   private def m70(s: SparkSession, dir: String): DataFrame =
-    Multimodal.sampleFramesStub(s,
-      Multimodal.asAssets(
-        Tables.documents(s, dir).filter(col("doc_id") < 50), "doc_id", "text"),
-      stride = 64)
+    Multimodal.frameByteOffsets(s,
+      Multimodal.generateY4mAssets(s, Tables.documents(s, dir)
+        .filter(col("doc_id") < 50).select("doc_id"), "doc_id"),
+      stride = 3)
       .orderBy("asset_id", "frame_idx")
 
   private val m70Sql =
-    """SELECT doc_id AS asset_id, CAST(k AS INT) AS frame_idx,
-      |  CAST(k * 64 AS INT) AS byte_offset
-      |FROM documents,
-      |  LATERAL (SELECT unnest(generate_series(0,
-      |    greatest(strlen(text) // 64 - 1, 0))) AS k)
-      |WHERE doc_id < 50 ORDER BY asset_id, frame_idx""".stripMargin
+    """WITH ids AS (SELECT doc_id AS id, 8 + (doc_id % 3) * 2 AS w,
+      |               5 + doc_id % 6 AS nf
+      |             FROM documents WHERE doc_id < 50),
+      |hdr AS (SELECT id, w, nf,
+      |          strlen('YUV4MPEG2 W' || w || ' H6 F24:1 Ip A1:1 Cmono' || chr(10)) AS hl
+      |        FROM ids),
+      |fr AS (SELECT id, w, hl, 3 * k AS f FROM hdr,
+      |         LATERAL (SELECT unnest(generate_series(0, (nf + 2) // 3 - 1)) AS k))
+      |SELECT id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(hl + f * (6 + w * 6) + 6 AS BIGINT) AS byte_offset
+      |FROM fr ORDER BY asset_id, frame_idx""".stripMargin
 
   // Duplicate-CLUSTER resolution: connected components over the minhash
   // near-dup pairs (the d62 pair list, which is oracle-equal to the exact

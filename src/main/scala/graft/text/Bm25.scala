@@ -176,7 +176,7 @@ object Bm25 {
   /** (term, doc_id, tf, dl) postings of a corpus — one row per distinct
     * (document, term), tf the in-document count, dl the document length
     * under the shared tokenizer. */
-  private def postings(docs: DataFrame, idCol: String,
+  private[graft] def postings(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
       .withColumn("dl", size(col("tk")).cast("double"))
@@ -296,18 +296,13 @@ object Bm25 {
     * repairs a half-finished swap on entry (rename `_old` back when the
     * live table is missing). The one non-idempotent step remains the
     * postings append itself: a retry AFTER postings committed but before
-    * the stats swap re-appends the increment — recover by rebuilding
-    * stats/meta from the postings table, or rebuild the index (the ids
-    * contract above). */
+    * the stats swap would re-append the increment — recover with
+    * [[repairStatsFromPostings]] (do NOT retry the append), which
+    * recomputes stats/meta from whatever the postings table now holds. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, table: String,
       docsInc: DataFrame, idCol: String, textCol: String): Unit = {
-    def repair(target: String): Unit =
-      try {
-        if (!spark.catalog.tableExists(target) &&
-            spark.catalog.tableExists(s"${target}_old"))
-          spark.sql(s"ALTER TABLE ${target}_old RENAME TO $target")
-      } catch { case _: Throwable => }
-    repair(s"${table}_stats"); repair(s"${table}_meta")
+    repairHalfSwap(spark, s"${table}_stats")
+    repairHalfSwap(spark, s"${table}_meta")
     val meta = spark.table(s"${table}_meta").head()
     val buckets = meta.getAs[Int]("buckets")
     val p = postings(docsInc, idCol, textCol)
@@ -331,6 +326,63 @@ object Bm25 {
     writeMeta((meta.getAs[Long]("n_docs") + inc.getLong(0),
       meta.getAs[Double]("sum_dl") + inc.getDouble(1)),
       spark, metaTmp, buckets)
+    swapInto(spark, metaTmp, s"${table}_meta")
+  }
+
+  /** Rename a half-swapped `_old` back when a crash stranded it as the
+    * only complete copy — the recovery step of [[swapInto]]'s rename-aside
+    * discipline, shared by [[appendToIndex]] and
+    * [[repairStatsFromPostings]]. */
+  private def repairHalfSwap(spark: org.apache.spark.sql.SparkSession,
+      target: String): Unit =
+    try {
+      if (!spark.catalog.tableExists(target) &&
+          spark.catalog.tableExists(s"${target}_old"))
+        spark.sql(s"ALTER TABLE ${target}_old RENAME TO $target")
+    } catch { case _: Throwable => }
+
+  /** Rebuild the `_stats` and `_meta` tables FROM the postings table —
+    * the recovery for [[appendToIndex]]'s one non-idempotent window (a
+    * crash after the increment's postings committed but before the
+    * stats/meta swaps). Both side tables are pure functions of the
+    * postings: df is the per-term posting count, and n_docs / sum_dl fold
+    * from one (denormalized) dl per document — every document owns at
+    * least one posting under the shared tokenizer (empty text tokenizes
+    * to the one-element empty-string array), so no document is invisible
+    * to the recount. After this runs, the index answers exactly as a
+    * fresh [[buildIndex]] over the same corpus would (spec-pinned).
+    *
+    * Cost is O(postings) — a maintenance scan of the index itself, never
+    * of the corpus; bucket count is read from the surviving meta row when
+    * there is one, else from the postings table's own bucket spec, and
+    * the replacement rides the same [[swapInto]] rename-aside as every
+    * other stats/meta write (this method is itself crash-safe and
+    * idempotent — safe to re-run). */
+  def repairStatsFromPostings(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    repairHalfSwap(spark, s"${table}_stats")
+    repairHalfSwap(spark, s"${table}_meta")
+    val buckets: Int =
+      (try Some(spark.table(s"${table}_meta").head().getAs[Int]("buckets"))
+       catch { case _: Throwable => None })
+        .orElse(spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+          .bucketSpec.map(_.numBuckets))
+        .getOrElse(64)
+    val p = spark.table(table)
+    val tmp = s"${table}_stats_tmp"
+    dropIndexTable(spark, tmp)
+    p.groupBy("term").agg(count(lit(1)).as("df"))
+      .repartition(col("term"))
+      .write.mode("overwrite").bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(tmp)
+    swapInto(spark, tmp, s"${table}_stats")
+    val agg = p.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0.0)).as("s")).head()
+    val metaTmp = s"${table}_meta_tmp"
+    dropIndexTable(spark, metaTmp)
+    writeMeta((agg.getLong(0), agg.getDouble(1)), spark, metaTmp, buckets)
     swapInto(spark, metaTmp, s"${table}_meta")
   }
 

@@ -115,18 +115,23 @@ object Urls {
     * the d60 exact-dedup discipline on the URL key.
     *
     * Null/missing URLs (routine in crawl data) are NOT an identity class:
-    * each null-URL row is its own key (a surrogate built from `idCol`
-    * backs the null canonical in the join key), so every one of them
-    * survives untouched with `url_canonical` null — null-rejecting join
-    * equality would otherwise silently drop them all. */
+    * each null-URL row is its own key, so every one of them survives
+    * untouched with `url_canonical` null — null-rejecting join equality
+    * would otherwise silently drop them all. The join key is the two-part
+    * struct (url_canonical IS NULL, coalesce(url_canonical, id)), which
+    * is collision-free BY CONSTRUCTION: null rows live in their own
+    * keyspace half where the second part is the (unique) id, so no
+    * adversarial url VALUE — junk canonicalizes to itself verbatim — can
+    * ever collide with a null row's key (a sentinel-prefixed string
+    * surrogate could: a crawl field equal to the sentinel+id text would
+    * silently merge with the null row). */
   def dedupByCanonicalUrl(df: DataFrame, urlCol: String, idCol: String,
       trackingParams: Seq[String] = DefaultTrackingParams): DataFrame = {
     val withC = df.withColumn("url_canonical",
       canonicalize(col(urlCol), trackingParams))
-    // NUL prefix keeps surrogates disjoint from real canonicals (no
-    // URL canonicalizes to a leading NUL byte)
-    val keyed = withC.withColumn("_url_key", coalesce(col("url_canonical"),
-      concat(lit("\u0000id:"), col(idCol).cast("string"))))
+    val keyed = withC.withColumn("_url_key",
+      struct(col("url_canonical").isNull.as("is_null"),
+        coalesce(col("url_canonical"), col(idCol).cast("string")).as("k")))
     val keep = keyed.select(col("_url_key"), col(idCol))
       .groupBy("_url_key").agg(min(col(idCol)).as(idCol))
     keyed.join(keep, Seq("_url_key", idCol), "left_semi").drop("_url_key")

@@ -104,6 +104,52 @@ class Bm25IndexSpec extends GraftSpec {
     }
   }
 
+  test("repairStatsFromPostings recovers the postings-committed crash") {
+    try {
+      Bm25.buildIndex(corpusA, "doc_id", "text", "bm25_pc", buckets = 8)
+      // forge appendToIndex's ONE non-idempotent window: the increment's
+      // postings committed (the identical bucketed append the real path
+      // writes), but the process died before the stats/meta swaps — the
+      // side tables still describe corpus A only
+      Bm25.postings(corpusB, "doc_id", "text")
+        .repartition(col("term"))
+        .write.mode("append").bucketBy(8, "term").sortBy("term")
+        .format("parquet").saveAsTable("bm25_pc")
+      // the recovery: recompute stats/meta from the postings themselves
+      Bm25.repairStatsFromPostings(spark, "bm25_pc")
+      val union = corpusA.unionByName(corpusB)
+      val indexed = Bm25.topKIndexed(spark, "bm25_pc", queries, "qid", "qt", k = 5)
+      val direct = Bm25.topK(union, "doc_id", "text", queries, "qid", "qt", k = 5)
+      assert(rows(indexed) == rows(direct))
+      // bookkeeping equals a fresh build's over the same corpus
+      Bm25.buildIndex(union, "doc_id", "text", "bm25_pcf", buckets = 8)
+      val stR = spark.table("bm25_pc_stats").as[(String, Long)].collect().toSet
+      val stF = spark.table("bm25_pcf_stats").as[(String, Long)].collect().toSet
+      assert(stR == stF)
+      val mR = spark.table("bm25_pc_meta").head()
+      val mF = spark.table("bm25_pcf_meta").head()
+      assert(mR.getLong(0) == mF.getLong(0) && mR.getDouble(1) == mF.getDouble(1))
+      assert(mR.getInt(2) == 8) // bucket count survives the repair
+      // idempotent: a second repair changes nothing and leaves no strandings
+      Bm25.repairStatsFromPostings(spark, "bm25_pc")
+      assert(rows(Bm25.topKIndexed(spark, "bm25_pc", queries, "qid", "qt", k = 5))
+        == rows(direct))
+      assert(!spark.catalog.tableExists("bm25_pc_stats_old"))
+      assert(!spark.catalog.tableExists("bm25_pc_stats_tmp"))
+      assert(!spark.catalog.tableExists("bm25_pc_meta_old"))
+      assert(!spark.catalog.tableExists("bm25_pc_meta_tmp"))
+      // and it also absorbs the half-swap crash (stats stranded as _old)
+      spark.sql("ALTER TABLE bm25_pc_stats RENAME TO bm25_pc_stats_old")
+      Bm25.repairStatsFromPostings(spark, "bm25_pc")
+      assert(rows(Bm25.topKIndexed(spark, "bm25_pc", queries, "qid", "qt", k = 5))
+        == rows(direct))
+    } finally {
+      dropAll("bm25_pc"); dropAll("bm25_pcf")
+      Seq("bm25_pc_stats_old", "bm25_pc_meta_old", "bm25_pc_meta_tmp")
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    }
+  }
+
   test("dropIndexTable resolves db-qualified locations from the catalog") {
     spark.sql("CREATE DATABASE IF NOT EXISTS bm25db")
     try {

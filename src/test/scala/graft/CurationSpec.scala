@@ -349,6 +349,27 @@ class CurationSpec extends GraftSpec {
       .select("url_canonical").collect()(0).isNullAt(0))
   }
 
+  test("url dedup: adversarial junk can never collide with a null row's key") {
+    // junk canonicalizes to itself verbatim, so with a sentinel-prefixed
+    // STRING surrogate a crawl field spelling the sentinel+id text would
+    // merge with the null-URL row of that id and silently drop one of the
+    // two. The struct key (is_null, coalesce(canonical, id)) keeps the
+    // null rows in their own keyspace half — both rows must survive, for
+    // ANY junk value, including ones that spell out another row's id.
+    val docs = Seq(
+      (5L, None),                          // null URL, id 5
+      (6L, Option("\u0000id:5")),          // the old surrogate text, verbatim
+      (7L, Option("5")),                   // junk equal to a bare id
+      (8L, Option("true5")))               // junk shaped like (is_null, k) text
+      .toDF("doc_id", "url")
+    val out = graft.text.Urls.dedupByCanonicalUrl(docs, "url", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(5L, 6L, 7L, 8L))
+    assert(out.filter(col("doc_id") === 5L)
+      .select("url_canonical").collect()(0).isNullAt(0))
+    assert(out.filter(col("doc_id") === 7L)
+      .select("url_canonical").as[String].head() == "5")
+  }
+
   test("url canonicalize: ref is functional by default, strippable by policy") {
     val u = Seq("https://host.dev/repo/file?ref=main").toDF("u")
     // default list keeps ref: ?ref=<branch> selects CONTENT

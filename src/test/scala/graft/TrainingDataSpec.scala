@@ -528,15 +528,11 @@ class TrainingDataSpec extends GraftSpec {
     assert(Y4m.sampleFrames(v, 2).frames.map(_.head.toInt) == Vector(0, 20, 40))
   }
 
-  test("multimodal resize + feature-extract stubs keep the pipeline shape") {
+  test("multimodal feature-extract stub keeps the model-plumbing shape") {
     import spark.implicits._
     val assets = graft.multimodal.Multimodal.asAssets(
       Seq((1L, "hello world this is a payload"), (2L, "x")).toDF("id", "payload"),
       "id", "payload")
-    val resized = graft.multimodal.Multimodal.resizeStub(assets, 4, 2)
-    val lens = resized.select(col("asset_id"), octet_length(col("content")))
-      .as[(Long, Int)].collect().toMap
-    assert(lens(1L) == 8 && lens(2L) == 1) // truncated to w*h, short stays short
     val emb = graft.multimodal.Multimodal.featureExtractStub(spark, assets, dim = 16)
     val vecs = emb.as[(Long, Array[Float])].collect().toMap
     assert(vecs(1L).length == 16)
@@ -548,13 +544,41 @@ class TrainingDataSpec extends GraftSpec {
     assert(vecs(1L).toSeq == again(1L).toSeq)
   }
 
-  test("multimodal decode stub preserves ids and byte lengths") {
-    val decoded = Multimodal.decodeStub(spark, Multimodal.asAssets(docs, "doc_id", "text"))
-    val row = decoded.filter(col("asset_id") === 0).head()
-    assert(row.getAs[Int]("byte_len") == 62)
-    assert(row.getAs[String]("header_hex") == "7468652071756963") // "the quic"
-    val frames = Multimodal.sampleFramesStub(spark,
-      Multimodal.asAssets(docs, "doc_id", "text"), stride = 16)
-    assert(frames.filter(col("asset_id") === 0).count() == 3) // floor(62/16)=3
+  test("ppm inspect reads dimensions from the actual header bytes") {
+    import spark.implicits._
+    val assets = Multimodal.generatePpmAssets(spark,
+      Seq(0L, 7L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.inspectPpm(spark, assets).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    // id 0: 8x6 image — header "P6\n8 6\n255\n" (11 bytes) + 144 raster
+    assert(out(0L).getAs[Int]("byte_len") == 11 + 8 * 6 * 3)
+    assert(out(0L).getAs[Int]("width") == 8 && out(0L).getAs[Int]("height") == 6)
+    assert(out(0L).getAs[String]("header_hex") == "50360a3820360a32") // "P6\n8 6\n2"
+    // id 7: 10x9 — two-digit width must come from the PARSED header
+    assert(out(7L).getAs[Int]("width") == 10 && out(7L).getAs[Int]("height") == 9)
+    assert(out(7L).getAs[Int]("channels") == 3)
+    // corrupt magic is rejected, not faked around
+    val bad = Seq((1L, "JUNKJUNKJUNK".getBytes("US-ASCII"))).toDF("asset_id", "content")
+    intercept[org.apache.spark.SparkException](
+      Multimodal.inspectPpm(spark, bad).collect())
+  }
+
+  test("y4m frame byte offsets index the real raster positions") {
+    import spark.implicits._
+    import graft.multimodal.Y4m
+    val assets = Multimodal.generateY4mAssets(spark, Seq(0L).toDF("doc_id"), "doc_id")
+    // id 0: w=8 mono, 5 frames; header is 36 bytes, frame block 6+48
+    val offs = Multimodal.frameByteOffsets(spark, assets, stride = 3)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getAs[Long]("frame_idx"), r.getAs[Long]("byte_offset")))
+    assert(offs.toSeq == Seq((0L, 42L), (3L, 42L + 3 * (6 + 48))))
+    // the offsets point at the REAL rasters: bytes at offset == decoded frame
+    val bytes = assets.select("content").as[Array[Byte]].head()
+    val v = Y4m.decode(bytes)
+    val all = Y4m.frameOffsets(bytes)
+    assert(all.size == v.frames.size)
+    all.zipWithIndex.foreach { case (off, i) =>
+      assert(bytes.slice(off.toInt, off.toInt + 48).toSeq == v.frames(i).toSeq)
+    }
   }
 }
