@@ -35,20 +35,43 @@ object Bench {
       // scan before the breadth block — r9 verdict #6
       "bm25_indexed" -> 621.6, // opt-in stage: build + stopword-query seeks
       "bpe_train" -> 19.1, "bpe_tokenize" -> 27.8,
-      "exact_substr_winnowed" -> 420.0) // r10 BOTH-passes solo re-measure (275 r9 —
+      "exact_substr_winnowed" -> 420.0, // r10 BOTH-passes solo re-measure (275 r9 —
       // same code, slower box state); each _pass0/_pass1 stage is ~half;
       // single pass was 406.9 and ENOSPC-fragile
+      // Variant-stage hints (r10 ADVICE: remeasureContention matched hint
+      // keys EXACTLY, so the slice/pass stages' just-run times never fed
+      // the median and the pole choices ran on an hour-stale factor —
+      // explicit hints make the most-specific-prefix match land on a
+      // number that means THAT stage, not its full-size parent):
+      "exact_substr_winnowed_pass0" -> 210.0, // half the both-passes solo
+      "exact_substr_winnowed_pass1" -> 210.0,
+      "exact_substr_winnowed_2m_slice" -> 150.0, // r10 in-run 162.4 at tail factor 1.16
+      "minhash_lsh_neardups_5x_slice" -> 72.0, // r10 in-run 84.0 at tail factor 1.16
+      "dup_clusters_5x_slice" -> 10.0, // r10 in-run 11.4
+      "dedup_incremental_slice" -> 240.0) // 1/5 increment vs the FULL 90% corpus:
+      // the corpus-side banding (~9M docs) does not shrink with the
+      // increment, so the slice saves the join/verify share only —
+      // placeholder from cost structure, refined by rehearsal
+
+  /** Everything the pipeline tier measured: per-stage seconds, the
+    * accuracy/recall gates, failure/skip markers, first-pass times for
+    * breadth stages that were re-timed as outliers, and informational
+    * fields (the heavy-pole rotation order) for the artifact. */
+  final case class PipeOut(sec: Map[String, Double],
+      recall: Map[String, Double], failed: Map[String, String],
+      breadthInRun: Map[String, Double], info: Map[String, String])
 
   /** The training-data-pipeline scale tier: generate (once) the
     * [[graft.sources.PipelineCorpus]] at `scale`, time the dedup/text/ANN
     * operators on it, and measure the accuracy contracts at scale —
     * minhash recall vs the planted pairs whose exact shingle Jaccard
     * clears the 0.7 threshold, and LSH/IVF ANN recall@10 vs the exact
-    * brute-force top-k on the same queries. Returns (seconds, recalls).
-    * Callable standalone (spark-shell) for iteration. */
+    * brute-force top-k on the same queries. `roundNum` keys the
+    * heavy-pole rotation (see the tail below). Callable standalone
+    * (spark-shell) for iteration. */
   def pipelineTier(mkSession: () => SparkSession, scale: Int,
-      deadlineNanos: Long = Long.MaxValue, contention: Double = 1.0)
-      : (Map[String, Double], Map[String, Double], Map[String, String]) = {
+      deadlineNanos: Long = Long.MaxValue, contention: Double = 1.0,
+      roundNum: Int = 0): PipeOut = {
     import org.apache.spark.sql.functions._
     var spark = mkSession()
     graft.sources.PipelineCorpus.ensure(spark, scale) // generate-once, untimed
@@ -77,6 +100,8 @@ object Bench {
     // the official artifact silently lacked the round's headline recalls —
     // every degradation must leave a driver-visible marker in the JSON.
     var failures = Map.empty[String, String]
+    // informational artifact fields (pole_priority — never failures)
+    var info = Map.empty[String, String]
     def timed[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
@@ -99,10 +124,21 @@ object Bench {
     // named stages (published numbers always come from full-tier runs).
     val onlyStages = sys.env.get("SPARK_GRAFT_PIPELINE_STAGES")
       .map(_.split(",").map(_.trim).toSet)
+    // Stage-name matching is PREFIX-FAMILY in both directions (r10
+    // ADVICE: exact Set membership silently no-op'd the renamed
+    // exact_substr_winnowed_pass0/_pass1 stages when the pole's base
+    // name was requested, and naming a pass failed the outer guard —
+    // the documented solo re-measure path ran nothing either way). A
+    // token enables a stage when either is a prefix of the other, so
+    // `exact_substr_winnowed` selects every pass/slice variant and
+    // `exact_substr_winnowed_pass0` both passes the group guard and
+    // selects only pass 0.
+    def stageMatch(tok: String, name: String): Boolean =
+      name.startsWith(tok) || tok.startsWith(name)
     // gate for whole dependent stage GROUPS (minhash→recall→clusters,
     // bpe, ANN): run the group if any of its stage names is wanted
     def wanted(names: String*): Boolean =
-      onlyStages.forall(s => names.exists(s.contains))
+      onlyStages.forall(toks => names.exists(n => toks.exists(stageMatch(_, n))))
     // `estSec` is the stage's measured-cost hint: a stage that cannot
     // FINISH inside the budget is skipped up front, because a started
     // stage runs to completion — a 400 s stage launched 30 s before the
@@ -121,9 +157,20 @@ object Bench {
     // decision; the final factor rides pipeline_recall as
     // "contention_tail" so the artifact discloses what the chooser saw.
     var contentionNow = contention
+    // Each RAN stage feeds the median via the MOST-SPECIFIC solo hint
+    // whose key prefixes its name (r10 ADVICE: exact matching meant the
+    // renamed slice/pass stages never fed the factor, so the pole
+    // choices ran on contention last probed stages earlier — the exact
+    // stale-factor hazard this re-measure exists to kill). Longest
+    // prefix wins so minhash_lsh_neardups_5x_slice rates against the
+    // slice hint, not the full group's 261 s.
     def remeasureContention(): Unit = {
-      val ratios = soloHints(scale).toSeq
-        .flatMap { case (k, solo) => times.get(k).map(_ / solo) }.sorted
+      val hints = soloHints(scale).toSeq
+      val ratios = times.toSeq.flatMap { case (name, sec) =>
+        hints.filter { case (k, _) => name.startsWith(k) }
+          .sortBy(-_._1.length).headOption
+          .map { case (_, solo) => sec / solo }
+      }.sorted
       if (ratios.nonEmpty) {
         contentionNow = math.min(2.0, math.max(1.0, ratios(ratios.size / 2)))
         recalls += "contention_tail" -> contentionNow
@@ -132,7 +179,7 @@ object Bench {
     def deadlineBlocked(estSec: Long): Boolean =
       System.nanoTime() + (estSec * contentionNow * 1e9).toLong > deadlineNanos
     def timedSafe(name: String, estSec: Long = 0L)(body: => Unit): Unit =
-      if (onlyStages.forall(_.contains(name))) {
+      if (wanted(name)) {
         if (onlyStages.isEmpty && deadlineBlocked(estSec))
           failures += name -> "skipped_deadline"
         else try timed(name)(body)
@@ -300,10 +347,26 @@ object Bench {
     // arithmetic. Warm the page cache OUTSIDE any stage's timing so
     // every breadth est means the stage itself; the wall-clock cost
     // still counts against the deadline naturally.
-    if (onlyStages.isEmpty && !pastDeadline)
+    def warmCorpus(): Unit = if (onlyStages.isEmpty && !pastDeadline)
       try docs.write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
-    timedSafe("weighted_mix", estSec = 12) {
+    warmCorpus()
+    // Breadth stages register a RE-RUNNABLE body (r10 verdict #3): a
+    // stage landing >2× its solo hint gets one re-run on a fresh
+    // session after the block — the r10 official run rode a 3.6×
+    // transient window (simhash 265.6 s vs 74.2 solo) undisputed AND
+    // its +180 s overrun starved the tail out of dedup_incremental's
+    // witness. The better number publishes; the first pass rides
+    // breadth_in_run_sec so a contended artifact carries its rebuttal.
+    // Bodies re-resolve `docs`/`spark` through defs, so they replay
+    // correctly across the session recycle.
+    var breadthBodies = Seq.empty[(String, Seq[String], () => Unit)]
+    var breadthInRun = Map.empty[String, Double]
+    def breadthStage(name: String, estSec: Long)(body: => Unit): Unit = {
+      breadthBodies :+= ((name, Seq(name), () => { timed(name)(body); () }))
+      timedSafe(name, estSec)(body)
+    }
+    breadthStage("weighted_mix", estSec = 12) {
       graft.api.Sampling.weightedMix(
         docs.withColumn("source", (col("doc_id") % 16).cast("string")),
         "source", "doc_id",
@@ -314,7 +377,7 @@ object Bench {
     // (updates + deletes, sequenced) folded into the snapshot — the
     // snapshot side is one scan + broadcast anti-join (1M changed keys),
     // only the increment shuffles for its latest-per-key reduction.
-    timedSafe("cdc_apply", estSec = 12) {
+    breadthStage("cdc_apply", estSec = 12) {
       val changes = docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"),
           (col("doc_id") % 3 + 1).cast("long").as("seq"),
@@ -323,60 +386,60 @@ object Bench {
         Seq("doc_id"), "seq", "op")
         .write.format("noop").mode("overwrite").save()
     }
-    val docsTok = docs.withColumn("tok", length(col("text")))
-    timedSafe("pack_chunk", estSec = 8) {
+    def docsTok = docs.withColumn("tok", length(col("text")))
+    breadthStage("pack_chunk", estSec = 8) {
       graft.pack.Packing.concatAndChunk(docsTok, "doc_id", "tok",
         budget = 4096L, streams = 64)
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("pack_greedy", estSec = 8) {
+    breadthStage("pack_greedy", estSec = 8) {
       graft.pack.Packing.greedyPack(docsTok, "doc_id", "tok",
         budget = 4096L, streams = 64)
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("simhash_neardups", estSec = 85) {
+    breadthStage("simhash_neardups", estSec = 85) {
       graft.dedup.Dedup.simhashNearDups(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
     // pack×2 + simhash exchange full-width rows; everything from here to
     // bm25 is scan-stage, so one recycle caps the block's shuffle files
     recycle()
-    timedSafe("text_features", estSec = 30) {
+    breadthStage("text_features", estSec = 30) {
       graft.text.TextAnalysis.withTextFeatures(docs, "text")
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("repetition_features", estSec = 35) {
+    breadthStage("repetition_features", estSec = 35) {
       graft.text.TextAnalysis.withRepetitionFeatures(docs, "text")
         .write.format("noop").mode("overwrite").save()
     }
     // pii_redact sits AFTER two whole-corpus scans on the same session:
     // its 56.6 s solo number assumes the 10M-doc parquet is in page cache
     // (cold re-reads measured 130–241 s in r7/r8)
-    timedSafe("pii_redact", estSec = 80) {
+    breadthStage("pii_redact", estSec = 80) {
       graft.text.TextAnalysis.redactPii(docs, "text")
         .write.format("noop").mode("overwrite").save()
     }
     // model-based quality scoring: hashed-ngram sigmoid scorer, pure
     // scan-stage (weights are arbitrary here — the cost is the feature
     // hashing, identical whatever the fit produced)
-    timedSafe("quality_score", estSec = 40) {
+    breadthStage("quality_score", estSec = 40) {
       graft.text.QualityClassifier.score(docs, "text",
         Array.tabulate(1024)(i => (i % 7 - 3) * 0.1), bias = 0.0)
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("markup_strip", estSec = 30) {
+    breadthStage("markup_strip", estSec = 30) {
       graft.text.TextAnalysis.stripMarkup(
         docs.withColumn("h", concat(lit("<p>"), col("text"),
           lit(" &amp; more</p><!-- x -->"))), "h")
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("shard_assign", estSec = 25) {
+    breadthStage("shard_assign", estSec = 25) {
       graft.pack.Packing.shardByTokenBudget(
         docs.withColumn("tok", length(col("text")).cast("long")),
         "doc_id", "tok", budget = 65536L, bucketHexChars = 3)
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("domain_cap", estSec = 50) {
+    breadthStage("domain_cap", estSec = 50) {
       graft.text.Urls.capPerDomain(
         docs.withColumn("url", concat(lit("https://w."),
           (col("doc_id") % 4096).cast("string"), lit(".site.com/p/"),
@@ -386,7 +449,7 @@ object Bench {
     // stopword queries = worst-case df (every document matches every
     // term), so this times the full matched-row exchange, not a lucky
     // sparse probe
-    timedSafe("bm25_topk", estSec = 70) {
+    breadthStage("bm25_topk", estSec = 70) {
       val s = spark // stable identifier for the implicits import
       import s.implicits._
       val qs = Seq((0L, "the of and"), (1L, "that it was"),
@@ -394,7 +457,7 @@ object Bench {
       graft.text.Bm25.topK(docs, "doc_id", "text", qs, "qid", "qt", k = 10)
         .write.format("noop").mode("overwrite").save()
     }
-    timedSafe("exact_dedup", estSec = 16) {
+    breadthStage("exact_dedup", estSec = 16) {
       graft.dedup.Dedup.exact(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
@@ -402,7 +465,7 @@ object Bench {
     // 2000 merges = a production-shaped vocabulary run; batched training
     // makes it ~20 driver round-trips (the r5 finding: one round-trip per
     // merge meant vocab-size-bound scheduler latency)
-    if (wanted("bpe_train", "bpe_tokenize") && !deadlineBlocked(60)) try {
+    def runBpeGroup(): Unit = {
       val bpeModel = timed("bpe_train") {
         graft.text.Bpe.train(docs, "text", numMerges = 2000)
       }
@@ -410,50 +473,116 @@ object Bench {
         graft.text.Bpe.tokenize(docs, "doc_id", "text", bpeModel)
           .write.format("noop").mode("overwrite").save()
       }
+    }
+    if (wanted("bpe_train", "bpe_tokenize") && !deadlineBlocked(60)) try {
+      breadthBodies :+= (("bpe_group", Seq("bpe_train", "bpe_tokenize"),
+        () => runBpeGroup()))
+      runBpeGroup()
     } catch { case e: Throwable =>
       failures += "bpe_group" -> s"failed: ${e.toString.take(160)}"
       System.err.println(s"[bench-pipeline] bpe group failed: $e")
     } else if (wanted("bpe_train", "bpe_tokenize"))
       failures += "bpe_group" -> "skipped_deadline"
+    // Breadth outlier re-time (r10 verdict #3, mirroring the gate and
+    // streaming tiers' discipline): any solo-hinted breadth stage whose
+    // in-run time landed >2× its hint gets ONE re-run on a fresh
+    // session — a transient co-tenant window is a harness artifact, not
+    // a plan cost, and left undisputed it both misreports the stage and
+    // eats the heavy tail's budget arithmetic. Publish min(first, fresh);
+    // disclose the first pass in breadth_in_run_sec. est for the re-run
+    // is the solo hint ×1.5 (fresh-session expectation), deadline-gated
+    // so the dispute never costs a pole its witness.
+    def retimeBreadthOutliers(): Unit = {
+      if (onlyStages.nonEmpty) return
+      val hints = soloHints(scale)
+      val outliers = breadthBodies.filter { case (_, keys, _) =>
+        keys.exists(k => (for (t <- times.get(k); s <- hints.get(k))
+          yield t > 2 * s).getOrElse(false)) }
+      if (outliers.isEmpty) return
+      recycle()
+      warmCorpus()
+      outliers.foreach { case (name, keys, body) =>
+        val est = math.max(30L, math.ceil(keys.flatMap(hints.get).sum * 1.5).toLong)
+        if (deadlineBlocked(est)) failures += s"${name}_retime" -> "skipped_deadline"
+        else {
+          val firstPass = keys.flatMap(k => times.get(k).map(k -> _)).toMap
+          try body() catch { case e: Throwable =>
+            System.err.println(s"[bench-pipeline] retime $name failed: $e") }
+          keys.foreach { k =>
+            firstPass.get(k).foreach { first =>
+              breadthInRun += k -> first
+              if (!times.get(k).exists(_ < first)) times += k -> first
+            }
+          }
+        }
+      }
+    }
+    retimeBreadthOutliers()
     // (no recycle after bpe: the batched trainer's dict exchanges are a
     // few GB — the heavy tail's own pre-stage recycles bound the disk)
     // ---- the HEAVY TAIL: every stage from here carries a solo_hint_sec
-    // in the artifact, so a deadline skip is self-documenting. r10 order,
-    // EVIDENCE-FIRST then upgrades: dedup_incremental (the only
-    // increment-proportional witness, no cheaper variant), then the
-    // GUARANTEED-RECALL minhash 1/5 slice (cheap enough to always fit —
-    // rehearsal 4 lost ALL minhash evidence when the substring pole blew
-    // 2.4× past its est; the ~180 s slice premium buys planted recall on
-    // EVERY round), then the exact-substring pole (full corpus when the
-    // budget fits — it has no substitute and entered r10 three rounds
-    // officially unwitnessed), then the minhash FULL group as an upgrade
-    // when budget remains. Heavy estSec values are WORST-OBSERVED in-run
-    // costs, not solo costs (solo rides solo_hint_sec): a started stage
-    // runs to completion, and the gap between the 3350 s start budget and
-    // the 3600 s driver kill only absorbs (actual − est×factor) — est
-    // must carry the observed variance or an overrun loses the artifact
-    // (rehearsal 4: elapsed 3799 with optimistic ests — past the kill).
-    // The nightly-crawl shape at corpus scale: a 10% increment deduped
-    // against the other 90% through the band index — pair generation is
+    // in the artifact, so a deadline skip is self-documenting. Since r11
+    // the three heavy POLES run in a ROUND-KEYED ROTATION (r10 verdict
+    // #1): the poles (exact_substr pass0+pass1 ~900 s, dedup_incremental
+    // ~550 s, minhash full ~650 s) plus breadth+ANN sum past the 3350 s
+    // budget at scale 100, so some deferral is structural — a greedy
+    // fixed order left the exact-substring full corpus officially
+    // unwitnessed four rounds running. The rotation gives each pole top
+    // priority once every three rounds (round mod 3), so nothing can go
+    // three consecutive rounds without a full official witness while the
+    // budget fits ~2 poles/round; the order publishes as pole_priority.
+    // Guaranteed CHEAP witnesses still run before any pole: the minhash
+    // 1/5 slice (carries the planted-recall gate every round), and
+    // dedup_incremental degrades to its own 1/5-increment slice when the
+    // full run doesn't fit (r10 verdict #2 — skipped_deadline for BOTH
+    // variants is no longer possible on a ≤1.2× run). Heavy estSec
+    // values are WORST-OBSERVED in-run costs, not solo costs (solo rides
+    // solo_hint_sec): a started stage runs to completion, and the gap
+    // between the 3350 s start budget and the 3600 s driver kill only
+    // absorbs (actual − est×factor) — est must carry the observed
+    // variance or an overrun loses the artifact (rehearsal 4: elapsed
+    // 3799 with optimistic ests — past the kill).
+    remeasureContention() // breadth (post-re-time) + bpe just probed the box
+    // The nightly-crawl shape at corpus scale: an increment deduped
+    // against the 90% corpus through the band index — pair generation is
     // the cross-side equi-join only (new×new and old×old pairs are never
-    // formed), so join work is increment-proportional.
-    remeasureContention() // the breadth block + bpe just probed the box
-    timedSafe("dedup_incremental_10pct", estSec = 550) {
-      graft.dedup.Dedup.minhashNearDupsAgainst(
-        docs.filter(col("doc_id") % 10 === 0),
-        docs.filter(col("doc_id") % 10 =!= 0),
-        "doc_id", "text", threshold = 0.7)
-        .write.format("noop").mode("overwrite").save()
+    // formed), so join work is increment-proportional. The slice variant
+    // keeps the SAME full 90% corpus side and shrinks the increment 5×
+    // (doc_id % 50 ⊂ the % 10 increment): the cross-side shape and the
+    // corpus-side banding cost are preserved exactly — what shrinks is
+    // the increment banding + pair fanout, so the witness stays honest
+    // about the part that scales with the nightly crawl.
+    def poleDedupIncremental(): Unit = {
+      def full(): Unit = timedSafe("dedup_incremental_10pct", estSec = 550) {
+        graft.dedup.Dedup.minhashNearDupsAgainst(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", threshold = 0.7)
+          .write.format("noop").mode("overwrite").save()
+      }
+      def slice(): Unit = timedSafe("dedup_incremental_slice", estSec = 300) {
+        graft.dedup.Dedup.minhashNearDupsAgainst(
+          docs.filter(col("doc_id") % 50 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", threshold = 0.7)
+          .write.format("noop").mode("overwrite").save()
+      }
+      if (onlyStages.nonEmpty) { full(); slice() } // opt-in: timedSafe filters
+      else if (!deadlineBlocked(550)) {
+        full()
+        // a failed full (ENOSPC mid-spill) still owes the round a witness
+        if (!times.contains("dedup_incremental_10pct")) slice()
+      } else {
+        failures += "dedup_incremental_10pct" -> "deferred_budget"
+        slice()
+      }
+      recycle() // increment band/shingle shuffles released before the next pole
+      // untimed warm corpus read (the weighted_mix discipline, r9 verdict
+      // #6, applied to the tail): the spill churn evicts the corpus from
+      // page cache and the next pole scans it — warm it OUTSIDE any stage
+      // timing (r10 rehearsal: 692 s in-run vs 421 s solo without this)
+      warmCorpus()
     }
-    recycle() // increment band/shingle shuffles released before the pole
-    // untimed warm corpus read (the weighted_mix discipline, r9 verdict
-    // #6, applied to the tail): dedup_incremental's spill churn evicts
-    // the corpus from page cache, and the substring pole scans it twice —
-    // warm it OUTSIDE the stage timing so the in-run number tracks the
-    // solo hint (r10 rehearsal: 692 s in-run vs 421 s solo without this)
-    if (onlyStages.isEmpty && !pastDeadline)
-      try docs.write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
     // The minhash group is split by a mid-group recycle: banding+verify is
     // the tier's biggest spill producer and the recall join (2M docs
     // shingled, joined twice) is the second — running both in one session
@@ -545,20 +674,18 @@ object Bench {
         System.err.println(s"[bench-pipeline] minhash group$suffix failed: $e")
       }
     }
-    remeasureContention() // dedup_incremental's ratio is the freshest probe
+    remeasureContention() // the just-run stages' ratios feed the slice choice
     val minhashWanted = wanted("minhash_lsh_neardups", "dup_clusters")
-    // guaranteed planted-recall evidence FIRST: the pair-preserving 1/5
-    // slice (est = worst-observed ~170 s for the whole slice group)
-    var minhashRecallInHand = false
-    if (minhashWanted && !deadlineBlocked(180)) {
+    // GUARANTEED planted-recall evidence before ANY pole: the
+    // pair-preserving 1/5 slice (est = worst-observed ~170 s for the
+    // whole slice group) carries the round's recall gate whatever the
+    // rotation defers.
+    if (minhashWanted && !deadlineBlocked(180))
       minhashGroup(slice = true)
-      minhashRecallInHand = true
-    } else if (minhashWanted)
+    else if (minhashWanted)
       failures += "minhash_group" -> "skipped_deadline"
-    recycle() // slice band/pair shuffles released before the pole
-    if (onlyStages.isEmpty && !pastDeadline) // warm-read discipline
-      try docs.write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+    recycle() // slice band/pair shuffles released before the first pole
+    warmCorpus()
     remeasureContention() // the slice group's ratios feed the pole choice
     // exact-substring candidate discovery at scale: the winnowed path
     // (only ~2/w of positions reach the exchange). Candidate-pair count,
@@ -569,14 +696,12 @@ object Bench {
     // capped deterministic slice runs and a driver-visible marker records
     // that the full run was deferred — the degradation is never silent
     // (stage name carries the slice size AND the failures map says why).
-    // Runs BEFORE minhash since r10: the full corpus is this pole's only
-    // real witness, while minhash keeps its recall evidence on a slice.
     val substrCap = 2000000L
+    def poleSubstr(): Unit = {
     if (nDocs <= substrCap) timedSafe("exact_substr_winnowed", estSec = 140) {
       graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
-    } else if (!deadlineBlocked(450) &&
-        onlyStages.forall(_.contains("exact_substr_winnowed"))) {
+    } else if (!deadlineBlocked(450) && wanted("exact_substr_winnowed")) {
       // TWO fingerprint-space passes, each a SEPARATELY-BUDGETED stage
       // since r10 (the r9 shape timed both under one est and rehearsal 4
       // watched the pair run 1022 s — past the kill margin; granular
@@ -597,9 +722,7 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       }
       recycle() // pass-0 shuffle/spill released — the split's whole point
-      if (onlyStages.isEmpty && !pastDeadline) // warm-read discipline
-        try docs.write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+      warmCorpus()
       if (!deadlineBlocked(450))
         timedSafe("exact_substr_winnowed_pass1", estSec = 450) {
           graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text",
@@ -617,18 +740,45 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       }
     }
-    recycle() // anchor/pair shuffles released before the minhash upgrade
-    if (onlyStages.isEmpty && !pastDeadline) // same warm-read discipline
-      try docs.write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-    remeasureContention() // the substring pole's ratio feeds this choice
-    // FULL minhash group as the budget-permitting upgrade (recall is
-    // already in hand from the slice; est = worst-observed group cost).
+    recycle() // anchor/pair shuffles released before the next pole
+    warmCorpus()
+    }
+    // FULL minhash group (banding + clusters at full pair volume; the
+    // recall gate normally already landed on the slice — but the slice
+    // FAILING no longer blocks this attempt, r10 ADVICE: minhashGroup
+    // swallows exceptions internally, so recall-in-hand must be read off
+    // the recalls map, and a failed slice is treated like a skipped one —
+    // the full group is still the round's best shot at the evidence).
     // Marker keyed so a deferral is never silent (r7 advice).
-    if (minhashWanted && minhashRecallInHand && !deadlineBlocked(650))
-      minhashGroup(slice = false)
-    else if (minhashWanted && minhashRecallInHand)
-      failures += "minhash_group_full" -> "deferred_budget"
+    def poleMinhashFull(): Unit = {
+      if (minhashWanted && !deadlineBlocked(650))
+        minhashGroup(slice = false)
+      else if (minhashWanted)
+        failures += "minhash_group_full" -> "deferred_budget"
+      recycle()
+      warmCorpus()
+    }
+    // The ROTATION (r10 verdict #1): round mod 3 picks which pole gets
+    // the budget first; the order is published as pole_priority so the
+    // artifact discloses the rule. Round 11 ≡ 2 (mod 3) puts the
+    // exact-substring pole — four rounds officially unwitnessed — first.
+    val poles: Seq[(String, () => Unit)] = (((roundNum % 3) + 3) % 3) match {
+      case 2 => Seq("exact_substr" -> (() => poleSubstr()),
+        "dedup_incremental" -> (() => poleDedupIncremental()),
+        "minhash_full" -> (() => poleMinhashFull()))
+      case 0 => Seq("dedup_incremental" -> (() => poleDedupIncremental()),
+        "minhash_full" -> (() => poleMinhashFull()),
+        "exact_substr" -> (() => poleSubstr()))
+      case _ => Seq("minhash_full" -> (() => poleMinhashFull()),
+        "exact_substr" -> (() => poleSubstr()),
+        "dedup_incremental" -> (() => poleDedupIncremental()))
+    }
+    info += "pole_priority" ->
+      (poles.map(_._1).mkString(">") + s";round=$roundNum")
+    poles.foreach { case (_, run) =>
+      run()
+      remeasureContention() // each pole's own ratios feed the next choice
+    }
     // Persisted BM25 inverted index at corpus scale — OPT-IN
     // (SPARK_GRAFT_PIPELINE_STAGES=bm25_indexed), like the in-job
     // ann_ivfpq stage: the build's token-instance exchange is a second
@@ -653,7 +803,7 @@ object Bench {
       catch { case _: Throwable => }
     }
     try spark.stop() catch { case _: Throwable => }
-    (times, recalls, failures)
+    PipeOut(times, recalls, failures, breadthInRun, info)
   }
 
   def main(args: Array[String]): Unit = {
@@ -695,6 +845,19 @@ object Bench {
       s.sparkContext.setLogLevel("WARN")
       s
     }
+    // Round number for the heavy-pole rotation: SPARK_GRAFT_ROUND wins;
+    // otherwise infer from the driver's per-round artifacts in cwd (the
+    // highest BENCH_r{N}.json is last round's, so this run is N+1). No
+    // artifacts (fresh checkout, ad-hoc runs) → round 0, a fixed valid
+    // rotation slot.
+    val roundNum = sys.env.get("SPARK_GRAFT_ROUND").flatMap(r =>
+        scala.util.Try(r.trim.toInt).toOption)
+      .getOrElse {
+        val re = "BENCH_r(\\d+)\\.json".r
+        val rs = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
+          .toSeq.flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        if (rs.isEmpty) 0 else rs.max + 1
+      }
     var spark = newSession()
     // warmup: pay JIT/codegen/parquet-footer costs outside the timed loop
     try {
@@ -710,7 +873,7 @@ object Bench {
     if (sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) {
       spark.stop()
       val sc = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_SCALE", "100").toInt
-      val (sec, rec, fl) = pipelineTier(() => newSession(), sc) // no deadline
+      val out = pipelineTier(() => newSession(), sc, roundNum = roundNum) // no deadline
       def j(m: Map[String, Double]): String =
         m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":${"%.3f".format(v)}" }
           .mkString("{", ",", "}")
@@ -721,9 +884,9 @@ object Bench {
       // its stage (exact_substr_winnowed → exact_substr_winnowed_2m_slice)
       // and to a skipped stage's failure marker
       val hints = soloHints(sc)
-        .filter { case (k, _) => sec.keys.exists(_.startsWith(k)) ||
-          fl.keys.exists(_.startsWith(k)) }
-      println(s"""{"pipeline_scale":$sc,"pipeline_sec":${j(sec)},"pipeline_recall":${j(rec)},"pipeline_failed":${js(fl)},"solo_hint_sec":${j(hints)}}""")
+        .filter { case (k, _) => out.sec.keys.exists(_.startsWith(k)) ||
+          out.failed.keys.exists(_.startsWith(k)) }
+      println(s"""{"pipeline_scale":$sc,"pipeline_sec":${j(out.sec)},"pipeline_recall":${j(out.recall)},"pipeline_failed":${js(out.failed)},"breadth_in_run_sec":${j(out.breadthInRun)},"pole_priority":"${jsonEscape(out.info.getOrElse("pole_priority", ""))}","solo_hint_sec":${j(hints)}}""")
       sys.exit(0) // non-daemon metastore/state-store threads outlive stop()
     }
     // iteration aid: SPARK_GRAFT_STREAM_ONLY=q3,q8 runs just those streaming
@@ -903,6 +1066,13 @@ object Bench {
       // tier's move off the aged batch session halved reported throughput
       // purely from lost JIT warmth)
       graft.queries.NexmarkStreaming.run(spark, name, 30000)
+      // q8 (stream-stream join) has the deepest per-batch operator stack
+      // in the suite and published 1.82× baseline in r10 with its in-run
+      // disclosure saying load, not plan (r10 verdict #8) — one extra
+      // warmup pass costs ~2 s and gets the join's state-store and
+      // codegen paths fully steady before the timed run.
+      if (name == "q8")
+        graft.queries.NexmarkStreaming.run(spark, name, 30000)
       graft.queries.NexmarkStreaming.run(spark, name, streamEvents)
     }
     val streamFirst = graft.queries.NexmarkStreaming.queryNames.flatMap { name =>
@@ -974,18 +1144,23 @@ object Bench {
     val gatePriorSec =
       sys.env.getOrElse("SPARK_GRAFT_GATE_PRIOR_SEC", "480").toDouble
     val contention = math.min(2.0, math.max(1.0, total / gatePriorSec))
-    val (pipelineSec, pipelineRecall, pipelineFailed)
-        : (Map[String, Double], Map[String, Double], Map[String, String]) =
-      if (sys.env.contains("SPARK_GRAFT_ONLY")) (Map.empty, Map.empty, Map.empty)
+    val pipeOut: PipeOut =
+      if (sys.env.contains("SPARK_GRAFT_ONLY"))
+        PipeOut(Map.empty, Map.empty, Map.empty, Map.empty, Map.empty)
       else try {
         spark.stop()
-        pipelineTier(() => newSession(), pipelineScale, deadlineNanos, contention)
+        pipelineTier(() => newSession(), pipelineScale, deadlineNanos,
+          contention, roundNum)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench-pipeline] $e")
-          (Map.empty[String, Double], Map.empty[String, Double],
-            Map("tier" -> s"failed: ${e.toString.take(160)}"))
+          PipeOut(Map.empty, Map.empty,
+            Map("tier" -> s"failed: ${e.toString.take(160)}"),
+            Map.empty, Map.empty)
       }
+    val pipelineSec = pipeOut.sec
+    val pipelineRecall = pipeOut.recall
+    val pipelineFailed = pipeOut.failed
     def jmap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -1002,7 +1177,7 @@ object Bench {
     val hintsRan = soloHints(pipelineScale)
       .filter { case (k, _) => pipelineSec.keys.exists(_.startsWith(k)) ||
         pipelineFailed.keys.exists(_.startsWith(k)) }
-    println(s"""{"tier":"pipeline","scale":$pipelineScale,"sec":${jmap(pipelineSec)},"recall":${jmap(pipelineRecall)},"failed":${jsmap(pipelineFailed)},"solo_hint_sec":${jmap(hintsRan)}}""")
+    println(s"""{"tier":"pipeline","scale":$pipelineScale,"sec":${jmap(pipelineSec)},"recall":${jmap(pipelineRecall)},"failed":${jsmap(pipelineFailed)},"breadth_in_run_sec":${jmap(pipeOut.breadthInRun)},"pole_priority":"${jsonEscape(pipeOut.info.getOrElse("pole_priority", ""))}","solo_hint_sec":${jmap(hintsRan)}}""")
     val fullQs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val inRunDisclosed = suspects.map(k => s"\"" + k + "\":" + fmt(inRun(k)))
@@ -1026,7 +1201,11 @@ object Bench {
     val heavySec = jmap(pipelineSec.filter { case (k, _) =>
       heavyNames.exists(k.startsWith) })
     val elapsed = (System.nanoTime() - benchT0) / 1e9
-    val pipe = s""""pipeline_scale":$pipelineScale,"pipeline_docs":${graft.sources.PipelineCorpus.docsFor(pipelineScale)},"pipeline_vecs":${graft.sources.PipelineCorpus.vecsFor(pipelineScale)},"pipeline_ann_sec":$annSec,"pipeline_heavy_sec":$heavySec,"pipeline_recall":${jmap(pipelineRecall)},"pipeline_failed":${jsmap(pipelineFailed)}"""
+    // pole_priority + breadth_in_run_sec ride the parsed headline (r10
+    // verdict #1/#3): the rotation rule and any breadth re-time's
+    // first-pass numbers must be driver-visible, not tier-line-only.
+    // breadth_in_run_sec is {} on a quiet run, so the line stays small.
+    val pipe = s""""pipeline_scale":$pipelineScale,"pipeline_docs":${graft.sources.PipelineCorpus.docsFor(pipelineScale)},"pipeline_vecs":${graft.sources.PipelineCorpus.vecsFor(pipelineScale)},"pipeline_ann_sec":$annSec,"pipeline_heavy_sec":$heavySec,"pipeline_recall":${jmap(pipelineRecall)},"pipeline_failed":${jsmap(pipelineFailed)},"breadth_in_run_sec":${jmap(pipeOut.breadthInRun)},"pole_priority":"${jsonEscape(pipeOut.info.getOrElse("pole_priority", ""))}""""
     // nexmark_streaming_in_run_eps: first-pass numbers for the re-timed
     // streaming queries only — {} on a quiet run, so the headline stays
     // inside the driver's tail capture, and on a contended run the
