@@ -48,10 +48,10 @@ object Bench {
       "exact_substr_winnowed_2m_slice" -> 150.0, // r10 in-run 162.4 at tail factor 1.16
       "minhash_lsh_neardups_5x_slice" -> 72.0, // r10 in-run 84.0 at tail factor 1.16
       "dup_clusters_5x_slice" -> 10.0, // r10 in-run 11.4
-      "dedup_incremental_slice" -> 240.0) // 1/5 increment vs the FULL 90% corpus:
-      // the corpus-side banding (~9M docs) does not shrink with the
-      // increment, so the slice saves the join/verify share only —
-      // placeholder from cost structure, refined by rehearsal
+      "dedup_incremental_slice" -> 112.0) // r11 solo: 1/5 UNIVERSE slice
+      // (both sides atom-hash-filtered — an increment-only slice measured
+      // 478.7 s ≈ the full stage, because the 9M-doc corpus banding
+      // dominates and does not shrink with the increment)
 
   /** Everything the pipeline tier measured: per-stage seconds, the
     * accuracy/recall gates, failure/skip markers, first-pass times for
@@ -547,12 +547,20 @@ object Bench {
     // against the 90% corpus through the band index — pair generation is
     // the cross-side equi-join only (new×new and old×old pairs are never
     // formed), so join work is increment-proportional. The slice variant
-    // keeps the SAME full 90% corpus side and shrinks the increment 5×
-    // (doc_id % 50 ⊂ the % 10 increment): the cross-side shape and the
-    // corpus-side banding cost are preserved exactly — what shrinks is
-    // the increment banding + pair fanout, so the witness stays honest
-    // about the part that scales with the nightly crawl.
+    // is a 1/5 UNIVERSE slice — both sides filtered by the xxhash of
+    // each doc's planted-pair atom (dup_of when planted, own id
+    // otherwise; the minhash slice group's discipline), on top of the
+    // same %10 increment/corpus split — so the cross-side join shape,
+    // the 9:1 corpus:increment ratio, AND the planted cross-side pair
+    // density all survive at 1/5 scale. An increment-only slice (the
+    // obvious doc_id%50 cut) was MEASURED as a non-starter: 478.7 s solo
+    // at scale 100 vs the full stage's 394 — the corpus-side banding of
+    // the 9M-doc index dominates the stage and does not shrink with the
+    // increment, so shrinking only the increment saves almost nothing.
     def poleDedupIncremental(): Unit = {
+      val atomSlice = pmod(xxhash64(
+        when(col("dup_of") >= 0, col("dup_of")).otherwise(col("doc_id"))),
+        lit(5L)) === 0L
       def full(): Unit = timedSafe("dedup_incremental_10pct", estSec = 550) {
         graft.dedup.Dedup.minhashNearDupsAgainst(
           docs.filter(col("doc_id") % 10 === 0),
@@ -560,10 +568,10 @@ object Bench {
           "doc_id", "text", threshold = 0.7)
           .write.format("noop").mode("overwrite").save()
       }
-      def slice(): Unit = timedSafe("dedup_incremental_slice", estSec = 300) {
+      def slice(): Unit = timedSafe("dedup_incremental_slice", estSec = 170) {
         graft.dedup.Dedup.minhashNearDupsAgainst(
-          docs.filter(col("doc_id") % 50 === 0),
-          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0 && atomSlice),
+          docs.filter(col("doc_id") % 10 =!= 0 && atomSlice),
           "doc_id", "text", threshold = 0.7)
           .write.format("noop").mode("overwrite").save()
       }
