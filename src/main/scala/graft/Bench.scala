@@ -178,9 +178,24 @@ object Bench {
     }
     def deadlineBlocked(estSec: Long): Boolean =
       System.nanoTime() + (estSec * contentionNow * 1e9).toLong > deadlineNanos
-    def timedSafe(name: String, estSec: Long = 0L)(body: => Unit): Unit =
+    // For the heavy POLES, whose ests are WORST-OBSERVED IN-RUN costs
+    // (they already embody a contended run), the factor must NOT be
+    // applied again: est × contentionNow double-counts contention, and
+    // the r11 dress rehearsal showed the consequence — at factor 1.30
+    // every pole read as unaffordable (pass0: 570 × 1.30 = 741 vs ~640
+    // remaining) and the run ENDED 519 s UNDER budget with all three
+    // poles deferred, the exact r9-#2b pathology the chooser exists to
+    // prevent (pass0's true cost that day: ~345 s). Worst-observed ests
+    // gate FLAT; the 250 s gap between the 3350 s budget and the 3600 s
+    // driver kill absorbs a worse-than-worst day, which is that gap's
+    // whole job. Solo-derived ests (breadth, slices) keep the factor.
+    def deadlineBlockedFlat(estSec: Long): Boolean =
+      System.nanoTime() + (estSec * 1e9).toLong > deadlineNanos
+    def timedSafe(name: String, estSec: Long = 0L,
+        flatEst: Boolean = false)(body: => Unit): Unit =
       if (wanted(name)) {
-        if (onlyStages.isEmpty && deadlineBlocked(estSec))
+        if (onlyStages.isEmpty &&
+            (if (flatEst) deadlineBlockedFlat(estSec) else deadlineBlocked(estSec)))
           failures += name -> "skipped_deadline"
         else try timed(name)(body)
         catch { case e: Throwable =>
@@ -327,15 +342,17 @@ object Bench {
     } else if (wanted("ann_brute_force", "ann_lsh", "ann_ivf", "ann_ivfpq",
         "ann_ivfpq_indexed", "ann_ivfpq_rebalance"))
       failures += "ann_group" -> "skipped_deadline"
-    recycle() // ANN persists/shuffles released before the breadth block
-    // The CHEAP BREADTH BLOCK runs right after the ANN group (r8 verdict
-    // #1): in r8 these ~14 scan/pack stages sat at the tier's tail and the
+    recycle() // ANN persists/shuffles released before the tail
+    // The CHEAP BREADTH BLOCK (r8 verdict #1 made it early; r11 slots it
+    // after the guaranteed slices + the rotation's top pole): in r8
+    // these ~14 scan/pack stages sat at the tier's very tail and the
     // official run's contention made the deadline guard chop ALL of them —
-    // none carries a solo hint when skipped, so the artifact lost its
-    // breadth silently. Cheap-first means a budget squeeze now lands on
-    // the tail's solo-hinted HEAVIES (dedup_incremental, minhash,
-    // exact_substr), whose hints ride the artifact and self-document the
-    // contention. Within the block: shuffle-producing stages (packs,
+    // none carried a solo hint when skipped, so the artifact lost its
+    // breadth silently. Since then every breadth stage has an estSec, a
+    // skip marker, and (for the heavies) a solo hint, so a squeeze is
+    // per-stage and self-documenting wherever the block sits — which is
+    // what lets the top-priority pole claim its budget first (r11).
+    // Within the block: shuffle-producing stages (packs,
     // simhash) first, one recycle, then the scan stages with
     // text_features + repetition_features immediately before pii_redact —
     // pii's solo number assumes a warm page cache and those two
@@ -350,7 +367,6 @@ object Bench {
     def warmCorpus(): Unit = if (onlyStages.isEmpty && !pastDeadline)
       try docs.write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
-    warmCorpus()
     // Breadth stages register a RE-RUNNABLE body (r10 verdict #3): a
     // stage landing >2× its solo hint gets one re-run on a fresh
     // session after the block — the r10 official run rode a 3.6×
@@ -366,6 +382,16 @@ object Bench {
       breadthBodies :+= ((name, Seq(name), () => { timed(name)(body); () }))
       timedSafe(name, estSec)(body)
     }
+    // The whole breadth block (scan/pack stages + BPE + the outlier
+    // re-time) as one callable unit: since r11 it runs AFTER the
+    // guaranteed slices and the rotation's TOP-PRIORITY pole (see the
+    // orchestration below) — on a contended day the pre-breadth spend
+    // used to eat the entire tier budget and defer every pole, which is
+    // the one outcome the rotation exists to prevent. Breadth deferrals
+    // are per-stage, markered, and solo-hinted — never silent (the r8
+    // failure mode this block's placement originally fixed).
+    def runBreadthBlock(): Unit = {
+    warmCorpus()
     breadthStage("weighted_mix", estSec = 12) {
       graft.api.Sampling.weightedMix(
         docs.withColumn("source", (col("doc_id") % 16).cast("string")),
@@ -524,6 +550,7 @@ object Bench {
       }
     }
     retimeBreadthOutliers()
+    }
     // (no recycle after bpe: the batched trainer's dict exchanges are a
     // few GB — the heavy tail's own pre-stage recycles bound the disk)
     // ---- the HEAVY TAIL: every stage from here carries a solo_hint_sec
@@ -535,20 +562,32 @@ object Bench {
     // fixed order left the exact-substring full corpus officially
     // unwitnessed four rounds running. The rotation gives each pole top
     // priority once every three rounds (round mod 3), so nothing can go
-    // three consecutive rounds without a full official witness while the
-    // budget fits ~2 poles/round; the order publishes as pole_priority.
-    // Guaranteed CHEAP witnesses still run before any pole: the minhash
-    // 1/5 slice (carries the planted-recall gate every round), and
-    // dedup_incremental degrades to its own 1/5-increment slice when the
-    // full run doesn't fit (r10 verdict #2 — skipped_deadline for BOTH
-    // variants is no longer possible on a ≤1.2× run). Heavy estSec
-    // values are WORST-OBSERVED in-run costs, not solo costs (solo rides
-    // solo_hint_sec): a started stage runs to completion, and the gap
-    // between the 3350 s start budget and the 3600 s driver kill only
-    // absorbs (actual − est×factor) — est must carry the observed
-    // variance or an overrun loses the artifact (rehearsal 4: elapsed
-    // 3799 with optimistic ests — past the kill).
-    remeasureContention() // breadth (post-re-time) + bpe just probed the box
+    // three consecutive rounds without a full official witness; the
+    // order publishes as pole_priority. The TOP-PRIORITY pole's minimum
+    // witness unit (substr pass0 / dedup full / minhash full group) runs
+    // BEFORE the breadth block: the r11 dress rehearsals measured the
+    // pre-pole spend (ANN + breadth + slices + overheads) at ~1300 s on
+    // a contended box against a ~1590 s tier budget, so a tail-ordered
+    // pole could NEVER fit on exactly the days the rotation exists for —
+    // the top pole now claims its budget right after the guaranteed
+    // slices, and a tight day's deferrals land on breadth stages
+    // (per-stage markers + solo hints, never silent) and the two
+    // NON-priority poles instead. Guaranteed CHEAP witnesses still run
+    // before ANY pole: the minhash 1/5 slice (carries the planted-recall
+    // gate every round), and dedup_incremental's own 1/5-universe slice
+    // (r10 verdict #2 — skipped_deadline for BOTH variants is no longer
+    // possible on a ≤1.2× run). Heavy estSec values are WORST-OBSERVED
+    // in-run costs, not solo costs (solo rides solo_hint_sec): a started
+    // stage runs to completion, and the gap between the 3350 s start
+    // budget and the 3600 s driver kill only absorbs (actual − est) —
+    // est must carry the observed variance or an overrun loses the
+    // artifact (r10 rehearsal 4: elapsed 3799 with optimistic ests —
+    // past the kill). BECAUSE they are in-run worsts, the pole ests gate
+    // the deadline FLAT (deadlineBlockedFlat, r11): multiplying an
+    // already-contended worst by the live contention factor
+    // double-counts — the r11 dress rehearsal deferred all three poles
+    // at factor 1.30 and ended 519 s under budget, the r9-#2b
+    // skip-for-nothing pathology again.
     // The nightly-crawl shape at corpus scale: an increment deduped
     // against the 90% corpus through the band index — pair generation is
     // the cross-side equi-join only (new×new and old×old pairs are never
@@ -578,7 +617,8 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       }
     def poleDedupIncremental(): Unit = {
-      def full(): Unit = timedSafe("dedup_incremental_10pct", estSec = 550) {
+      def full(): Unit = timedSafe("dedup_incremental_10pct", estSec = 550,
+          flatEst = true) {
         graft.dedup.Dedup.minhashNearDupsAgainst(
           docs.filter(col("doc_id") % 10 === 0),
           docs.filter(col("doc_id") % 10 =!= 0),
@@ -593,7 +633,7 @@ object Bench {
       // exists to prevent. Here only the FULL stage runs, budget
       // permitting; a deferral is never silent. In opt-in mode timedSafe
       // filters, and a slice-only request is satisfied pre-pole.
-      if (onlyStages.nonEmpty || !deadlineBlocked(550)) full()
+      if (onlyStages.nonEmpty || !deadlineBlockedFlat(550)) full()
       else failures += "dedup_incremental_10pct" -> "deferred_budget"
       recycle() // increment band/shingle shuffles released before the next pole
       // untimed warm corpus read (the weighted_mix discipline, r9 verdict
@@ -725,11 +765,29 @@ object Bench {
     // that the full run was deferred — the degradation is never silent
     // (stage name carries the slice size AND the failures map says why).
     val substrCap = 2000000L
-    def poleSubstr(): Unit = {
-    if (nDocs <= substrCap) timedSafe("exact_substr_winnowed", estSec = 140) {
-      graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
-        .write.format("noop").mode("overwrite").save()
-    } else if (!deadlineBlocked(570) && wanted("exact_substr_winnowed")) {
+    // `maxPasses = 1` is the PRE-BREADTH minimum-witness call on this
+    // pole's top-priority rounds: pass 0 only (a real full-corpus
+    // witness on its own), leaving pass 1 for the pole's post-breadth
+    // rotation slot. The method is idempotent per stage — a pass that
+    // already ran (or already failed/deferred with a marker) is never
+    // re-attempted, so the two calls on a top-priority round compose.
+    def poleSubstr(maxPasses: Int): Unit = {
+    def tried(k: String) = times.contains(k) || failures.contains(k)
+    val p0 = "exact_substr_winnowed_pass0"
+    val p1 = "exact_substr_winnowed_pass1"
+    val sliceName = s"exact_substr_winnowed_${substrCap / 1000000}m_slice"
+    // pass 0 ran in a PREVIOUS call (the pre-breadth minimum-witness
+    // slot) → this session carries the breadth block's shuffles, and
+    // pass 1's anchor spill must start from a fresh one (the ENOSPC
+    // lesson the pass split encodes)
+    val p0RanEarlier = times.contains(p0)
+    if (nDocs <= substrCap) {
+      if (!tried("exact_substr_winnowed"))
+        timedSafe("exact_substr_winnowed", estSec = 140) {
+          graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+        }
+    } else {
       // TWO fingerprint-space passes, each a SEPARATELY-BUDGETED stage
       // since r10 (the r9 shape timed both under one est and rehearsal 4
       // watched the pair run 1022 s — past the kill margin; granular
@@ -744,28 +802,40 @@ object Bench {
       // ENOSPC at 10M docs (r9 rehearsal); per-pass sorts mostly fit
       // memory, so two passes are FASTER besides (406.9 s single-pass vs
       // 275–421 s two-pass solo).
-      timedSafe("exact_substr_winnowed_pass0", estSec = 570) {
-        graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text",
-            hashSplit = 2, hashPart = 0)
-          .write.format("noop").mode("overwrite").save()
-      }
-      recycle() // pass-0 shuffle/spill released — the split's whole point
-      warmCorpus()
-      if (!deadlineBlocked(570))
-        timedSafe("exact_substr_winnowed_pass1", estSec = 570) {
-          graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text",
-              hashSplit = 2, hashPart = 1)
-            .write.format("noop").mode("overwrite").save()
+      if (!tried(p0)) {
+        if (!deadlineBlockedFlat(570) && wanted("exact_substr_winnowed")) {
+          timedSafe(p0, estSec = 570, flatEst = true) {
+            graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text",
+                hashSplit = 2, hashPart = 0)
+              .write.format("noop").mode("overwrite").save()
+          }
+          if (maxPasses >= 2) {
+            recycle() // pass-0 shuffle/spill released — the split's whole point
+            warmCorpus()
+          }
+        } else if (onlyStages.isEmpty) {
+          // no pass fits: marker the full-corpus deferral and run the
+          // capped deterministic slice so the round still carries a
+          // substring number — the degradation is never silent
+          failures += "exact_substr_winnowed_full" -> "deferred_budget"
+          if (!tried(sliceName))
+            timedSafe(sliceName, estSec = 180) {
+              graft.dedup.ExactSubstr.winnowedCandidates(
+                docs.filter(col("doc_id") % lit(math.max(nDocs / substrCap, 1L)) === 0),
+                "doc_id", "text")
+                .write.format("noop").mode("overwrite").save()
+            }
         }
-      else failures += "exact_substr_winnowed_pass1" -> "deferred_budget"
-    } else {
-      if (onlyStages.isEmpty)
-        failures += "exact_substr_winnowed_full" -> "deferred_budget"
-      timedSafe(s"exact_substr_winnowed_${substrCap / 1000000}m_slice", estSec = 180) {
-        graft.dedup.ExactSubstr.winnowedCandidates(
-          docs.filter(col("doc_id") % lit(math.max(nDocs / substrCap, 1L)) === 0),
-          "doc_id", "text")
-          .write.format("noop").mode("overwrite").save()
+      }
+      if (maxPasses >= 2 && times.contains(p0) && !tried(p1)) {
+        if (p0RanEarlier) { recycle(); warmCorpus() }
+        if (!deadlineBlockedFlat(570))
+          timedSafe(p1, estSec = 570, flatEst = true) {
+            graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text",
+                hashSplit = 2, hashPart = 1)
+              .write.format("noop").mode("overwrite").save()
+          }
+        else failures += p1 -> "deferred_budget"
       }
     }
     recycle() // anchor/pair shuffles released before the next pole
@@ -779,7 +849,7 @@ object Bench {
     // the full group is still the round's best shot at the evidence).
     // Marker keyed so a deferral is never silent (r7 advice).
     def poleMinhashFull(): Unit = {
-      if (minhashWanted && !deadlineBlocked(650))
+      if (minhashWanted && !deadlineBlockedFlat(650))
         minhashGroup(slice = false)
       else if (minhashWanted)
         failures += "minhash_group_full" -> "deferred_budget"
@@ -790,20 +860,32 @@ object Bench {
     // the budget first; the order is published as pole_priority so the
     // artifact discloses the rule. Round 11 ≡ 2 (mod 3) puts the
     // exact-substring pole — four rounds officially unwitnessed — first.
-    val poles: Seq[(String, () => Unit)] = (((roundNum % 3) + 3) % 3) match {
-      case 2 => Seq("exact_substr" -> (() => poleSubstr()),
-        "dedup_incremental" -> (() => poleDedupIncremental()),
-        "minhash_full" -> (() => poleMinhashFull()))
-      case 0 => Seq("dedup_incremental" -> (() => poleDedupIncremental()),
-        "minhash_full" -> (() => poleMinhashFull()),
-        "exact_substr" -> (() => poleSubstr()))
-      case _ => Seq("minhash_full" -> (() => poleMinhashFull()),
-        "exact_substr" -> (() => poleSubstr()),
-        "dedup_incremental" -> (() => poleDedupIncremental()))
+    // The TOP pole's MINIMUM WITNESS UNIT runs before the breadth block
+    // (see the heavy-tail comment above: on a contended day the
+    // pre-pole spend ate the whole tier budget, so a tail-slotted pole
+    // could never fit on exactly the days the rotation exists for); the
+    // remaining units run after breadth in rotation order.
+    val rotation = ((roundNum % 3) + 3) % 3
+    val (preBreadthPole, postBreadthPoles) = rotation match {
+      case 2 => ("exact_substr_pass0" -> (() => poleSubstr(maxPasses = 1)),
+        Seq("exact_substr_pass1" -> (() => poleSubstr(maxPasses = 2)),
+          "dedup_incremental" -> (() => poleDedupIncremental()),
+          "minhash_full" -> (() => poleMinhashFull())))
+      case 0 => ("dedup_incremental" -> (() => poleDedupIncremental()),
+        Seq("minhash_full" -> (() => poleMinhashFull()),
+          "exact_substr" -> (() => poleSubstr(maxPasses = 2))))
+      case _ => ("minhash_full" -> (() => poleMinhashFull()),
+        Seq("exact_substr" -> (() => poleSubstr(maxPasses = 2)),
+          "dedup_incremental" -> (() => poleDedupIncremental())))
     }
     info += "pole_priority" ->
-      (poles.map(_._1).mkString(">") + s";round=$roundNum")
-    poles.foreach { case (_, run) =>
+      ((preBreadthPole._1 +: postBreadthPoles.map(_._1)).mkString(">") +
+        s";round=$roundNum;top_pole=pre_breadth")
+    preBreadthPole._2()
+    remeasureContention() // the top pole's own ratios feed what follows
+    runBreadthBlock()
+    remeasureContention() // breadth (post-re-time) + bpe just probed the box
+    postBreadthPoles.foreach { case (_, run) =>
       run()
       remeasureContention() // each pole's own ratios feed the next choice
     }
@@ -901,7 +983,19 @@ object Bench {
     if (sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) {
       spark.stop()
       val sc = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_SCALE", "100").toInt
-      val out = pipelineTier(() => newSession(), sc, roundNum = roundNum) // no deadline
+      // rehearsal aids: SPARK_GRAFT_PIPELINE_BUDGET_SEC imposes a
+      // tier-local deadline (validates the chooser's skip/degrade
+      // arithmetic at the remaining-budget shape an official run would
+      // hand the tier); SPARK_GRAFT_PIPELINE_CONTENTION seeds the factor
+      // the gate tier would have measured. Defaults: no deadline, 1.0.
+      val dl = sys.env.get("SPARK_GRAFT_PIPELINE_BUDGET_SEC")
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .map(b => System.nanoTime() + b * 1000000000L)
+        .getOrElse(Long.MaxValue)
+      val cf = sys.env.get("SPARK_GRAFT_PIPELINE_CONTENTION")
+        .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(1.0)
+      val out = pipelineTier(() => newSession(), sc, deadlineNanos = dl,
+        contention = cf, roundNum = roundNum)
       def j(m: Map[String, Double]): String =
         m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":${"%.3f".format(v)}" }
           .mkString("{", ",", "}")
@@ -1166,11 +1260,12 @@ object Bench {
     // maximum caution is right anyway.
     // The prior must track the suite size or added gates read as phantom
     // contention: ~1.82 s/query (r8 rehearsal-2: 447.9 s / 246) × the
-    // r10 suite's 253 sub-second gates, + the wall-clock-bound streaming
-    // gates' fixed costs (s148 ~9 s poll; s152 ~11 s — new r10) + t153's
-    // double index build ~5 s ⇒ 480.
+    // r11 suite's 255 sub-second gates, + the wall-clock-bound streaming
+    // gates' fixed costs (s148 ~9 s poll; s152 ~11 s) + t153's double
+    // index build ~5 s + t155's build + forged append + repair ~6 s
+    // (both new r11: q154 seqgen, t155 stats repair) ⇒ 490.
     val gatePriorSec =
-      sys.env.getOrElse("SPARK_GRAFT_GATE_PRIOR_SEC", "480").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_GATE_PRIOR_SEC", "490").toDouble
     val contention = math.min(2.0, math.max(1.0, total / gatePriorSec))
     val pipeOut: PipeOut =
       if (sys.env.contains("SPARK_GRAFT_ONLY"))

@@ -104,10 +104,9 @@ object Multimodal {
   }
 
   /** REAL decode: parse the P6 byte stream and aggregate per-image pixel
-    * statistics — bytes in, pixels out, no stub. Same per-partition
-    * streamed-iterator contract as decodeStub (codec state would be
-    * initialized once per partition); runs in the scan stage, constant
-    * memory, no shuffle. */
+    * statistics — bytes in, pixels out, no stub. Per-partition streamed
+    * iterator (codec state would be initialized once per partition);
+    * runs in the scan stage, constant memory, no shuffle. */
   def decodePpm(spark: SparkSession, assets: DataFrame): DataFrame = {
     import spark.implicits._
     assets.select("asset_id", "content").as[(Long, Array[Byte])]
@@ -215,8 +214,8 @@ object Multimodal {
 
   /** REAL video frame sampling: parse the Y4M stream, keep every
     * `stride`-th frame, one output row per KEPT frame with its original
-    * index and true mean luma (Y plane) — the fan-out shape of
-    * sampleFramesStub, now computed from actual decoded frames. */
+    * index and true mean luma (Y plane) — the 1-asset-row → N-frame-rows
+    * in-task fan-out, computed from actual decoded frames. */
   def sampleVideoFrames(spark: SparkSession, assets: DataFrame, stride: Int): DataFrame = {
     import spark.implicits._
     assets.select("asset_id", "content").as[(Long, Array[Byte])]
@@ -238,8 +237,8 @@ object Multimodal {
     * (deterministic: seeded hashes of the payload bytes per dimension,
     * normalized). Real models slot in behind the same per-partition
     * batch contract (load the model once per partition, stream rows
-    * through it — the mapPartitions shape of decodeStub); the output
-    * column is exactly what graft.similarity consumes for ANN. */
+    * through it — the same mapPartitions shape as [[decodePpm]]); the
+    * output column is exactly what graft.similarity consumes for ANN. */
   def featureExtractStub(spark: SparkSession, assets: DataFrame, dim: Int): DataFrame = {
     import spark.implicits._
     assets.select("asset_id", "content").as[(Long, Array[Byte])]

@@ -146,17 +146,47 @@ object IOQueries extends QueryModule {
       |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
       |FROM orders GROUP BY 1 ORDER BY y""".stripMargin
 
+  // Synthetic DSv2 batch source (the reference's GenerateSequence /
+  // SyntheticBoundedSource, io/GenerateSequence.java): the graft-seqgen
+  // source generates (value, ts) rows across 8 planned input partitions;
+  // the gate folds them through an event-time calendar-minute aggregation
+  // so the oracle (an independent DuckDB generate_series replay of the
+  // generator law: ts = 2024-01-01T00:00Z + 10ms·value) checks the
+  // emitted VALUES — partition planning, the InternalRow encoding, and
+  // the micros timestamp arithmetic — not just row counts. Moves the
+  // DSv2 batch-source contract from spec-only to oracle-gated.
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-seqgen")
+      .option("from", 0L).option("count", 100000L).option("partitions", 8)
+      .load()
+      .groupBy(date_trunc("minute", col("ts")).as("minute_start"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"),
+        min("value").as("min_v"), max("value").as("max_v"))
+      .orderBy("minute_start")
+
+  private val q154Sql =
+    """SELECT CAST(date_trunc('minute',
+      |    TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(10000 * i)) AS TIMESTAMP)
+      |    AS minute_start,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(i) AS BIGINT) AS sum_v,
+      |  CAST(min(i) AS BIGINT) AS min_v, CAST(max(i) AS BIGINT) AS max_v
+      |FROM generate_series(0, 99999) AS t(i)
+      |GROUP BY 1 ORDER BY minute_start""".stripMargin
+
   override val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_avro_roundtrip" -> q76,
     "q77_seekable_lookup_join" -> q77,
     "q78_tfrecord_roundtrip" -> q78,
     "q79_xml_roundtrip" -> q79,
-    "q82_thrift_roundtrip" -> q82)
+    "q82_thrift_roundtrip" -> q82,
+    "q154_seqgen_source" -> q154)
 
   override val oracles: Map[String, String] = Map(
     "q76_avro_roundtrip" -> q76Sql,
     "q77_seekable_lookup_join" -> q77Sql,
     "q78_tfrecord_roundtrip" -> q78Sql,
     "q79_xml_roundtrip" -> q79Sql,
-    "q82_thrift_roundtrip" -> q82Sql)
+    "q82_thrift_roundtrip" -> q82Sql,
+    "q154_seqgen_source" -> q154Sql)
 }

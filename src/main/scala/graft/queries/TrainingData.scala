@@ -1692,6 +1692,34 @@ object TrainingData extends QueryModule {
 
   private val t153Sql = t119Sql // append ≡ rebuild ≡ the scan's answer
 
+  // BM25 index CRASH RECOVERY, oracle-gated (r11): forge appendToIndex's
+  // one non-idempotent window — build on the even half, commit the odd
+  // half's POSTINGS (the identical bucketed append the real path writes)
+  // but "die" before the stats/meta swaps, leaving side tables that still
+  // describe the even half only — then run repairStatsFromPostings and
+  // answer the t119 queries from the repaired index. The oracle is t119's
+  // full-corpus DuckDB recompute VERBATIM: recovery must answer exactly
+  // what a fresh build over A ∪ B answers (Bm25IndexSpec pins the
+  // stats/meta tables bit-equal; this gate pins the SERVED ANSWERS
+  // against the independent oracle).
+  private def t155(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    graft.text.Bm25.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", "gate_bm25_rep_idx", buckets = 16)
+    graft.text.Bm25.postings(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .repartition(col("term"))
+      .write.mode("append").bucketBy(16, "term").sortBy("term")
+      .format("parquet").saveAsTable("gate_bm25_rep_idx")
+    graft.text.Bm25.repairStatsFromPostings(s, "gate_bm25_rep_idx")
+    val q = bm25Queries.toDF("query_id", "qtext")
+    graft.text.Bm25.topKIndexed(s, "gate_bm25_rep_idx", q, "query_id",
+      "qtext", k = 10).orderBy("query_id", "rnk")
+  }
+
+  private val t155Sql = t119Sql // repair ≡ rebuild ≡ the scan's answer
+
   // MMR diversified re-ranking: brute-force cosine top-20 candidates per
   // query, greedily re-ranked to a top-5 trading relevance (λ=0.7)
   // against max similarity to already-picked docs. The oracle replays the
@@ -1901,6 +1929,7 @@ object TrainingData extends QueryModule {
     "t119_bm25_topk" -> t119,
     "t151_bm25_indexed" -> t151,
     "t153_bm25_index_append" -> t153,
+    "t155_bm25_stats_repair" -> t155,
     "d137_hybrid_rrf_retrieval" -> d137,
     "d138_mmr_diversified_topk" -> d138,
     "t120_markup_strip" -> t120,
@@ -1963,6 +1992,7 @@ object TrainingData extends QueryModule {
     "t119_bm25_topk" -> t119Sql,
     "t151_bm25_indexed" -> t151Sql,
     "t153_bm25_index_append" -> t153Sql,
+    "t155_bm25_stats_repair" -> t155Sql,
     "d137_hybrid_rrf_retrieval" -> d137Sql,
     "d138_mmr_diversified_topk" -> d138Sql,
     "t120_markup_strip" -> t120Sql,
