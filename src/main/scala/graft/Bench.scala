@@ -210,6 +210,18 @@ object Bench {
     if (wanted("ann_brute_force", "ann_lsh", "ann_ivf", "ann_ivfpq",
         "ann_ivfpq_indexed", "ann_ivfpq_rebalance")
         && !pastDeadline) try {
+      // Untimed warm read of the embeddings (the warmCorpus/weighted_mix
+      // discipline, r9 verdict #6, applied to the ANN group): the tier
+      // opens on a fresh session right after the gate/nexmark tiers
+      // churned the page cache, and the 20M-vector parquet's COLD read
+      // landed inside the first ANN stage's timing — official r10:
+      // ann_brute_force 394.5 s vs 61.7 solo, same code. The solo hints
+      // assume a warm cache (they are measured back-to-back); warm it
+      // OUTSIDE any stage timing so every ANN number means the stage.
+      // The wall-clock cost still counts against the deadline naturally.
+      if (onlyStages.isEmpty)
+        try emb.write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
       // Query count budgets the brute-force baseline (linear in
       // queries x corpus) to ~constant work: target ~4e8 scored pairs,
       // clamped to [48, 200] queries. 200 queries at <=2M vectors (the r5

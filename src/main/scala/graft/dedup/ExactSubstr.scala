@@ -175,17 +175,21 @@ object ExactSubstr {
     // ~4 copies of a ~1G-row exchange at 10M docs, the tier's remaining
     // ENOSPC (observed at scale 100 with 66 GB of scratch). Same design
     // as minhashCandidatePairs; per-bucket work is capped by maxPerGram.
-    // Over-cap buckets are excluded BEFORE the collect: a corpus-wide hot
-    // gram (degenerate boilerplate) would otherwise materialize an
-    // unbounded (id, pos) list in a single aggregation buffer. The count
-    // aggregate is map-side combined (its exchange carries (h, n) pairs,
-    // not anchor structs) and the hot set is tiny by construction — every
-    // member needs > maxPerGram occurrences — so it broadcasts.
-    val hot = anchors.groupBy("h").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxPerGram).select("h")
+    // r11: the hot-gram guard (over-cap buckets must never materialize an
+    // unbounded (id, pos) list in one aggregation buffer) used to be a
+    // SEPARATE count aggregate + broadcast anti-join — which re-ran the
+    // whole anchor scan (the native winnow walk over every corpus byte, a
+    // second time per pass) and exchanged one (h, n) row per near-distinct
+    // gram just to learn which ~nothing is hot. bounded_collect_pairs
+    // folds the guard into the collect itself: the buffer hard-caps at
+    // maxPerGram+1 pairs, a saturated group surfaces as size =
+    // maxPerGram+1, and the unchanged BETWEEN(2, maxPerGram) filter drops
+    // it — same surviving groups, same complete lists for them (guide
+    // §2.4: one pass and one exchange instead of two of each; measured
+    // pass0 at 10M docs: 370.2 s → see OPTIMIZATION_r11.md).
     anchors
-      .join(broadcast(hot), Seq("h"), "left_anti")
-      .groupBy("h").agg(collect_list(struct(col("id"), col("i"))).as("xs"))
+      .groupBy("h").agg(graft.functions.boundedCollectPairs(
+        col("id"), col("i"), maxPerGram + 1).as("xs"))
       .filter(size(col("xs")).between(2, maxPerGram))
       .select(col("h"), explode(flatten(transform(col("xs"), x =>
         transform(

@@ -275,6 +275,34 @@ package object functions {
         org.apache.spark.sql.graftbridge.expression(codes),
         org.apache.spark.sql.graftbridge.expression(lut)))
 
+  /** collect_list(struct(id, pos)) with a HARD per-group cap (cap pairs;
+    * a group at the cap is saturated — filter `size BETWEEN 2 AND cap-1`
+    * to reproduce drop-over-populated-groups in ONE pass). See
+    * graft.plans.BoundedCollectPairsAgg. */
+  def boundedCollectPairs(id: Column, pos: Column, cap: Int): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.BoundedCollectPairsAgg(
+        org.apache.spark.sql.graftbridge.expression(id),
+        org.apache.spark.sql.graftbridge.expression(pos), cap)
+        .toAggregateExpression())
+
+  /** Nearest-centroid index (int) of an array<double> vector against a
+    * driver-held codebook — the IVF cell-routing kernel. Native codegen'd
+    * expression (graft.plans.NearestCentroid): the UDF form boxed every
+    * element through a Seq[Double] converter per corpus row. */
+  def nearestCentroid(vec: Column, centers: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.NearestCentroid(
+        org.apache.spark.sql.graftbridge.expression(vec), centers))
+
+  /** PQ sub-space code indices (array<int>) of an array<double> vector
+    * against driver-held codebooks. Native codegen'd kernel
+    * (graft.plans.PqEncodeCodes), same boxing elimination. */
+  def pqEncodeCodes(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.plans.PqEncodeCodes(
+        org.apache.spark.sql.graftbridge.expression(vec), books))
+
   /** Multi-table random-hyperplane LSH signatures for cosine distance:
     * array of `tables` signatures, each `nBits` sign bits of projections
     * onto deterministic pseudo-random hyperplanes. Native codegen'd kernel

@@ -234,17 +234,164 @@ object Similarity {
         col("col.id").cast(idType).as("nn_id"), col("col.sim").as("sim"))
   }
 
+  /** Query-count bound for the [[bruteForceTopK]] partition kernel: the
+    * query matrix is driver-collected (it was driver-held before too — the
+    * crossJoin broadcast collects it), 64k × 64-dim doubles ≈ 32 MB. */
+  private[similarity] val MaxKernelQueries = 65536
+
+  /** Spark's `round(double, scale)` semantics exactly (RoundBase, HALF_UP):
+    * NaN/Infinity pass through, else BigDecimal.valueOf → setScale →
+    * doubleValue. The kernel must round BEFORE its heap compares, because
+    * ranking (and the id tie-break) is defined on the ROUNDED score. */
+  private[graft] def roundHalfUp(x: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Exact top-k neighbors for each query vector (cosine). Excludes
     * self-matches on id equality. Scores rounded to `roundTo` decimals
-    * before ranking so ordering is reproducible; ties broken by corpus id. */
+    * before ranking so ordering is reproducible; ties broken by corpus id.
+    *
+    * Execution: for integral ids (every corpus here) a PARTITION KERNEL —
+    * one pass over the corpus scan that deserializes each vector ONCE,
+    * scores it against the driver-collected query matrix in a primitive
+    * loop (corpus norm computed once per row, query norms precomputed),
+    * and keeps a bounded per-query heap per partition; only
+    * partitions × queries × k partial rows reach the final k-sized merge
+    * ([[rankTopK]]). The previous crossJoin formulation materialized one
+    * joined row PER (query, corpus) PAIR — at 20M × 48 that is ~1B
+    * UnsafeRow copies each carrying both 512-byte vectors, plus a
+    * per-pair ObjectHashAggregate encoder conversion; the arithmetic
+    * (CosineSim's fused i-ascending loop, HALF_UP rounding, heap order
+    * sim desc / id asc) is replicated operation-for-operation, so results
+    * are bit-identical (spec-pinned). String ids / k > 4096 / > 64k
+    * queries keep the crossJoin form. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, roundTo: Int = 4): DataFrame = {
+    val idType = corpus.select(col(idCol)).schema.head.dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integral && k <= 4096) {
+      // bounded driver collect — the crossJoin broadcast held the same
+      // rows on the driver; cap + fallback instead of a hard require
+      val qRows = queries
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .limit(MaxKernelQueries + 1).collect()
+      if (qRows.length <= MaxKernelQueries) {
+        val qOk = qRows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        val qIds = qOk.map(_.getLong(0))
+        val qVecs = qOk.map(_.getSeq[Double](1).toArray)
+        return bruteForceKernel(corpus, idCol, vecCol, idType,
+          qIds, qVecs, k, roundTo)
+      }
+    }
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("sim", round(cosineSim(col("qv"), col("cv")), roundTo))
     rankTopK(scored, k)
+  }
+
+  /** The brute-force partition kernel (see [[bruteForceTopK]]). Emits the
+    * per-partition per-query top-k partials and merges them through the
+    * same [[rankTopK]] heap the crossJoin path used — any global top-k
+    * candidate is in its partition's top-k, and rounded-tie candidates
+    * are kept/dropped by the identical (sim desc, id asc) order, so the
+    * merge sees exactly the rows that decide the old result. */
+  private def bruteForceKernel(corpus: DataFrame, idCol: String,
+      vecCol: String, idType: org.apache.spark.sql.types.DataType,
+      qIds: Array[Long], qVecs: Array[Array[Double]], k: Int,
+      roundTo: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val nq = qIds.length
+    // sqrt of each query's full-length norm — CosineSim's nb accumulates
+    // y*y in ascending index order over ALL query elements; replicated here
+    val qSqrtNorms = qVecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val rt = roundTo
+    // Raw-score prefilter margin: HALF_UP inclusion at scale s needs
+    // x ≥ R − 0.5·10⁻ˢ (positive R) / > (negative R); 0.6·10⁻ˢ covers both
+    // signs plus fp slop, so a candidate below (kth − margin) provably
+    // rounds strictly under the kth rounded score and can skip the
+    // BigDecimal rounding entirely — which otherwise runs per scored pair
+    // (~1B allocations at 20M × 48).
+    val margin = 0.6 * math.pow(10.0, -rt)
+    val narrowed = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val partials = narrowed.queryExecution.toRdd.mapPartitions { it =>
+      // per-query bounded heaps: parallel arrays sorted (sim desc, id asc)
+      val sims = Array.ofDim[Double](nq, k)
+      val ids = Array.ofDim[Long](nq, k)
+      val sizes = new Array[Int](nq)
+      while (it.hasNext) {
+        val row = it.next()
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val id = row.getLong(0)
+          val v = row.getArray(1).toDoubleArray()
+          val n = v.length
+          var na = 0.0
+          var i = 0
+          while (i < n) { na += v(i) * v(i); i += 1 }
+          val sqna = math.sqrt(na)
+          var qi = 0
+          while (qi < nq) {
+            if (qIds(qi) != id) {
+              val qv = qVecs(qi)
+              val lim = if (qv.length < n) qv.length else n
+              var dot = 0.0
+              i = 0
+              while (i < lim) { dot += qv(i) * v(i); i += 1 }
+              val denom = qSqrtNorms(qi) * sqna
+              val raw = if (denom == 0.0) 0.0 else dot / denom
+              val sz = sizes(qi)
+              val hs = sims(qi); val hd = ids(qi)
+              // fast path: a full heap whose kth ROUNDED score provably
+              // exceeds round(raw) — skip the BigDecimal rounding
+              if (sz == k && raw < hs(k - 1) - margin) { /* skip */ }
+              else {
+              val sim = roundHalfUp(raw, rt)
+              // better-than-last test mirrors TopKAgg.reduce's gteq skip
+              if (sz < k || sim > hs(sz - 1) ||
+                  (sim == hs(sz - 1) && id < hd(sz - 1))) {
+                var pos = if (sz < k) sz else k - 1
+                while (pos > 0 && (sim > hs(pos - 1) ||
+                    (sim == hs(pos - 1) && id < hd(pos - 1)))) {
+                  hs(pos) = hs(pos - 1); hd(pos) = hd(pos - 1); pos -= 1
+                }
+                hs(pos) = sim; hd(pos) = id
+                if (sz < k) sizes(qi) = sz + 1
+              }
+              }
+            }
+            qi += 1
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var qi = 0
+      while (qi < nq) {
+        var p = 0
+        while (p < sizes(qi)) {
+          out += org.apache.spark.sql.Row(qIds(qi), ids(qi)(p), sims(qi)(p))
+          p += 1
+        }
+        qi += 1
+      }
+      out.iterator
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", LongType),
+      org.apache.spark.sql.types.StructField("nn_id", LongType),
+      org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType)))
+    val merged = rankTopK(spark.createDataFrame(partials, schema), k)
+    merged.select(col("query_id").cast(idType).as("query_id"), col("rnk"),
+      col("nn_id").cast(idType).as("nn_id"), col("sim"))
   }
 
   /** Multi-table hyperplane signatures: one row per (table, vector) with
@@ -443,27 +590,14 @@ object Similarity {
           .clusterCenters.map(_.toArray)
     }
 
-  /** Nearest-centroid assignment UDF over a driver-held codebook —
-    * flat centers for cache locality + partial-distance early exit (the
-    * pqEncode lesson). One scan-stage pass, no ML pipeline columns. */
-  private[graft] def nearestCell(
-      centers: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val k = centers.length
-    val dim = centers(0).length
-    val flat = new Array[Double](k * dim)
-    var i = 0
-    while (i < k) { System.arraycopy(centers(i), 0, flat, i * dim, dim); i += 1 }
-    udf { (vs: Seq[Double]) =>
-      val v = vs.toArray
-      var best = 0; var bd = Double.MaxValue; var c = 0
-      while (c < k) {
-        var off = c * dim; var s = 0.0; var j = 0
-        while (j < dim && s < bd) { val t = flat(off) - v(j); s += t * t; j += 1; off += 1 }
-        if (s < bd) { bd = s; best = c }
-        c += 1
-      }
-      best
-    }
+  /** Nearest-centroid assignment over a driver-held codebook — the native
+    * codegen'd graft.plans.NearestCentroid kernel (flat centers +
+    * partial-distance early exit, identical loop/tie semantics). The UDF
+    * form boxed every vector into a Seq[Double] per corpus row, which
+    * dominated the 20M-row assignment scans. */
+  private[graft] def nearestCell(centers: Array[Array[Double]]): Column => Column = {
+    val cs: Seq[Seq[Double]] = centers.toSeq.map(_.toSeq)
+    (c: Column) => nearestCentroid(c, cs)
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantization. A small
@@ -667,49 +801,15 @@ object Similarity {
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]],
       keepCols: Seq[String] = Nil): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
-    val ksub = codebooks(0).length
-    // flatten the m×ksub×dsub codebooks to one contiguous array: the
-    // nested-array walk (double indirection + per-row bounds checks) plus
-    // Seq-indexed input made encode the IVF-PQ stage's dominant cost at
-    // 20M vectors; contiguous access + a primitive input copy + partial-
-    // distance early exit cut the measured encode time ~4×, argmin
-    // unchanged (strict < keeps the first-best code on ties, as before)
-    val flat = new Array[Double](m * ksub * dsub)
-    var fj = 0
-    while (fj < m) {
-      var fc = 0
-      while (fc < ksub) {
-        System.arraycopy(codebooks(fj)(fc), 0, flat, (fj * ksub + fc) * dsub, dsub)
-        fc += 1
-      }
-      fj += 1
-    }
-    val enc = udf { (vs: Seq[Double]) =>
-      val v = vs.toArray
-      val codes = new Array[Int](m)
-      var j = 0
-      while (j < m) {
-        val vOff = j * dsub
-        var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < ksub) {
-          var off = (j * ksub + c) * dsub
-          var s = 0.0; var d = 0
-          while (d < dsub && s < bd) {
-            val t = flat(off) - v(vOff + d); s += t * t; d += 1; off += 1
-          }
-          if (s < bd) { bd = s; best = c }
-          c += 1
-        }
-        codes(j) = best; j += 1
-      }
-      codes
-    }
+    // native codegen'd encoder (graft.plans.PqEncodeCodes): flat contiguous
+    // codebooks + primitive input + partial-distance early exit — the UDF
+    // history is in the expression's scaladoc; argmin semantics unchanged
+    // (strict < keeps the first-best code on ties)
+    val books: Seq[Seq[Seq[Double]]] = codebooks.toSeq.map(_.toSeq.map(_.toSeq))
     corpus.select((col(idCol).as("nn_id") +: keepCols.map(col)) ++ Seq(
       col(vecCol).cast("array<double>").as("cv")): _*)
       .select((col("nn_id") +: keepCols.map(col)) ++ Seq(
-        enc(col("cv")).as("codes"),
+        pqEncodeCodes(col("cv"), books).as("codes"),
         sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x))
           .as("norm")): _*)
   }
@@ -825,10 +925,18 @@ object Similarity {
       else q0.withColumn("sig", explode(array(
         col("sig") +: (0 until math.min(probes, nBits)).map(b =>
           col("sig").bitwiseXOR(lit(1L << b))): _*)))
+    // Score BEFORE the dedup exchange, then project to (query_id, nn_id,
+    // sim): sim is a pure function of the pair, so dedup-then-score ≡
+    // score-then-dedup row-for-row — but the dropDuplicates exchange used
+    // to carry qv + cv (~1 KB/row, candidates × tables × probes rows);
+    // narrowed it ships 24 B/row. A multi-collision candidate pays its
+    // (cheap, codegen'd) cosine once per collision instead of once — the
+    // native kernel is ~100 ns against the ~1 KB/row exchange it removes.
     val scored = c.join(broadcast(q), Seq("tbl", "sig"))
       .filter(col("nn_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "nn_id")
       .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
+      .select("query_id", "nn_id", "sim")
+      .dropDuplicates("query_id", "nn_id")
     rankTopK(scored, k)
   }
   // ---- persisted IVF-PQ index: the complete memory-bounded serving layout
