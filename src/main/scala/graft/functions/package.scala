@@ -295,9 +295,13 @@ package object functions {
       graft.plans.NearestCentroid(
         org.apache.spark.sql.graftbridge.expression(vec), centers))
 
-  /** PQ sub-space code indices (array<int>) of an array<double> vector
-    * against driver-held codebooks. Native codegen'd kernel
-    * (graft.plans.PqEncodeCodes), same boxing elimination. */
+  /** PQ sub-space code indices (m-byte binary, one unsigned byte per
+    * sub-space — requires ksub ≤ 256) of an array<double> vector against
+    * driver-held codebooks. Native codegen'd kernel
+    * (graft.plans.PqEncodeCodes), same boxing elimination; binary rather
+    * than array<int> so the persisted index column and the
+    * cell-repartition exchange carry 8 code bytes, not an 8-element
+    * UnsafeArrayData (see the expression scaladoc). */
   def pqEncodeCodes(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
     org.apache.spark.sql.graftbridge.column(
       graft.plans.PqEncodeCodes(

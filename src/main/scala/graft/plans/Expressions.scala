@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: distinct xxhash64 values of all character
@@ -355,22 +355,24 @@ object CosineSim {
   * with `ksub = |lut| / |codes|`. The UDF formulation converted the whole
   * ksub·m-entry LUT (2048 doubles at m=8) from Catalyst to a boxed Seq PER
   * SCORED ROW even though only m entries are read; this reads exactly the
-  * m addressed entries off ArrayData inside whole-stage codegen. */
+  * m addressed entries off ArrayData inside whole-stage codegen. Codes are
+  * the m-byte BINARY emitted by [[PqEncodeCodes]] (one unsigned byte per
+  * sub-space — see there for why binary, not array<int>). */
 case class PqAdc(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(org.apache.spark.sql.types.IntegerType, _), ArrayType(DoubleType, _)) =>
+    case (BinaryType, ArrayType(DoubleType, _)) =>
       TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"pq_adc requires (array<int> codes, array<double> lut), got " +
+      s"pq_adc requires (binary codes, array<double> lut), got " +
         s"${l.catalogString}, ${r.catalogString}")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    PqAdc.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    PqAdc.compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
@@ -382,12 +384,12 @@ case class PqAdc(left: Expression, right: Expression)
 }
 
 object PqAdc {
-  def compute(codes: ArrayData, lut: ArrayData): Double = {
-    val m = codes.numElements()
+  def compute(codes: Array[Byte], lut: ArrayData): Double = {
+    val m = codes.length
     if (m == 0) return 0.0
     val ksub = lut.numElements() / m
     var s = 0.0; var j = 0
-    while (j < m) { s += lut.getDouble(j * ksub + codes.getInt(j)); j += 1 }
+    while (j < m) { s += lut.getDouble(j * ksub + (codes(j) & 0xff)); j += 1 }
     s
   }
 }
@@ -779,8 +781,21 @@ case class NearestCentroid(child: Expression, centers: Seq[Seq[Double]])
 }
 
 /** Native PQ encoder: `PqEncodeCodes(vec, books)` returns the `m`
-  * sub-space code indices (array<int>) for a vector against driver-held
-  * codebooks — the other per-corpus-row kernel of the IVF-PQ build.
+  * sub-space code indices as an m-byte BINARY (one unsigned byte per
+  * sub-space; requires ksub ≤ 256, which PQ's whole premise — byte codes —
+  * already assumes) for a vector against driver-held codebooks — the
+  * other per-corpus-row kernel of the IVF-PQ build.
+  *
+  * Binary, not array<int> (r11, guide §2.3 narrower types / §6 columnar):
+  * the code VALUES are identical (same strict-`<` first-best argmin), but
+  * an 8-element UnsafeArrayData costs ~56 B per row through the
+  * cell-repartition exchange where the 8-byte blob costs 16, and the
+  * persisted index's codes column becomes 18M fixed-width binaries
+  * instead of 144M list-encoded int32 leaves — the encode+write phase
+  * dominated the ann_ivfpq_indexed/rebalance stages (measured ~96 s of
+  * 142 at 20M vectors, see OPTIMIZATION_r11.md). ADC reads bytes back
+  * with `& 0xff`, so scores are bit-identical.
+  *
   * Same boxed-Seq-elimination as [[NearestCentroid]]; the flat-codebook /
   * partial-distance argmin loop is unchanged from the UDF form (strict
   * `<`, first-best code on ties — codes bit-identical). */
@@ -789,14 +804,15 @@ case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Double]]])
 
   require(books.nonEmpty && books.head.nonEmpty && books.head.head.nonEmpty,
     "codebooks must be non-empty")
+  require(books.head.length <= 256,
+    s"pq_encode emits byte codes: ksub must be ≤ 256, got ${books.head.length}")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"pq_encode requires array<double>, got ${other.catalogString}")
   }
-  override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
 
   @transient private lazy val m = books.length
@@ -819,13 +835,13 @@ case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Double]]])
 
   /** Called from generated code. Lazy vals copied to locals before the
     * loops — see [[NearestCentroid.compute]] for why. */
-  def compute(arr: ArrayData): ArrayData = {
+  def compute(arr: ArrayData): Array[Byte] = {
     val f = flat; val mm = m; val ks = ksub; val ds = dsub
     val n = arr.numElements()
     val v = new Array[Double](n)
     var x = 0
     while (x < n) { v(x) = arr.getDouble(x); x += 1 }
-    val codes = new Array[Int](mm)
+    val codes = new Array[Byte](mm)
     var j = 0
     while (j < mm) {
       val vOff = j * ds
@@ -839,9 +855,9 @@ case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Double]]])
         if (s < bd) { bd = s; best = c }
         c += 1
       }
-      codes(j) = best; j += 1
+      codes(j) = best.toByte; j += 1
     }
-    new GenericArrayData(codes)
+    codes
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -792,8 +792,8 @@ object Similarity {
     }
   }
 
-  /** PQ-encode each vector: (nn_id, codes m×int, norm). The 64-dim float
-    * vector (256 B) compresses to m code bytes + one stored norm — the
+  /** PQ-encode each vector: (nn_id, codes m-byte binary, norm). The 64-dim
+    * float vector (256 B) compresses to m code bytes + one stored norm — the
     * 100 TB memory story (20M vectors: 5 GB of floats vs ~320 MB of
     * codes), and the reason a PQ index can stay resident where raw
     * vectors cannot. Encoding is a scan-stage map with the codebooks in

@@ -93,7 +93,7 @@ class KernelEquivalenceSpec extends GraftSpec {
     val bflat = books.flatten.flatten
     val refEnc = udf { (vs: Seq[Double]) =>
       val v = vs.toArray
-      val codes = new Array[Int](m)
+      val codes = new Array[Byte](m)
       var j = 0
       while (j < m) {
         val vOff = j * dsub
@@ -105,7 +105,7 @@ class KernelEquivalenceSpec extends GraftSpec {
           if (s < bd) { bd = s; best = c }
           c += 1
         }
-        codes(j) = best; j += 1
+        codes(j) = best.toByte; j += 1
       }
       codes
     }
