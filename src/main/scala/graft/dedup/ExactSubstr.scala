@@ -187,19 +187,114 @@ object ExactSubstr {
     // it — same surviving groups, same complete lists for them (guide
     // §2.4: one pass and one exchange instead of two of each; measured
     // pass0 at 10M docs: 370.2 s → see OPTIMIZATION_r11.md).
-    anchors
-      .groupBy("h").agg(graft.functions.boundedCollectPairs(
-        col("id"), col("i"), maxPerGram + 1).as("xs"))
-      .filter(size(col("xs")).between(2, maxPerGram))
-      .select(col("h"), explode(flatten(transform(col("xs"), x =>
-        transform(
-          filter(col("xs"), y => y.getField("id") > x.getField("id") ||
-            (y.getField("id") === x.getField("id") &&
-             y.getField("i") > x.getField("i"))),
-          y => struct(
-            x.getField("id").as("id_a"), x.getField("i").as("pos_a"),
-            y.getField("id").as("id_b"), y.getField("i").as("pos_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.pos_a").as("pos_a"),
-        col("p.id_b").as("id_b"), col("p.pos_b").as("pos_b"), col("h"))
+    //
+    // r11 second cut: the groups are NEAR-DISTINCT (~one anchor per gram),
+    // so the aggregate's hash map always blows past the ObjectHashAggregate
+    // fallback threshold and BOTH sides degenerate to sort-based
+    // aggregation — the map side sorts the full anchor stream once just to
+    // produce one 20-byte serialized buffer per (almost always singleton)
+    // group, the exchange carries those buffers, and the reduce side sorts
+    // AGAIN to merge them. Grouping near-distinct keys needs exactly ONE
+    // sort: shuffle the raw 24-byte (h, id, i) rows, radix-sort each
+    // reduce partition by h, and walk consecutive equal-h runs with the
+    // identical cap/filter/pair semantics (collect up to maxPerGram+1
+    // non-null entries; a run at maxPerGram+1 is saturated and dropped;
+    // surviving runs of 2..maxPerGram emit each unordered (id, i) pair
+    // once, oriented ascending — strict inequality, so duplicate entries
+    // never self-pair, exactly like the old strict-> lambda). Pair sets
+    // are bit-identical (ExactSubstrSpec pins walk ≡ aggregate on data
+    // with dup/hot/null-id arms; tools.WinnowPlans re-checks on the real
+    // corpus); measured pass0 at 10M docs: 225.7 → see OPTIMIZATION_r11.md
+    // (guide §2.3 project-before-exchange + §1.2 remove a redundant sort).
+    walkSortedAnchors(anchors, maxPerGram)
+  }
+
+  /** One-sort grouping of the anchor stream (see [[winnowedCandidates]]):
+    * hash-repartition on the fingerprint, per-partition sort, streaming
+    * run walk. Exists as its own method so the spec can compare it
+    * directly against the aggregate formulation it replaced. */
+  private[graft] def walkSortedAnchors(anchors: DataFrame,
+      maxPerGram: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = anchors.sparkSession
+    val cap = maxPerGram + 1
+    val sorted = anchors.select(col("h"), col("id"), col("i"))
+      .repartition(col("h")).sortWithinPartitions("h")
+    val out = sorted.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[Row] {
+        // current run's collected entries (non-null id/i only, capped)
+        private val ids = new Array[Long](cap)
+        private val pos = new Array[Long](cap)
+        private var n = 0
+        private var keyNull = false
+        private var key = 0L
+        private var open = false
+        private var emit: Iterator[Row] = Iterator.empty
+
+        /** Close the current run: emit its pairs iff 2 ≤ n ≤ maxPerGram
+          * (n == cap means the saturation guard fired — drop the group,
+          * the same skip-huge-cluster rule as the capped buffer). */
+        private def closeRun(): Unit = {
+          if (open && n >= 2 && n <= maxPerGram) {
+            // sort entries by (id, i); each unordered pair of DISTINCT
+            // entries emits once, oriented ascending — identical multiset
+            // to the old per-x strict-> filter expansion
+            val idx = (0 until n).sortBy(p => (ids(p), pos(p)))
+            val ia = idx.map(ids(_)).toArray
+            val pa = idx.map(pos(_)).toArray
+            val kNull = keyNull; val k = key
+            val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var a = 0
+            while (a < ia.length) {
+              var b = a + 1
+              while (b < ia.length) {
+                if (ia(a) != ia(b) || pa(a) != pa(b))
+                  rows += Row(ia(a), pa(a), ia(b), pa(b),
+                    if (kNull) null else k)
+                b += 1
+              }
+              a += 1
+            }
+            emit = rows.iterator
+          }
+          n = 0; open = false
+        }
+
+        private def advance(): Unit = {
+          while (!emit.hasNext && it.hasNext) {
+            val r = it.next()
+            val hNull = r.isNullAt(0)
+            val h = if (hNull) 0L else r.getLong(0)
+            if (!open || hNull != keyNull || (!hNull && h != key)) {
+              closeRun()
+              open = true; keyNull = hNull; key = h
+            }
+            // null id/pos entries ride the run but are never collected —
+            // mirrors the aggregate's null-skipping update()
+            if (!r.isNullAt(1) && !r.isNullAt(2) && n < cap) {
+              ids(n) = r.getLong(1); pos(n) = r.getLong(2); n += 1
+            } else if (!r.isNullAt(1) && !r.isNullAt(2)) {
+              // at cap: the run is saturated; entries past cap are dropped
+              // (which entries survive never matters — the run is dropped)
+            }
+          }
+          if (!emit.hasNext && !it.hasNext) closeRun()
+        }
+
+        override def hasNext: Boolean = {
+          if (!emit.hasNext) advance()
+          emit.hasNext
+        }
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          emit.next()
+        }
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id_a", LongType), StructField("pos_a", LongType),
+      StructField("id_b", LongType), StructField("pos_b", LongType),
+      StructField("h", LongType))))
   }
 }

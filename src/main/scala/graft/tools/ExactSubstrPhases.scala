@@ -28,17 +28,39 @@ object ExactSubstrPhases {
       println(f"[substrPhases] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
       r
     }
+    val maxPerGram = 1000
+    def anchors = docs.select(col("doc_id").as("id"),
+        explode(graft.functions.winnowedAnchors(col("text"), 50, 10)).as("a"))
+      .select(col("id"), col("a.i").as("i"), col("a.h").as("h"))
+      .filter(pmod(col("h"), lit(2L)) === pass)
     t(s"anchors_scan_only_pass$pass") {
-      docs.select(col("doc_id").as("id"),
-          explode(graft.functions.winnowedAnchors(col("text"), 50, 10)).as("a"))
-        .select(col("id"), col("a.i").as("i"), col("a.h").as("h"))
-        .filter(pmod(col("h"), lit(2L)) === pass)
-        .write.format("noop").mode("overwrite").save()
+      anchors.write.format("noop").mode("overwrite").save()
     }
-    t(s"full_pass$pass") {
-      graft.dedup.ExactSubstr.winnowedCandidates(docs, "doc_id", "text",
-        hashSplit = 2, hashPart = pass)
-        .write.format("noop").mode("overwrite").save()
+    // in-session A/B: the bounded-collect aggregate shape vs the
+    // sorted-run walk, alternated in ONE JVM so box drift cancels
+    def aggShape() = anchors
+      .groupBy("h").agg(graft.functions.boundedCollectPairs(
+        col("id"), col("i"), maxPerGram + 1).as("xs"))
+      .filter(size(col("xs")).between(2, maxPerGram))
+      .select(col("h"), explode(flatten(transform(col("xs"), x =>
+        transform(
+          filter(col("xs"), y => y.getField("id") > x.getField("id") ||
+            (y.getField("id") === x.getField("id") &&
+             y.getField("i") > x.getField("i"))),
+          y => struct(
+            x.getField("id").as("id_a"), x.getField("i").as("pos_a"),
+            y.getField("id").as("id_b"), y.getField("i").as("pos_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.pos_a").as("pos_a"),
+        col("p.id_b").as("id_b"), col("p.pos_b").as("pos_b"), col("h"))
+    def walkShape() =
+      graft.dedup.ExactSubstr.walkSortedAnchors(anchors, maxPerGram)
+    for (round <- 1 to 2) {
+      t(s"agg_shape_pass${pass}_r$round") {
+        aggShape().write.format("noop").mode("overwrite").save()
+      }
+      t(s"walk_shape_pass${pass}_r$round") {
+        walkShape().write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
     sys.exit(0)

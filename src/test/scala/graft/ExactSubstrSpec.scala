@@ -128,6 +128,55 @@ class ExactSubstrSpec extends GraftSpec {
     }
   }
 
+  test("sorted-run walk equals the bounded-collect aggregate on adversarial anchors") {
+    // direct pin of walkSortedAnchors (the r11 one-sort grouping) against
+    // the bounded_collect_pairs aggregate it replaced, on anchor shapes the
+    // winnow kernel itself can never produce: duplicate (id, i) entries
+    // (must never self-pair, but each copy pairs with the others), null
+    // ids (ride the run, never collected), and runs at exactly cap-1, cap
+    // and cap+1 entries (the saturation boundary)
+    val cap = 4
+    val anchors = Seq[(Option[Long], Long, Long)](
+      (Some(1L), 10L, 100L), (Some(2L), 20L, 100L),            // size 2
+      (Some(3L), 30L, 200L), (Some(3L), 30L, 200L),
+      (Some(4L), 40L, 200L),                                   // dup entry
+      (None, 1L, 300L), (Some(5L), 50L, 300L), (Some(6L), 60L, 300L), // null id
+      (Some(7L), 1L, 400L), (Some(7L), 2L, 400L), (Some(7L), 3L, 400L),
+      (Some(7L), 4L, 400L),                                    // == cap
+      (Some(8L), 1L, 500L), (Some(8L), 2L, 500L), (Some(8L), 3L, 500L), // == cap-1
+      (Some(9L), 1L, 600L), (Some(9L), 2L, 600L), (Some(9L), 3L, 600L),
+      (Some(9L), 4L, 600L), (Some(9L), 5L, 600L),              // cap+1
+      (Some(10L), 70L, 700L))                                  // singleton
+      .toDF("id", "i", "h")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "pos_a", "id_b", "pos_b", "h")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val walk = norm(ExactSubstr.walkSortedAnchors(anchors, cap - 1))
+    val agg = norm(anchors
+      .groupBy("h").agg(graft.functions.boundedCollectPairs(
+        col("id"), col("i"), cap).as("xs"))
+      .filter(size(col("xs")).between(2, cap - 1))
+      .select(col("h"), explode(flatten(transform(col("xs"), x =>
+        transform(
+          filter(col("xs"), y => y.getField("id") > x.getField("id") ||
+            (y.getField("id") === x.getField("id") &&
+             y.getField("i") > x.getField("i"))),
+          y => struct(
+            x.getField("id").as("id_a"), x.getField("i").as("pos_a"),
+            y.getField("id").as("id_b"), y.getField("i").as("pos_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.pos_a").as("pos_a"),
+        col("p.id_b").as("id_b"), col("p.pos_b").as("pos_b"), col("h")))
+    assert(walk == agg, s"walk=${walk.take(5)}... agg=${agg.take(5)}...")
+    // spot invariants: the dup entry never self-pairs but pairs twice with
+    // its neighbor; the null-id run pairs only its two non-null entries;
+    // the cap and cap+1 runs are dropped, cap-1 survives complete
+    assert(walk.count(p => p._5 == 200L) == 2)
+    assert(!walk.exists(p => p._5 == 200L && p._1 == p._3 && p._2 == p._4))
+    assert(walk.count(p => p._5 == 300L) == 1)
+    assert(!walk.exists(p => p._5 == 400L || p._5 == 600L || p._5 == 700L))
+    assert(walk.count(p => p._5 == 500L) == 3)
+  }
+
   test("native winnowed anchors equal the declarative formulation") {
     // the interpreted reference: per-position xxhash64 of the minLen-gram
     // + array_min over the w-window ending at each position — the exact
@@ -198,8 +247,9 @@ class ExactSubstrSpec extends GraftSpec {
     val enc = Similarity.pqEncode(vecs, "vec_id", "embedding", books).collect()
     assert(enc.length == 64)
     enc.foreach { r =>
-      val codes = r.getSeq[Int](1)
-      assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 8))
+      // codes are an m-byte binary since r11 (one unsigned byte per sub-space)
+      val codes = r.getAs[Array[Byte]](1)
+      assert(codes.length == 4 && codes.forall(c => (c & 0xff) >= 0 && (c & 0xff) < 8))
       assert(r.getDouble(2) > 0.0)
     }
   }

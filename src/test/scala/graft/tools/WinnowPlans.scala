@@ -34,8 +34,19 @@ object WinnowPlans {
       df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     java.nio.file.Files.write(java.nio.file.Paths.get(
       "/root/repo/plans/r11/exact_substr_winnowed_before.txt"), cap(before).getBytes)
+    // the r11 walk's output DataFrame is createDataFrame(rdd) — its own
+    // plan is just `Scan ExistingRDD`; the shuffle+sort it consumes is the
+    // child query execution, dumped alongside so the plan evidence shows
+    // the whole shape (anchor scan → ONE exchange → ONE sort → walk)
+    val sortedChild = anchors.select(col("h"), col("id"), col("i"))
+      .repartition(col("h")).sortWithinPartitions("h")
     java.nio.file.Files.write(java.nio.file.Paths.get(
-      "/root/repo/plans/r11/exact_substr_winnowed_after.txt"), cap(after).getBytes)
+      "/root/repo/plans/r11/exact_substr_winnowed_after.txt"),
+      ("# child pipeline the sorted-run walk consumes (anchor scan -> one Exchange -> one Sort;\n" +
+       "# the walk itself is a mapPartitions over this, surfacing as Scan ExistingRDD below)\n" +
+       cap(sortedChild) +
+       "\n# outer plan of winnowedCandidates' returned DataFrame:\n" +
+       cap(after)).getBytes)
     val b = before.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val a = after.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     println(s"WINNOW_EQUAL=${a == b} n=${a.size}")
