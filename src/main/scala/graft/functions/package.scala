@@ -289,11 +289,22 @@ package object functions {
   /** Nearest-centroid index (int) of an array<double> vector against a
     * driver-held codebook — the IVF cell-routing kernel. Native codegen'd
     * expression (graft.plans.NearestCentroid): the UDF form boxed every
-    * element through a Seq[Double] converter per corpus row. */
-  def nearestCentroid(vec: Column, centers: Seq[Seq[Double]]): Column =
+    * element through a Seq[Double] converter per corpus row. The codebook
+    * is flattened to ONE primitive array here on the driver, so the
+    * expression's serialized state carries zero boxed values (r12). */
+  def nearestCentroid(vec: Column, centers: Array[Array[Double]]): Column = {
+    require(centers.nonEmpty && centers.head.nonEmpty, "centers must be non-empty")
+    val k = centers.length; val dim = centers.head.length
+    val flat = new Array[Double](k * dim)
+    var i = 0
+    while (i < k) {
+      require(centers(i).length == dim, "ragged centers")
+      System.arraycopy(centers(i), 0, flat, i * dim, dim); i += 1
+    }
     org.apache.spark.sql.graftbridge.column(
       graft.plans.NearestCentroid(
-        org.apache.spark.sql.graftbridge.expression(vec), centers))
+        org.apache.spark.sql.graftbridge.expression(vec), flat, k, dim))
+  }
 
   /** PQ sub-space code indices (m-byte binary, one unsigned byte per
     * sub-space — requires ksub ≤ 256) of an array<double> vector against
@@ -302,10 +313,27 @@ package object functions {
     * than array<int> so the persisted index column and the
     * cell-repartition exchange carry 8 code bytes, not an 8-element
     * UnsafeArrayData (see the expression scaladoc). */
-  def pqEncodeCodes(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+  def pqEncodeCodes(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    require(books.nonEmpty && books.head.nonEmpty && books.head.head.nonEmpty,
+      "codebooks must be non-empty")
+    val m = books.length; val ksub = books.head.length
+    val dsub = books.head.head.length
+    val flat = new Array[Double](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      require(books(j).length == ksub, "ragged codebooks")
+      var c = 0
+      while (c < ksub) {
+        require(books(j)(c).length == dsub, "ragged codebooks")
+        System.arraycopy(books(j)(c), 0, flat, (j * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
     org.apache.spark.sql.graftbridge.column(
       graft.plans.PqEncodeCodes(
-        org.apache.spark.sql.graftbridge.expression(vec), books))
+        org.apache.spark.sql.graftbridge.expression(vec), flat, m, ksub, dsub))
+  }
 
   /** Multi-table random-hyperplane LSH signatures for cosine distance:
     * array of `tables` signatures, each `nBits` sign bits of projections

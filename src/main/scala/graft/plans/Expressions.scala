@@ -717,11 +717,25 @@ case class VocabTermCounts(child: Expression, vocab: Seq[String])
   * elements off `ArrayData` into one primitive buffer per row inside
   * whole-stage codegen and runs the identical flat-centers /
   * partial-distance-early-exit loop (same operation order, strict `<`
-  * keeps the first-best centroid on ties — assignments bit-identical). */
-case class NearestCentroid(child: Expression, centers: Seq[Seq[Double]])
+  * keeps the first-best centroid on ties — assignments bit-identical).
+  *
+  * The codebook is held FLAT as one primitive `Array[Double]` (r12): the
+  * r11 form carried `Seq[Seq[Double]]` through `addReferenceObj(this)`,
+  * so every task deserialization rebuilt nlist×dim BOXED Doubles
+  * (65,536 objects at nlist=1024, d=64) plus wrapper Seqs before the
+  * transient flat buffer could be derived — the one serialized-state
+  * suspect the r11 verdict flagged on the regressed IVF stages. A flat
+  * primitive array Java-serializes as one contiguous block and
+  * deserializes with zero boxing. Arrays compare by reference, so
+  * equals/hashCode are overridden structurally — Catalyst
+  * canonicalization (exchange reuse, subexpression elimination) behaves
+  * exactly as it did with the Seq form. */
+case class NearestCentroid(child: Expression, flat: Array[Double],
+    k: Int, dim: Int)
     extends UnaryExpression {
 
-  require(centers.nonEmpty && centers.head.nonEmpty, "centers must be non-empty")
+  require(k > 0 && dim > 0 && flat.length == k * dim,
+    s"flat centers must be k*dim doubles: k=$k dim=$dim len=${flat.length}")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -731,25 +745,22 @@ case class NearestCentroid(child: Expression, centers: Seq[Seq[Double]])
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "nearest_centroid"
 
-  @transient private lazy val k = centers.length
-  @transient private lazy val dim = centers.head.length
-  @transient private lazy val flat: Array[Double] = {
-    val f = new Array[Double](k * dim)
-    var i = 0
-    while (i < k) {
-      val c = centers(i); var j = 0
-      while (j < dim) { f(i * dim + j) = c(j); j += 1 }
-      i += 1
-    }
-    f
+  // structural equality despite the Array field (case-class equals would
+  // compare the array by reference and break plan canonicalization)
+  override def equals(other: Any): Boolean = other match {
+    case NearestCentroid(c, f, kk, dm) =>
+      c == child && kk == k && dm == dim && java.util.Arrays.equals(f, flat)
+    case _ => false
   }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(k), Integer.valueOf(dim),
+      Integer.valueOf(java.util.Arrays.hashCode(flat)))
 
-  /** Called from generated code. Lazy-val fields are copied to LOCALS
-    * before the loops — a lazy-val accessor is a method call with a
-    * volatile read, and inside the innermost distance loop it blocks JIT
-    * hoisting/vectorization (measured: ~2.7× on the 20M-row assignment
-    * scan, the bug that initially made this expression SLOWER than the
-    * boxing UDF it replaced). */
+  /** Called from generated code. Fields are copied to LOCALS before the
+    * loops — a field accessor inside the innermost distance loop blocks
+    * JIT hoisting/vectorization (measured: ~2.7× on the 20M-row
+    * assignment scan when these were lazy vals — the bug that initially
+    * made this expression SLOWER than the boxing UDF it replaced). */
   def compute(arr: ArrayData): Int = {
     val f = flat; val kk = k; val dm = dim
     val n = arr.numElements()
@@ -798,14 +809,21 @@ case class NearestCentroid(child: Expression, centers: Seq[Seq[Double]])
   *
   * Same boxed-Seq-elimination as [[NearestCentroid]]; the flat-codebook /
   * partial-distance argmin loop is unchanged from the UDF form (strict
-  * `<`, first-best code on ties — codes bit-identical). */
-case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Double]]])
+  * `<`, first-best code on ties — codes bit-identical).
+  *
+  * Codebooks held FLAT as one primitive `Array[Double]` (r12, same
+  * rationale as [[NearestCentroid]]): the r11 `Seq[Seq[Seq[Double]]]`
+  * field rebuilt m×ksub×dsub boxed Doubles (16,384 at m=8, ksub=256,
+  * dsub=8) per task deserialization; structural equals/hashCode keep
+  * canonicalization semantics identical. */
+case class PqEncodeCodes(child: Expression, flat: Array[Double],
+    m: Int, ksub: Int, dsub: Int)
     extends UnaryExpression {
 
-  require(books.nonEmpty && books.head.nonEmpty && books.head.head.nonEmpty,
-    "codebooks must be non-empty")
-  require(books.head.length <= 256,
-    s"pq_encode emits byte codes: ksub must be ≤ 256, got ${books.head.length}")
+  require(m > 0 && ksub > 0 && dsub > 0 && flat.length == m * ksub * dsub,
+    s"flat codebooks must be m*ksub*dsub doubles: m=$m ksub=$ksub dsub=$dsub len=${flat.length}")
+  require(ksub <= 256,
+    s"pq_encode emits byte codes: ksub must be ≤ 256, got $ksub")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -815,25 +833,17 @@ case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Double]]])
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
 
-  @transient private lazy val m = books.length
-  @transient private lazy val ksub = books.head.length
-  @transient private lazy val dsub = books.head.head.length
-  @transient private lazy val flat: Array[Double] = {
-    val f = new Array[Double](m * ksub * dsub)
-    var j = 0
-    while (j < m) {
-      var c = 0
-      while (c < ksub) {
-        val cb = books(j)(c); var d = 0
-        while (d < dsub) { f((j * ksub + c) * dsub + d) = cb(d); d += 1 }
-        c += 1
-      }
-      j += 1
-    }
-    f
+  override def equals(other: Any): Boolean = other match {
+    case PqEncodeCodes(c, f, mm, ks, ds) =>
+      c == child && mm == m && ks == ksub && ds == dsub &&
+        java.util.Arrays.equals(f, flat)
+    case _ => false
   }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(m), Integer.valueOf(ksub),
+      Integer.valueOf(dsub), Integer.valueOf(java.util.Arrays.hashCode(flat)))
 
-  /** Called from generated code. Lazy vals copied to locals before the
+  /** Called from generated code. Fields copied to locals before the
     * loops — see [[NearestCentroid.compute]] for why. */
   def compute(arr: ArrayData): Array[Byte] = {
     val f = flat; val mm = m; val ks = ksub; val ds = dsub

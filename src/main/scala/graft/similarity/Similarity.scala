@@ -595,10 +595,8 @@ object Similarity {
     * partial-distance early exit, identical loop/tie semantics). The UDF
     * form boxed every vector into a Seq[Double] per corpus row, which
     * dominated the 20M-row assignment scans. */
-  private[graft] def nearestCell(centers: Array[Array[Double]]): Column => Column = {
-    val cs: Seq[Seq[Double]] = centers.toSeq.map(_.toSeq)
-    (c: Column) => nearestCentroid(c, cs)
-  }
+  private[graft] def nearestCell(centers: Array[Array[Double]]): Column => Column =
+    (c: Column) => nearestCentroid(c, centers)
 
   /** IVF (inverted-file) ANN: k-means coarse quantization. A small
     * centroid codebook is learned from the corpus (driver-held, a few KB);
@@ -805,11 +803,10 @@ object Similarity {
     // codebooks + primitive input + partial-distance early exit — the UDF
     // history is in the expression's scaladoc; argmin semantics unchanged
     // (strict < keeps the first-best code on ties)
-    val books: Seq[Seq[Seq[Double]]] = codebooks.toSeq.map(_.toSeq.map(_.toSeq))
     corpus.select((col(idCol).as("nn_id") +: keepCols.map(col)) ++ Seq(
       col(vecCol).cast("array<double>").as("cv")): _*)
       .select((col("nn_id") +: keepCols.map(col)) ++ Seq(
-        pqEncodeCodes(col("cv"), books).as("codes"),
+        pqEncodeCodes(col("cv"), codebooks).as("codes"),
         sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x))
           .as("norm")): _*)
   }

@@ -111,8 +111,7 @@ class KernelEquivalenceSpec extends GraftSpec {
     }
     val got = vecs
       .withColumn("cell", Similarity.nearestCell(centers)(col("cv")))
-      .withColumn("codes", graft.functions.pqEncodeCodes(col("cv"),
-        books.toSeq.map(_.toSeq.map(_.toSeq))))
+      .withColumn("codes", graft.functions.pqEncodeCodes(col("cv"), books))
       .withColumn("cell_ref", refCell(col("cv")))
       .withColumn("codes_ref", refEnc(col("cv")))
     assert(got.filter(col("cell") =!= col("cell_ref")).count() == 0)
